@@ -1,0 +1,85 @@
+"""Query registry: name -> (Spark plan builder, DuckDB oracle SQL).
+
+This is the engine's public query surface — the analogue of the
+reference's QUERY_MAP dispatch dict (reference views.py:9-89,
+113-137), with every entry lazily planned and oracle-checked.
+
+``queries()`` / ``oracle_sql()`` feed ``__spark_entry__`` directly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from projet_etl_spark.operators import composite, simple, timeseries, topk
+from projet_etl_spark.plans.oracles import PARITY_ORACLES
+from projet_etl_spark.session import ensure_engine_conf
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    tags: tuple[str, ...] = field(default=())
+
+
+def _wrap(fn) -> QueryFn:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_engine_conf(spark)
+        return fn(spark, sf_dir)
+
+    return run
+
+
+_PARITY_FNS: dict[str, Callable] = {
+    "cat": simple.q_cat,
+    "mag-cat": simple.q_mag_cat,
+    "fab-cat": simple.q_fab_cat,
+    "avg-prod-per-fab": simple.q_avg_prod_per_fab,
+    "top-magasins": topk.q_top_magasins,
+    "top-magasins-cat": topk.q_top_magasins_cat,
+    "top-1": topk.q_top_1,
+    "nb-mag-cat-date": timeseries.q_nb_mag_cat_date,
+    "score-evolution": timeseries.q_score_evolution,
+    "avg-cat-fab-10-mag": composite.q_avg_cat_fab_10_mag,
+    "avg-cat-fab-10-mag-avg": composite.q_avg_cat_fab_10_mag_avg,
+    "score-sante-touts-les-mois": composite.q_score_sante_mois,
+    "score-sante-touts-les-mois-avg": composite.q_score_sante_mois_avg,
+}
+
+
+def _build_registry() -> dict[str, QuerySpec]:
+    registry: dict[str, QuerySpec] = {}
+    for name, fn in _PARITY_FNS.items():
+        registry[name] = QuerySpec(
+            name=name, fn=_wrap(fn), oracle=PARITY_ORACLES[name], tags=("parity",)
+        )
+    # extension surfaces register themselves here (dedup, similarity,
+    # text stats, windows, multimodal) — imported lazily so a broken
+    # extension can never take down the parity surface
+    try:
+        from projet_etl_spark.plans import extensions
+
+        registry.update(extensions.build())
+    except ImportError:
+        pass
+    return registry
+
+
+REGISTRY: dict[str, QuerySpec] = _build_registry()
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+    }

@@ -1,0 +1,98 @@
+"""Parquet star-schema loaders and the reference-table views.
+
+The reference operates on two flat fact tables loaded from CSV into
+SQLite (reference data.py:21-42). The engine maps them onto the
+driver's TPC-H-ish star schema (FIXTURES.md §2):
+
+  produits        = lineitem ⋈ part          (catalog observations)
+  points_de_vente = lineitem ⋈ orders ⋈ part (sales-point observations)
+
+Scale notes (100 TB design point):
+- Columns are pruned *before* the joins so the parquet scans read
+  only what the view needs (verify with .explain: ReadSchema).
+- ``part`` is a classic small dimension → explicit broadcast hint;
+  lineitem⋈orders is a fact-fact equi-join on the natural key — at
+  cluster scale both sides should be bucketed by orderkey
+  (co-located join, no shuffle); in local runs AQE converts it to a
+  broadcast join automatically when orders is small enough.
+- No collect(), no driver-side state: every view is a lazy plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one star-schema table from ``{sf_dir}/{name}.parquet``."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def produits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-observation view: (dateid, prodid, catid, fabid).
+
+    Maps the reference ``produits`` table (reference data.py:21-28);
+    grain = one row per lineitem observation, duplicates meaningful.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_shipdate"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .select(
+            F.to_date("l_shipdate").alias("dateid"),
+            F.col("l_partkey").alias("prodid"),
+            F.col("p_brand").alias("catid"),
+            F.col("l_suppkey").alias("fabid"),
+        )
+    )
+
+
+def points_de_vente(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sales-point view: (dateid, prodid, catid, fabid, magid).
+
+    Maps the reference ``points_de_vente`` table
+    (reference data.py:30-38); ``COUNT(*)`` over this view is
+    "total_ventes" (reference views.py:32).
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .select(
+            F.to_date("l_shipdate").alias("dateid"),
+            F.col("l_partkey").alias("prodid"),
+            F.col("p_brand").alias("catid"),
+            F.col("l_suppkey").alias("fabid"),
+            F.col("o_custkey").alias("magid"),
+        )
+    )
+
+
+# DuckDB-oracle CTE definitions of the same two views, kept adjacent
+# to the Spark definitions so they can never drift apart. Every
+# oracle SQL string in the registry is prefixed with ORACLE_VIEWS.
+ORACLE_VIEWS = """\
+WITH produits AS (
+    SELECT CAST(l.l_shipdate AS DATE) AS dateid,
+           l.l_partkey AS prodid,
+           p.p_brand  AS catid,
+           l.l_suppkey AS fabid
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+points_de_vente AS (
+    SELECT CAST(l.l_shipdate AS DATE) AS dateid,
+           l.l_partkey AS prodid,
+           p.p_brand  AS catid,
+           l.l_suppkey AS fabid,
+           o.o_custkey AS magid
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p   ON l.l_partkey = p.p_partkey
+)"""
