@@ -1,0 +1,72 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
+"queries": {...}, "sf": ...}.
+
+Each query is fully executed (collect) so the timing covers scan ->
+shuffle -> result, not just plan construction. A warmup query runs
+first so JVM/codegen startup doesn't pollute q1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from projet_etl_spark.plans.registry import queries  # noqa: E402
+from projet_etl_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "top-magasins",
+    "top-magasins-cat",
+    "cat",
+    "avg-prod-per-fab",
+    "nb-mag-cat-date",
+    "score-evolution",
+    "top-1",
+    "avg-cat-fab-10-mag",
+    "score-sante-touts-les-mois",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+    spark = get_spark(app_name="projet-etl-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # warmup: JVM + whole-stage codegen + parquet footer cache
+    qs[names[0]](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

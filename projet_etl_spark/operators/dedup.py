@@ -1,0 +1,240 @@
+"""Deduplication operators over the documents / embeddings tables.
+
+Training-data-pipeline surface (SURVEY.md §7 phase E): exact,
+MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+Everything is JVM-side column expressions over md5-based
+cross-engine hashes (functions/text.py), so every variant ships a
+DuckDB oracle.
+
+Scale design:
+- exact dedup: one hash-groupBy on the fingerprint — the canonical
+  map-side-combine aggregation; at 100 TB this is a single shuffle
+  on a high-entropy key (no skew).
+- minhash: signatures via ONE groupBy with 16 min() aggregates over
+  the exploded shingle set (no per-permutation passes); banding
+  turns the quadratic pair search into an equi-join on band keys.
+- simhash: 30-bit signatures, banded into 3 exact-match blocks of
+  10 bits (any pair within hamming distance <= 2 shares a block —
+  pigeonhole); candidates verified by bit_count(xor).
+- ngram-jaccard: exact pair join on shared shingles — the
+  correctness baseline the sketch variants are measured against;
+  quadratic blow-up is bounded by the shingle equi-join.
+- embedding-cosine: exact pair scan with bit-exact cosine
+  (functions/vectors.py); the ANN module provides the pruned path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projet_etl_spark.functions.text import (
+    MINHASH_BANDS,
+    MINHASH_PERMS,
+    MINHASH_PRIME,
+    MINHASH_ROWS,
+    SIMHASH_BAND_BITS,
+    SIMHASH_BITS,
+    fingerprint,
+    h30,
+    shingles3,
+    tokens,
+)
+from projet_etl_spark.functions.vectors import (
+    cosine,
+    spark_dot,
+    spark_norm2,
+)
+from projet_etl_spark.sources.tables import load_table
+
+JACCARD_THRESHOLD = 0.8
+COSINE_THRESHOLD = 0.95
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized content: one row per distinct text,
+    keeping the smallest doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) exploded distinct word-3-gram sets."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(shingles3(tokens(F.col("text")))).alias("s")
+    )
+
+
+def _jaccard_pairs(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+    """Exact jaccard for doc pairs sharing >= 1 shingle. When
+    ``pairs`` (doc_a, doc_b) is given, only those are scored."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if pairs is not None:
+        inter = inter.join(pairs, ["doc_a", "doc_b"], "left_semi")
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (threshold 0.8)."""
+    sh = _doc_shingles(spark, sf_dir)
+    return _jaccard_pairs(sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+def _minhash_band_keys(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, key): LSH band signatures from 16 permutations.
+
+    One groupBy computes all 16 signature minima (single shuffle);
+    bands concatenate 4 minima each into an equi-joinable key.
+    """
+    hashed = sh.withColumn("h", h30(F.col("s")))
+    mins = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+            f"m{i}"
+        )
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    sigs = hashed.groupBy("doc_id").agg(*mins)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat_ws(
+                    "-",
+                    *[
+                        F.col(f"m{bi * MINHASH_ROWS + r}").cast("string")
+                        for r in range(MINHASH_ROWS)
+                    ],
+                ).alias("key"),
+            )
+            for bi in range(MINHASH_BANDS)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(bands).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs: band-bucket candidate generation,
+    then exact-jaccard verification at threshold 0.8."""
+    sh = _doc_shingles(spark, sf_dir)
+    bands = _minhash_band_keys(sh)
+    left = bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
+    right = bands.select(F.col("doc_id").alias("doc_b"), "band", "key")
+    cands = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _jaccard_pairs(sh, pairs=cands).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+
+
+def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sim): 30-bit SimHash over distinct-token hashes."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("t")
+    ).withColumn("h", h30(F.col("t")))
+    bit_sums = [
+        F.sum(
+            F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"s{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    sums = tok.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return sums.select("doc_id", sim.cast("long").alias("sim"))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: hamming distance <= 2 on 30-bit
+    signatures, blocked on 3 exact-match 10-bit bands."""
+    sigs = _simhash_sigs(spark, sf_dir)
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("band"),
+                F.shiftright(F.col("sim"), k * SIMHASH_BAND_BITS)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+            for k in range(SIMHASH_BITS // SIMHASH_BAND_BITS)
+        ]
+    )
+    banded = sigs.select("doc_id", "sim", F.explode(bands).alias("bk")).select(
+        "doc_id", "sim", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    left = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"), "band", "key"
+    )
+    right = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"), "band", "key"
+    )
+    return (
+        left.join(right, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 2)
+    )
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: exact pairwise cosine >= 0.95.
+
+    Bit-exact across engines: the dot/norm sums are explicit
+    left-associated 64-term expressions (functions/vectors.py).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    withn = emb.withColumn("n2", spark_norm2("v"))
+    a = withn.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("n2").alias("na")
+    )
+    b = withn.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("n2").alias("nb")
+    )
+    pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+    cos = cosine(spark_dot("va", "vb"), F.col("na"), F.col("nb"))
+    return pairs.select(
+        "vec_a", "vec_b", F.round(cos, 6).alias("cos")
+    ).filter(F.col("cos") >= COSINE_THRESHOLD)

@@ -1,0 +1,79 @@
+"""Multimodal-column plumbing: opaque binary payloads + typed
+metadata, processed with Arrow-batched mapInPandas.
+
+The container has no image/audio codecs, so the decode step is a
+clearly-marked stub (decode_image raises NotImplementedError; the
+deterministic byte-level feature path is real). What IS real and
+tested end-to-end: the binary column schema, the mapInPandas batch
+plumbing (Arrow transfer, per-batch pandas processing, explicit
+output schema), and partition behavior — exactly the shape a real
+decoder would drop into.
+
+Scale notes: mapInPandas streams Arrow batches (no per-row Python
+overhead); binary payloads stay off the driver; a real pipeline
+would set spark.sql.execution.arrow.maxRecordsPerBatch to bound
+executor memory per batch of images.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projet_etl_spark.sources.tables import load_table
+
+FEATURE_SCHEMA = "doc_id long, n_bytes long, head_hex string"
+
+
+def decode_image(payload: bytes) -> object:
+    """Stub: real image decoding needs PIL/libjpeg, absent here."""
+    raise NotImplementedError(
+        "image decode requires an image codec library not present in "
+        "this environment; byte-level features below are the real path"
+    )
+
+
+def make_byte_features():
+    """Deterministic per-batch byte-level feature extraction — the
+    stand-in for decode/resize/feature-extract.
+
+    Returned as a fresh closure so cloudpickle serializes it BY VALUE:
+    a module-level function would pickle by reference and executors
+    would need this package importable (the external driver's workers
+    don't have it on sys.path).
+    """
+
+    def byte_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "head_hex": payloads.map(lambda b: b[:8].hex().upper()),
+                }
+            )
+
+    return byte_features
+
+
+def binary_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents re-shaped as a multimodal table:
+    (doc_id, payload binary, meta struct<lang,source,n_chars>)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct("lang", "source", "n_chars").alias("meta"),
+    )
+
+
+def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction through mapInPandas."""
+    blobs = binary_table(spark, sf_dir).select("doc_id", "payload")
+    return blobs.mapInPandas(make_byte_features(), schema=FEATURE_SCHEMA)

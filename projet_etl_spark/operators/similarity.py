@@ -1,0 +1,129 @@
+"""Similarity search over the embeddings table (dim-64 floats).
+
+- ``ann-cosine-topk``: brute-force exact top-k per query vector —
+  the correctness baseline. A cross join + fused 64-term cosine
+  expression + per-query top-k window. At 100 TB the cross join is
+  the bottleneck by design; it exists to validate the pruned path.
+- ``ann-ivf-topk``: the scale path — an IVF-style index built from
+  deterministic medoid centroids (the lowest-vec_id vector of each
+  label group). Every vector is assigned to its nearest centroid
+  (coarse quantization); a query probes only the ``NPROBE`` nearest
+  cells, turning the full scan into a partition-pruned scan.
+  Centroid choice is arithmetic-deterministic (no averaging), so
+  even this variant is oracle-checkable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from projet_etl_spark.functions.vectors import cosine, spark_dot, spark_norm2
+from projet_etl_spark.sources.tables import load_table
+
+N_QUERIES = 10  # vectors with vec_id < 10 act as the query set
+TOP_K = 10
+NPROBE = 2
+
+
+def _emb_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").alias("v")
+    )
+    return emb.withColumn("n2", spark_norm2("v"))
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 per query vector (vec_id < 10), brute force."""
+    base = _emb_with_norm(spark, sf_dir)
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("n2").alias("qn")
+    )
+    c = base.select(
+        F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"), F.col("n2").alias("cn")
+    )
+    pairs = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("cand_id"))
+    cos = F.round(cosine(spark_dot("qv", "cv"), F.col("qn"), F.col("cn")), 6)
+    scored = pairs.select("query_id", "cand_id", cos.alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "cos", "rank")
+    )
+
+
+def _centroids(base: DataFrame) -> DataFrame:
+    """Deterministic medoid per label: the lowest-vec_id member.
+
+    Medoids instead of mean centroids keep the index arithmetic
+    exactly reproducible in ANSI SQL (no order-dependent float sums).
+    """
+    w = Window.partitionBy("label").orderBy(F.asc("vec_id"))
+    return (
+        base.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("label").alias("cell"),
+            F.col("v").alias("centv"),
+            F.col("n2").alias("centn"),
+        )
+    )
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10: assign vectors to nearest medoid cell, probe the
+    NPROBE nearest cells per query, exact re-rank inside them."""
+    base = _emb_with_norm(spark, sf_dir)
+    cents = F.broadcast(_centroids(base))
+
+    # coarse assignment: nearest cell per vector (deterministic
+    # tiebreak on cell id)
+    sim_to_cent = F.round(
+        cosine(spark_dot("v", "centv"), F.col("n2"), F.col("centn")), 6
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("simc"), F.asc("cell")
+    )
+    assigned = (
+        base.crossJoin(cents)
+        .withColumn("simc", sim_to_cent)
+        .withColumn("arn", F.row_number().over(w_assign))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", "v", "n2", "cell")
+    )
+
+    # queries probe their NPROBE nearest cells
+    queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("n2").alias("qn")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("simq"), F.asc("cell"))
+    probes = (
+        queries.crossJoin(cents)
+        .withColumn(
+            "simq",
+            F.round(cosine(spark_dot("qv", "centv"), F.col("qn"), F.col("centn")), 6),
+        )
+        .withColumn("prn", F.row_number().over(w_probe))
+        .filter(F.col("prn") <= NPROBE)
+        .select("query_id", "qv", "qn", "cell")
+    )
+
+    # exact re-rank within probed cells only
+    cands = probes.join(
+        assigned.select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("v").alias("cv"),
+            F.col("n2").alias("cn"),
+            "cell",
+        ),
+        "cell",
+    ).filter(F.col("query_id") != F.col("cand_id"))
+    cos = F.round(cosine(spark_dot("qv", "cv"), F.col("qn"), F.col("cn")), 6)
+    scored = cands.select("query_id", "cand_id", cos.alias("cos")).distinct()
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "cos", "rank")
+    )

@@ -1,0 +1,116 @@
+"""Text-analysis operators over the documents table.
+
+The training-data-pipeline surface (no reference counterpart;
+SURVEY.md §2.11 / §7 phase E): token counting, quality scoring,
+n-gram-heuristic language ID, and content fingerprinting. All pure
+JVM-side column expressions — each ships with a term-for-term DuckDB
+oracle.
+
+At 100 TB these are embarrassingly parallel map-only plans: no
+shuffle, no UDF, predicate/column pruning straight to parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projet_etl_spark.functions.text import fingerprint, tokens
+from projet_etl_spark.sources.tables import load_table
+
+# small fixed stopword lists for the lang-id heuristic; the zh signal
+# is any CJK codepoint. Order of the CASE chain = deterministic
+# tiebreak (en > es > de > fr).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is", "a"],
+    "es": ["el", "la", "de", "que", "los", "una"],
+    "de": ["der", "die", "und", "das", "ist", "ein"],
+    "fr": ["le", "la", "les", "des", "est", "une"],
+}
+
+PUNCT = ".,;:!?"
+
+
+def _count_in(toks, words: list[str]):
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token count (whitespace tokenization)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_obs"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals: length, mean token length, punctuation ratio,
+    English-stopword ratio, and a weighted quality score."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_chars = F.length("text")
+    # punctuation count via replace-and-diff (identical in DuckDB with
+    # the 'g' flag); character class kept explicit for regex parity
+    n_punct = n_chars - F.length(F.regexp_replace(F.col("text"), f"[{PUNCT}]", ""))
+    stop_en = _count_in(toks, STOPWORDS["en"])
+    base = docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars_obs"),
+        n_tokens.cast("long").alias("n_tokens"),
+        (n_chars / n_tokens).alias("chars_per_token"),
+        (n_punct / n_chars).alias("punct_ratio"),
+        (stop_en / n_tokens).alias("stopword_ratio"),
+    )
+    quality = (
+        F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * F.lit(0.4)
+        + F.col("stopword_ratio") * F.lit(0.4)
+        + (F.lit(1.0) - F.least(F.col("punct_ratio") * F.lit(10.0), F.lit(1.0)))
+        * F.lit(0.2)
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        F.round("chars_per_token", 6).alias("chars_per_token"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword-heuristic language ID (en/es/de/fr/zh).
+
+    zh wins on any CJK codepoint; otherwise the language with the
+    highest stopword-hit count, ties broken en > es > de > fr.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    cjk = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), "[一-鿿]", "")
+    )
+    counts = {lang: _count_in(toks, words) for lang, words in STOPWORDS.items()}
+    base = docs.select(
+        "doc_id",
+        cjk.cast("long").alias("cjk_chars"),
+        *[counts[lang].alias(f"hits_{lang}") for lang in STOPWORDS],
+    )
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in STOPWORDS])
+    pred = (
+        F.when(F.col("cjk_chars") > 0, F.lit("zh"))
+        .when(F.col("hits_en") == best, F.lit("en"))
+        .when(F.col("hits_es") == best, F.lit("es"))
+        .when(F.col("hits_de") == best, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return base.select("doc_id", "cjk_chars", pred.alias("pred_lang"))
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint (md5 of normalized text) per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))

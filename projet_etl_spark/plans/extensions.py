@@ -1,0 +1,449 @@
+"""Extension-surface registry entries + DuckDB oracles.
+
+Every oracle below is generated from the SAME Python constants as
+the Spark plan it checks (hash permutations, thresholds, stopword
+lists, the 64-term dot-product expansion), so the two sides cannot
+drift independently.
+
+Engine-parity rules applied throughout:
+- md5-derived portable hashes (functions/text.py) instead of
+  engine-native hash functions,
+- explicit ::DOUBLE casts on fractional literals (DuckDB would
+  otherwise compute in DECIMAL),
+- regexp_replace(..., 'g') — DuckDB replaces only the first match
+  by default, Spark always replaces all,
+- integer outputs as BIGINT on both sides,
+- ROUND(x, 6) before any threshold or ranking on derived doubles.
+"""
+
+from __future__ import annotations
+
+from projet_etl_spark.functions import text as TX
+from projet_etl_spark.functions import vectors as VEC
+from projet_etl_spark.operators import (
+    dedup,
+    events_windows,
+    multimodal,
+    similarity,
+    textstats,
+)
+
+# --- shared SQL fragments -------------------------------------------
+
+_NORM = TX.SQL_NORMALIZED.format(col="text")
+_TOK = TX.SQL_TOKENS.format(col="text")
+
+_SHINGLE_CTES = f"""
+WITH tok AS (
+    SELECT doc_id, {_TOK} AS t FROM documents
+),
+sh AS (
+    SELECT doc_id, unnest({TX.SQL_SHINGLES.format(t="t")}) AS s FROM tok
+),
+sizes AS (
+    SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+)"""
+
+_JACCARD_FROM_CANDS = """
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+jac AS (
+    SELECT i.doc_a, i.doc_b,
+           ROUND(i.inter / (sa.n + sb.n - i.inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    {extra_join}
+)"""
+
+_H30_OF = "((('0x' || substr(md5({col}), 1, 15))::BIGINT) % {mod})".format(
+    col="{col}", mod=TX.H30_MOD
+)
+
+# --- minhash oracle --------------------------------------------------
+
+_MIN_EXPRS = ",\n           ".join(
+    f"MIN((h * {a} + {b}) % {TX.MINHASH_PRIME}) AS m{i}"
+    for i, (a, b) in enumerate(TX.MINHASH_PERMS)
+)
+_BAND_SELECTS = "\n    UNION ALL ".join(
+    "SELECT doc_id, {bi} AS band, concat_ws('-', {cols}) AS key FROM sigs".format(
+        bi=bi,
+        cols=", ".join(
+            f"m{bi * TX.MINHASH_ROWS + r}" for r in range(TX.MINHASH_ROWS)
+        ),
+    )
+    for bi in range(TX.MINHASH_BANDS)
+)
+
+_MINHASH_SQL = (
+    _SHINGLE_CTES
+    + f""",
+hashed AS (
+    SELECT doc_id, {_H30_OF.format(col='s')} AS h FROM sh
+),
+sigs AS (
+    SELECT doc_id,
+           {_MIN_EXPRS}
+    FROM hashed GROUP BY doc_id
+),
+bands AS (
+    {_BAND_SELECTS}
+),
+cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+"""
+    + _JACCARD_FROM_CANDS.format(
+        extra_join="JOIN cands c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b"
+    )
+    + f"""
+SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {dedup.JACCARD_THRESHOLD}
+"""
+)
+
+_NGRAM_SQL = (
+    _SHINGLE_CTES
+    + ",\n"
+    + _JACCARD_FROM_CANDS.format(extra_join="")
+    + f"""
+SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {dedup.JACCARD_THRESHOLD}
+"""
+)
+
+# --- simhash oracle --------------------------------------------------
+
+_BITSUM_EXPRS = ",\n           ".join(
+    f"SUM(((h >> {i}) & 1) * 2 - 1) AS s{i}" for i in range(TX.SIMHASH_BITS)
+)
+_SIM_VALUE = " + ".join(
+    f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(TX.SIMHASH_BITS)
+)
+_N_SIM_BANDS = TX.SIMHASH_BITS // TX.SIMHASH_BAND_BITS
+_SIM_BAND_VALUES = ", ".join(f"({k})" for k in range(_N_SIM_BANDS))
+_SIM_MASK = (1 << TX.SIMHASH_BAND_BITS) - 1
+
+_SIMHASH_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, {_TOK} AS t FROM documents
+),
+tokd AS (
+    SELECT doc_id, unnest(list_distinct(t)) AS tk FROM tok
+),
+toh AS (
+    SELECT doc_id, {_H30_OF.format(col='tk')} AS h FROM tokd
+),
+bitsums AS (
+    SELECT doc_id,
+           {_BITSUM_EXPRS}
+    FROM toh GROUP BY doc_id
+),
+sims AS (
+    SELECT doc_id, CAST({_SIM_VALUE} AS BIGINT) AS sim FROM bitsums
+),
+banded AS (
+    SELECT doc_id, sim, k AS band,
+           (sim >> ({TX.SIMHASH_BAND_BITS} * k)) & {_SIM_MASK} AS key
+    FROM sims, (VALUES {_SIM_BAND_VALUES}) b(k)
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 2
+"""
+
+# --- embedding / ANN oracles ----------------------------------------
+
+_E_CTE = f"""
+WITH e AS (
+    SELECT vec_id, label, embedding AS v,
+           {VEC.sql_norm2("embedding")} AS n2
+    FROM embeddings
+)"""
+
+
+def _sql_cos(dot: str, na: str, nb: str) -> str:
+    return f"ROUND(({dot}) / (sqrt({na}) * sqrt({nb})), 6)"
+
+
+_EMB_COS_SQL = (
+    _E_CTE
+    + f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_sql_cos(VEC.sql_dot('a.v', 'b.v'), 'a.n2', 'b.n2')} AS cos
+FROM e a, e b
+WHERE a.vec_id < b.vec_id
+  AND {_sql_cos(VEC.sql_dot('a.v', 'b.v'), 'a.n2', 'b.n2')} >= {dedup.COSINE_THRESHOLD}
+"""
+)
+
+_ANN_BRUTE_SQL = (
+    _E_CTE
+    + f""",
+q AS (
+    SELECT vec_id AS query_id, v AS qv, n2 AS qn FROM e
+    WHERE vec_id < {similarity.N_QUERIES}
+),
+scored AS (
+    SELECT q.query_id, e.vec_id AS cand_id,
+           {_sql_cos(VEC.sql_dot('q.qv', 'e.v'), 'q.qn', 'e.n2')} AS cos
+    FROM q, e WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+    SELECT query_id, cand_id, cos,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, cand_id) AS BIGINT)
+           AS "rank"
+    FROM scored
+)
+SELECT query_id, cand_id, cos, "rank" FROM ranked WHERE "rank" <= {similarity.TOP_K}
+"""
+)
+
+_ANN_IVF_SQL = (
+    _E_CTE
+    + f""",
+cents AS (
+    SELECT label AS cell, v AS centv, n2 AS centn FROM (
+        SELECT e.*, ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+        FROM e
+    ) WHERE rn = 1
+),
+assigned AS (
+    SELECT vec_id, v, n2, cell FROM (
+        SELECT e.vec_id, e.v, e.n2, c.cell,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_sql_cos(VEC.sql_dot('e.v', 'c.centv'), 'e.n2', 'c.centn')} DESC,
+                            c.cell) AS arn
+        FROM e, cents c
+    ) WHERE arn = 1
+),
+probes AS (
+    SELECT query_id, qv, qn, cell FROM (
+        SELECT a.vec_id AS query_id, a.v AS qv, a.n2 AS qn, c.cell,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {_sql_cos(VEC.sql_dot('a.v', 'c.centv'), 'a.n2', 'c.centn')} DESC,
+                            c.cell) AS prn
+        FROM assigned a, cents c
+        WHERE a.vec_id < {similarity.N_QUERIES}
+    ) WHERE prn <= {similarity.NPROBE}
+),
+scored AS (
+    SELECT DISTINCT p.query_id, a.vec_id AS cand_id,
+           {_sql_cos(VEC.sql_dot('p.qv', 'a.v'), 'p.qn', 'a.n2')} AS cos
+    FROM probes p JOIN assigned a ON p.cell = a.cell
+    WHERE a.vec_id <> p.query_id
+),
+ranked AS (
+    SELECT query_id, cand_id, cos,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, cand_id) AS BIGINT)
+           AS "rank"
+    FROM scored
+)
+SELECT query_id, cand_id, cos, "rank" FROM ranked WHERE "rank" <= {similarity.TOP_K}
+"""
+)
+
+# --- text-stats oracles ---------------------------------------------
+
+
+def _sql_count_in(tok_expr: str, words: list[str]) -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return f"len(list_filter({tok_expr}, x -> list_contains({arr}, x)))"
+
+
+_TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_obs,
+       CAST(len({_TOK}) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+_QUALITY_SQL = f"""
+WITH base AS (
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_obs,
+           CAST(len({_TOK}) AS BIGINT) AS n_tokens,
+           length(text) / len({_TOK}) AS chars_per_token,
+           (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+               / length(text) AS punct_ratio,
+           {_sql_count_in(_TOK, textstats.STOPWORDS['en'])} / len({_TOK})
+               AS stopword_ratio
+    FROM documents
+)
+SELECT doc_id,
+       n_tokens,
+       ROUND(chars_per_token, 6) AS chars_per_token,
+       ROUND(punct_ratio, 6) AS punct_ratio,
+       ROUND(stopword_ratio, 6) AS stopword_ratio,
+       ROUND(least(n_tokens / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+                 * CAST(0.4 AS DOUBLE)
+             + stopword_ratio * CAST(0.4 AS DOUBLE)
+             + (CAST(1.0 AS DOUBLE)
+                - least(punct_ratio * CAST(10.0 AS DOUBLE), CAST(1.0 AS DOUBLE)))
+                 * CAST(0.2 AS DOUBLE), 6) AS quality
+FROM base
+"""
+
+_LANG_HITS = ",\n           ".join(
+    f"{_sql_count_in(_TOK, words)} AS hits_{lang}"
+    for lang, words in textstats.STOPWORDS.items()
+)
+_LANG_GREATEST = "greatest(" + ", ".join(
+    f"hits_{lang}" for lang in textstats.STOPWORDS
+) + ")"
+
+_LANG_ID_SQL = f"""
+WITH base AS (
+    SELECT doc_id,
+           CAST(length(text)
+                - length(regexp_replace(text, '[\\x{{4e00}}-\\x{{9fff}}]', '', 'g'))
+                AS BIGINT) AS cjk_chars,
+           {_LANG_HITS}
+    FROM documents
+)
+SELECT doc_id, cjk_chars,
+       CASE WHEN cjk_chars > 0 THEN 'zh'
+            WHEN hits_en = {_LANG_GREATEST} THEN 'en'
+            WHEN hits_es = {_LANG_GREATEST} THEN 'es'
+            WHEN hits_de = {_LANG_GREATEST} THEN 'de'
+            ELSE 'fr' END AS pred_lang
+FROM base
+"""
+
+_FINGERPRINT_SQL = f"""
+SELECT doc_id, md5({_NORM}) AS fp FROM documents
+"""
+
+_DEDUP_EXACT_SQL = f"""
+SELECT md5({_NORM}) AS fp,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS dup_count
+FROM documents
+GROUP BY md5({_NORM})
+"""
+
+# --- events-window oracles ------------------------------------------
+
+_TUMBLING_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+# each event belongs to the two 1h windows starting at
+# floor30(ts) and floor30(ts) - 30min
+_SLIDING_SQL = """
+WITH starts AS (
+    SELECT event_type,
+           unnest([to_timestamp(epoch_us(ts) // 1800000000 * 1800),
+                   to_timestamp(epoch_us(ts) // 1800000000 * 1800 - 1800)])
+               AS ws
+    FROM events
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events
+FROM starts
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+_SESSION_SQL = f"""
+WITH flagged AS (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN epoch_us(ts)
+                     - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id)
+                     > {events_windows.SESSION_GAP_MIN} * 60 * 1000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+),
+numbered AS (
+    SELECT *, CAST(SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_no
+    FROM flagged
+)
+SELECT user_id, session_no,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM numbered
+GROUP BY user_id, session_no
+ORDER BY user_id, session_no
+"""
+
+# --- multimodal oracle ----------------------------------------------
+
+_MULTIMODAL_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       upper(substr(hex(encode(text)), 1, 16)) AS head_hex
+FROM documents
+"""
+
+
+def build():
+    """Registry entries for the extension surface; imported by
+    plans.registry at module init."""
+    from projet_etl_spark.plans.registry import QuerySpec, _wrap
+
+    specs = [
+        ("dedup-exact", dedup.q_dedup_exact, _DEDUP_EXACT_SQL, ("dedup",)),
+        ("dedup-ngram-jaccard", dedup.q_dedup_ngram_jaccard, _NGRAM_SQL, ("dedup",)),
+        ("dedup-minhash-lsh", dedup.q_dedup_minhash_lsh, _MINHASH_SQL, ("dedup",)),
+        ("dedup-simhash", dedup.q_dedup_simhash, _SIMHASH_SQL, ("dedup",)),
+        (
+            "dedup-embedding-cosine",
+            dedup.q_dedup_embedding_cosine,
+            _EMB_COS_SQL,
+            ("dedup",),
+        ),
+        ("ann-cosine-topk", similarity.q_ann_cosine_topk, _ANN_BRUTE_SQL, ("ann",)),
+        ("ann-ivf-topk", similarity.q_ann_ivf_topk, _ANN_IVF_SQL, ("ann",)),
+        ("text-token-count", textstats.q_text_token_count, _TOKEN_COUNT_SQL, ("text",)),
+        ("text-quality", textstats.q_text_quality, _QUALITY_SQL, ("text",)),
+        ("text-lang-id", textstats.q_text_lang_id, _LANG_ID_SQL, ("text",)),
+        ("text-fingerprint", textstats.q_text_fingerprint, _FINGERPRINT_SQL, ("text",)),
+        (
+            "events-tumbling-1h",
+            events_windows.q_events_tumbling_1h,
+            _TUMBLING_SQL,
+            ("windows",),
+        ),
+        (
+            "events-sliding-1h-30m",
+            events_windows.q_events_sliding_1h_30m,
+            _SLIDING_SQL,
+            ("windows",),
+        ),
+        ("events-session", events_windows.q_events_session, _SESSION_SQL, ("windows",)),
+        (
+            "multimodal-bytes",
+            multimodal.q_multimodal_bytes,
+            _MULTIMODAL_SQL,
+            ("multimodal",),
+        ),
+    ]
+    return {
+        name: QuerySpec(name=name, fn=_wrap(fn), oracle=sql, tags=tags)
+        for name, fn, sql, tags in specs
+    }

@@ -1,0 +1,85 @@
+"""Ingest helpers: the reference's CSV-to-warehouse pipeline,
+re-expressed distributed (SURVEY.md §2.1 S1-S5).
+
+The reference loads whitespace-delimited CSVs with a pandas regex
+delimiter on the driver (reference data.py:5-6), lowercases headers
+(data.py:9-10), parses %Y%m%d ints to dates (data.py:13-14) and
+replaces SQLite tables (data.py:41-42). Spark's CSV source only
+supports single-char delimiters, so the regex-delimited form reads
+as text and splits JVM-side — fully distributed, no driver
+materialization beyond the one header line.
+
+At scale the sink partitions by month of ``dateid`` so date-range
+predicates (P4/P6) prune partitions instead of scanning everything.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_whitespace_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    date_format: str = "yyyyMMdd",
+) -> DataFrame:
+    """Distributed reader for header-ful, regex-whitespace-delimited
+    text (reference data.py:5-6 semantics).
+
+    Column order comes from the file header (lowercased,
+    reference data.py:9-10); types come from ``schema`` (DateType
+    fields are parsed from ``date_format`` ints, data.py:13-14).
+    """
+    raw = spark.read.text(path)
+    header_line = raw.limit(1).collect()[0][0]
+    names = [c.lower() for c in header_line.strip().split()]
+    by_name = {f.name.lower(): f for f in schema.fields}
+    unknown = [n for n in names if n not in by_name]
+    if unknown:
+        raise ValueError(f"header columns {unknown} not in schema")
+
+    toks = F.split(F.trim(F.col("value")), r"\s+")
+    cols = []
+    for i, name in enumerate(names):
+        field = by_name[name]
+        raw_col = F.element_at(toks, i + 1)
+        if isinstance(field.dataType, T.DateType):
+            col = F.to_date(raw_col, date_format)
+        else:
+            col = raw_col.cast(field.dataType)
+        cols.append(col.alias(name))
+    return (
+        raw.filter(F.col("value") != F.lit(header_line))
+        .filter(F.trim(F.col("value")) != "")
+        .select(*cols)
+    )
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    partition_by_month_of: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet sink with overwrite semantics (reference data.py:41-42
+    ``if_exists='replace'``), optionally partitioned by 'yyyy-MM' of a
+    date column for partition pruning at scale."""
+    writer = df.write.mode(mode)
+    if partition_by_month_of is not None:
+        df = df.withColumn(
+            "month", F.date_format(F.col(partition_by_month_of), "yyyy-MM")
+        )
+        writer = df.write.mode(mode).partitionBy("month")
+    writer.parquet(path)
+
+
+def table_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe (reference views.py:92-96 404 behavior)."""
+    try:
+        spark.read.parquet(path).schema
+        return True
+    except Exception:
+        return False

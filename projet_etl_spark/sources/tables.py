@@ -29,6 +29,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events stream table with a proper TimestampType ``ts``.
+
+    The driver parquet stores ts as TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; we read nanos as long (legacy conf,
+    runtime-settable) and rebuild microsecond timestamps. ``div``
+    floors like DuckDB's ns->us truncation, so both engines see the
+    identical microsecond instant.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
 def produits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog-observation view: (dateid, prodid, catid, fabid).
 

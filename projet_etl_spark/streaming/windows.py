@@ -1,0 +1,103 @@
+"""Structured Streaming surface over the events table.
+
+The reference has no streaming (SURVEY.md §2.11); this is the
+engine's beyond-reference extension: the same windowed aggregations
+as operators/events_windows.py, expressed as streaming plans —
+readStream → watermark → window/session_window → sink.
+
+Batch/stream parity is the design invariant: the batch forms are
+oracle-checked against DuckDB, and the streaming tests assert the
+streaming output equals the batch output on the same data (the
+strongest check available for a surface a SQL oracle can't express).
+
+Scale notes: watermarks bound state; tumbling/sliding windows use
+partial aggregation per micro-batch; session windows merge state
+per key — at cluster scale the groupBy key (event_type / user_id)
+is the shuffle key, same as batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_RAW_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of the events table (nanos->micros ts, same
+    conversion as sources.tables.events)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Per-hour per-type event counts + value sums (streaming form of
+    operators.events_windows.q_events_tumbling_1h)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """1h windows sliding every 30min (streaming form of
+    q_events_sliding_1h_30m)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Per-user session windows with a 15-minute gap — Spark's native
+    streaming sessionization (session_window merges overlapping
+    state; the batch gaps-and-islands form is q_events_session)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", "15 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str, output_mode: str):
+    """Drain all available input into an in-memory sink; returns the
+    finished StreamingQuery (caller reads table ``query_name``)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
