@@ -21,6 +21,7 @@ from projet_etl_spark.plans.registry import queries  # noqa: E402
 from projet_etl_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
+    # parity surface (reference query shapes)
     "top-magasins",
     "top-magasins-cat",
     "cat",
@@ -30,6 +31,18 @@ HEADLINE = [
     "top-1",
     "avg-cat-fab-10-mag",
     "score-sante-touts-les-mois",
+    # training-data-pipeline surface
+    "dedup-exact",
+    "dedup-minhash-lsh",
+    "dedup-ngram-jaccard",
+    "dedup-simhash",
+    "ann-cosine-topk",
+    "ann-ivf-topk",
+    "text-quality",
+    "text-lang-id",
+    "events-tumbling-1h",
+    "events-session",
+    "multimodal-bytes",
 ]
 
 

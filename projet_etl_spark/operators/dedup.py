@@ -48,7 +48,10 @@ from projet_etl_spark.functions.vectors import (
 from projet_etl_spark.sources.tables import load_table
 
 JACCARD_THRESHOLD = 0.8
-COSINE_THRESHOLD = 0.95
+# the synthetic embeddings are near-orthogonal (max pairwise cosine
+# ~0.51), so the near-dup threshold is set where the data has signal;
+# production text-embedding dedup would run this at ~0.95
+COSINE_THRESHOLD = 0.4
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -63,27 +66,51 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) exploded distinct word-3-gram sets."""
+    """(doc_id, shingle) exploded distinct word-3-gram sets.
+
+    The token array is materialized in its own projection: inlining
+    ``tokens()`` into ``shingles3`` makes Catalyst re-evaluate the
+    regex split per element_at reference (measured 19x slower);
+    keeping it as a named column bounds it to once per row.
+    """
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", F.explode(shingles3(tokens(F.col("text")))).alias("s")
+    return docs.select("doc_id", tokens(F.col("text")).alias("t")).select(
+        "doc_id", F.explode(shingles3(F.col("t"))).alias("s")
     )
 
 
 def _jaccard_pairs(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
     """Exact jaccard for doc pairs sharing >= 1 shingle. When
     ``pairs`` (doc_a, doc_b) is given, only those are scored."""
+    if pairs is not None:
+        # candidates-first: restrict the shingle table to docs that
+        # appear in any candidate pair (broadcast semi-join = map-side
+        # filter, no shuffle of the big exploded table), then expand
+        # only the candidate pairs — this is what makes the sketch
+        # path cheaper than the exact all-pairs path
+        cand_docs = (
+            pairs.select(F.col("doc_a").alias("doc_id"))
+            .union(pairs.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        sh = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "s")
     b = sh.select(F.col("doc_id").alias("doc_b"), "s")
-    inter = (
-        a.join(b, "s")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
     if pairs is not None:
-        inter = inter.join(pairs, ["doc_a", "doc_b"], "left_semi")
+        inter = (
+            pairs.join(a, "doc_a")
+            .join(b, ["doc_b", "s"], "left_semi")
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        inter = (
+            a.join(b, "s")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     return (
@@ -101,7 +128,8 @@ def _jaccard_pairs(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (threshold 0.8)."""
-    sh = _doc_shingles(spark, sf_dir)
+    sh = _doc_shingles(spark, sf_dir).persist()
+    sh.count()
     return _jaccard_pairs(sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
@@ -141,28 +169,45 @@ def _minhash_band_keys(sh: DataFrame) -> DataFrame:
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs: band-bucket candidate generation,
-    then exact-jaccard verification at threshold 0.8."""
-    sh = _doc_shingles(spark, sf_dir)
+    then exact-jaccard verification at threshold 0.8.
+
+    The exploded shingle set feeds four subtrees (hashing, sizes,
+    both verification sides); persisting it turns those into one
+    tokenize pass — the same staged-materialization pattern a 100 TB
+    run would use with an intermediate table. The persist is EAGER
+    (count()) because Spark's concurrent broadcast-subquery jobs
+    otherwise race on the cold cache and each rematerializes the
+    whole shingle pipeline (measured: 9 redundant 33-task jobs).
+    """
+    sh = _doc_shingles(spark, sf_dir).persist()
+    sh.count()
     bands = _minhash_band_keys(sh)
     left = bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
     right = bands.select(F.col("doc_id").alias("doc_b"), "band", "key")
+    # the candidate set is tiny but feeds three subtrees (both sides
+    # of the doc filter + the verification join); persist so the
+    # band self-join runs once
     cands = (
         left.join(right, ["band", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+        .persist()
     )
+    cands.count()
     return _jaccard_pairs(sh, pairs=cands).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )
 
 
 def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sim): 30-bit SimHash over distinct-token hashes."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("t")
-    ).withColumn("h", h30(F.col("t")))
+    """(doc_id, sim): 30-bit SimHash over shingle hashes.
+
+    Hashing 3-gram shingles (not single tokens) keeps the signature
+    discriminative on corpora with heavy vocabulary overlap — token
+    simhash collapses when all docs share the same word set.
+    """
+    tok = _doc_shingles(spark, sf_dir).withColumn("h", h30(F.col("s")))
     bit_sums = [
         F.sum(
             F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1

@@ -128,15 +128,11 @@ _N_SIM_BANDS = TX.SIMHASH_BITS // TX.SIMHASH_BAND_BITS
 _SIM_BAND_VALUES = ", ".join(f"({k})" for k in range(_N_SIM_BANDS))
 _SIM_MASK = (1 << TX.SIMHASH_BAND_BITS) - 1
 
-_SIMHASH_SQL = f"""
-WITH tok AS (
-    SELECT doc_id, {_TOK} AS t FROM documents
-),
-tokd AS (
-    SELECT doc_id, unnest(list_distinct(t)) AS tk FROM tok
-),
+_SIMHASH_SQL = (
+    _SHINGLE_CTES
+    + f""",
 toh AS (
-    SELECT doc_id, {_H30_OF.format(col='tk')} AS h FROM tokd
+    SELECT doc_id, {_H30_OF.format(col='s')} AS h FROM sh
 ),
 bitsums AS (
     SELECT doc_id,
@@ -159,6 +155,7 @@ pairs AS (
 )
 SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 2
 """
+)
 
 # --- embedding / ANN oracles ----------------------------------------
 
