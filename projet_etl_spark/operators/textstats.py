@@ -114,3 +114,49 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint (md5 of normalized text) per document."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+# BPE-ish pre-tokenization: word pieces OR single non-word non-space
+# chars — the classic GPT-2-style pretoken split, minus lookaheads
+# (kept RE2-compatible so the DuckDB oracle uses the same pattern)
+BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def q_text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts under a BPE-ish regex pre-tokenizer: word runs,
+    single digits, single punctuation — the unit a subword tokenizer
+    would split further. JVM-side regexp_extract_all; no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_bpe_tokens"),
+    )
+
+
+# rolling-hash parameters: base 31, modulus 2^31-1; codepoint values
+# stay < 2^21 so acc*31 + cp < 2^36 — no int64 overflow in either
+# engine
+RH_BASE = 31
+RH_MOD = 2147483647
+
+
+def q_text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash fingerprint over the characters of the
+    normalized text: acc = (acc*31 + codepoint) mod (2^31-1).
+
+    A sequential higher-order fold (F.aggregate) — stays in
+    whole-stage codegen, and the identical fold runs in the oracle
+    via list_reduce, so the hash is engine-exact.
+    """
+    from projet_etl_spark.functions.text import normalized
+
+    docs = load_table(spark, sf_dir, "documents")
+    chars = F.split(normalized(F.col("text")), "")
+    rh = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * RH_BASE + F.ascii(ch)) % RH_MOD,
+    )
+    return docs.select("doc_id", rh.alias("rolling_hash"))

@@ -323,6 +323,26 @@ _FINGERPRINT_SQL = f"""
 SELECT doc_id, md5({_NORM}) AS fp FROM documents
 """
 
+_BPE_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{textstats.BPE_PATTERN}')) AS BIGINT)
+           AS n_bpe_tokens,
+       CAST(len(list_distinct(regexp_extract_all(text, '{textstats.BPE_PATTERN}')))
+           AS BIGINT) AS n_unique_bpe_tokens
+FROM documents
+"""
+
+_ROLLING_HASH_SQL = f"""
+SELECT doc_id,
+       list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, length({_NORM}) + 1),
+                              i -> CAST(unicode(substr({_NORM}, i, 1)) AS BIGINT))),
+           (acc, cp) -> (acc * {textstats.RH_BASE} + cp) % {textstats.RH_MOD}
+       ) AS rolling_hash
+FROM documents
+"""
+
 _DEDUP_EXACT_SQL = f"""
 SELECT md5({_NORM}) AS fp,
        MIN(doc_id) AS keep_id,
@@ -420,6 +440,18 @@ def build():
         ("text-quality", textstats.q_text_quality, _QUALITY_SQL, ("text",)),
         ("text-lang-id", textstats.q_text_lang_id, _LANG_ID_SQL, ("text",)),
         ("text-fingerprint", textstats.q_text_fingerprint, _FINGERPRINT_SQL, ("text",)),
+        (
+            "text-bpe-token-count",
+            textstats.q_text_bpe_token_count,
+            _BPE_SQL,
+            ("text",),
+        ),
+        (
+            "text-rolling-hash",
+            textstats.q_text_rolling_hash,
+            _ROLLING_HASH_SQL,
+            ("text",),
+        ),
         (
             "events-tumbling-1h",
             events_windows.q_events_tumbling_1h,

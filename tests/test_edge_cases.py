@@ -1,0 +1,152 @@
+"""SURVEY.md §2.10.6 edge cases on a crafted micro star schema:
+stores missing from stage-2 (left-join default 0), months with no
+data inside the spine (gap fill + exclusion from the overall avg),
+and score ties at the top-k boundary — each checked Spark-vs-DuckDB
+on the same parquet files, plus direct value assertions.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import duckdb
+import pytest
+
+from projet_etl_spark.plans.registry import REGISTRY
+from tests.conftest import TABLES, assert_matches_oracle
+
+CAT = "Brand#4"
+FAB = 42
+
+
+def _write_micro_star(spark, root):
+    """3 stores x 2 months of data inside a 6-month window.
+
+    - store 1: products from fab 42 and fab 7
+    - store 2: products only from fab 7  -> nb_produits_fab = 0 (J2)
+    - store 3: identical rows to store 2 -> exact score tie (O4)
+    - all activity in 1996-01 and 1996-03; 1996-02 and 1996-04..06
+      are empty months inside the epoch..as_of spine (M3 gap fill)
+    """
+    d1 = datetime.datetime(1996, 1, 10)
+    d3 = datetime.datetime(1996, 3, 10)
+    # lineitem: (orderkey, partkey, suppkey, linenumber, qty, price,
+    #            disc, tax, rflag, lstatus, shipdate)
+    li = []
+    orders = []
+
+    def add(orderkey, store, partkey, supp, when):
+        orders.append((orderkey, store, "O", 100.0, when, "1-URGENT"))
+        li.append(
+            (orderkey, partkey, supp, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", when)
+        )
+
+    add(1, 1, 101, FAB, d1)
+    add(2, 1, 102, 7, d1)
+    add(3, 1, 103, FAB, d3)
+    add(4, 2, 104, 7, d1)
+    add(5, 2, 105, 7, d3)
+    add(6, 3, 104, 7, d1)  # mirrors store 2 -> tie on every count
+    add(7, 3, 105, 7, d3)
+    part = [(p, f"part{p}", CAT, "t", 1, 1.0) for p in (101, 102, 103, 104, 105)]
+
+    spark.createDataFrame(
+        li,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{root}/lineitem.parquet")
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{root}/orders.parquet")
+    spark.createDataFrame(
+        part,
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{root}/part.parquet")
+
+
+@pytest.fixture(scope="module")
+def micro(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("micro_star"))
+    _write_micro_star(spark, root)
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "part"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{root}/{t}.parquet/*.parquet')"
+        )
+    for t in TABLES:
+        if t not in ("lineitem", "orders", "part"):
+            con.execute(f"CREATE VIEW {t} AS SELECT 1 AS dummy")
+    yield root, con
+    con.close()
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "top-magasins-cat",
+        "avg-cat-fab-10-mag",
+        "avg-cat-fab-10-mag-avg",
+        "score-sante-touts-les-mois",
+        "score-sante-touts-les-mois-avg",
+        "score-evolution",
+    ],
+)
+def test_micro_star_matches_oracle(spark, micro, name):
+    root, con = micro
+    spec = REGISTRY[name]
+    assert_matches_oracle(spec.fn(spark, root), con, spec.oracle, f"micro:{name}")
+
+
+def test_m2_left_join_default_zero(spark, micro):
+    root, _ = micro
+    rows = {r.magid: r for r in REGISTRY["avg-cat-fab-10-mag"].fn(spark, root).collect()}
+    assert rows[1].nb_produits_fab == 2  # parts 101, 103 from fab 42
+    assert rows[2].nb_produits_fab == 0  # store without the fab: default 0
+    assert rows[3].nb_produits_fab == 0
+    assert rows[2].percentage == 0.0
+    # average still counts the zero stores (denominator nonzero):
+    # (2/3*100 + 0 + 0) / 3
+    avg = REGISTRY["avg-cat-fab-10-mag-avg"].fn(spark, root).collect()[0].average
+    assert abs(avg - (2 / 3 * 100) / 3) < 1e-6
+
+
+def test_m3_gap_months_emit_zero_but_dont_count(spark, micro):
+    root, _ = micro
+    # pin the window to 1996-01..1996-06 via the month spine defaults:
+    # use the operator directly with explicit epoch/as_of
+    from projet_etl_spark.operators.composite import (
+        q_score_sante_mois,
+        q_score_sante_mois_avg,
+    )
+
+    months = {
+        r.mois_annee: r.avg_percentage
+        for r in q_score_sante_mois(
+            spark, root, epoch="1996-01-01", as_of="1996-06-30"
+        ).collect()
+    }
+    assert len(months) == 6
+    assert months["1996-02"] == 0.0  # gap month emitted as 0.0
+    assert months["1996-04"] == 0.0
+    assert months["1996-01"] > 0 and months["1996-03"] > 0
+    # overall avg over ONLY the 2 non-empty months
+    avg = (
+        q_score_sante_mois_avg(spark, root, epoch="1996-01-01", as_of="1996-06-30")
+        .collect()[0]
+        .average
+    )
+    assert abs(avg - (months["1996-01"] + months["1996-03"]) / 2) < 1e-6
+
+
+def test_topk_tie_broken_by_magid(spark, micro):
+    root, _ = micro
+    rows = REGISTRY["top-magasins-cat"].fn(spark, root).collect()
+    tied = [r for r in rows if r.magid in (2, 3)]
+    assert tied[0].score == tied[1].score  # genuine tie
+    order = [r.magid for r in rows if r.magid in (2, 3)]
+    assert order == [2, 3]  # deterministic asc tiebreak
