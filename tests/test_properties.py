@@ -1,0 +1,98 @@
+"""Property-based checks (SURVEY.md §5): the distributed weighted
+top-k must equal a brute-force driver-side recomputation on random
+small inputs, and the whitespace-CSV reader must round-trip random
+rows under arbitrary spacing."""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from projet_etl_spark.schemas import PRODUITS_SCHEMA
+from projet_etl_spark.sources.ingest import read_whitespace_csv
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(1, 5),  # magid
+        st.integers(1, 4),  # fabid
+        st.integers(1, 3),  # catid
+        st.integers(1, 6),  # prodid
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=rows_strategy)
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_weighted_topk_matches_bruteforce(spark, rows):
+    df = spark.createDataFrame(
+        rows, "magid long, fabid long, catid long, prodid long"
+    )
+    from pyspark.sql import functions as F
+
+    from projet_etl_spark.functions.scores import score4
+
+    got = (
+        df.groupBy("magid")
+        .agg(
+            F.countDistinct("fabid").alias("f"),
+            F.countDistinct("catid").alias("c"),
+            F.countDistinct("prodid").alias("p"),
+            F.count(F.lit(1)).alias("v"),
+        )
+        .withColumn("score", score4(F.col("f"), F.col("c"), F.col("p"), F.col("v")))
+        .orderBy(F.desc("score"), F.asc("magid"))
+        .limit(3)
+        .collect()
+    )
+    # brute force in plain python
+    per = {}
+    for m, f, c, p in rows:
+        per.setdefault(m, []).append((f, c, p))
+    scored = []
+    for m, obs in per.items():
+        f = len({o[0] for o in obs})
+        c = len({o[1] for o in obs})
+        p = len({o[2] for o in obs})
+        v = len(obs)
+        scored.append((f * 0.1 + c * 0.2 + p * 0.3 + v * 0.4, m, f, c, p, v))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    want = scored[:3]
+    assert [(r.magid, r.f, r.c, r.p, r.v) for r in got] == [
+        (m, f, c, p, v) for _, m, f, c, p, v in want
+    ]
+    for r, (s, *_rest) in zip(got, want):
+        assert abs(r.score - s) < 1e-9
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.dates(datetime.date(1995, 1, 1), datetime.date(2001, 12, 31)),
+            st.integers(1, 10**6),
+            st.integers(1, 10**4),
+            st.integers(1, 10**4),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    seps=st.lists(st.integers(1, 5), min_size=4, max_size=4),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_whitespace_csv_roundtrip_random(spark, tmp_path_factory, rows, seps):
+    tmp = tmp_path_factory.mktemp("ws")
+    lines = ["DateID" + " " * seps[0] + "ProdID" + " " * seps[1] + "CatID" + " " * seps[2] + "FabID"]
+    for d, p, c, f in rows:
+        lines.append(
+            f"{d.strftime('%Y%m%d')}{' ' * seps[1]}{p}{' ' * seps[2]}{c}{' ' * seps[3]}{f}"
+        )
+    src = tmp / "in.csv"
+    src.write_text("\n".join(lines) + "\n")
+    df = read_whitespace_csv(spark, str(src), PRODUITS_SCHEMA)
+    got = sorted(
+        [(r.dateid, r.prodid, r.catid, r.fabid) for r in df.collect()]
+    )
+    assert got == sorted(rows)

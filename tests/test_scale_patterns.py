@@ -1,0 +1,53 @@
+"""Scale-pattern evidence: the physical plans do what the 100 TB
+design claims — partition pruning on the month-partitioned warehouse,
+filter pushdown through the date cast, broadcast joins for dims, and
+top-k as TakeOrderedAndProject."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from projet_etl_spark.operators.topk import q_top_magasins
+from projet_etl_spark.sources.ingest import write_table
+from tests.conftest import SF_SMALL
+
+
+def _formatted_plan(df) -> str:
+    jdf = df._jdf
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return jdf.queryExecution().explainString(mode)
+
+
+def test_month_partition_pruning(spark, tmp_path):
+    src = spark.createDataFrame(
+        [
+            (datetime.date(1996, 1, 5), 1),
+            (datetime.date(1996, 2, 5), 2),
+            (datetime.date(1996, 3, 5), 3),
+        ],
+        "dateid date, prodid long",
+    )
+    path = str(tmp_path / "warehouse")
+    write_table(src, path, partition_by_month_of="dateid")
+    df = spark.read.parquet(path).filter(F.col("month") == "1996-02")
+    plan = _formatted_plan(df)
+    assert "PartitionFilters" in plan
+    assert "1996-02" in plan
+    # only the matching partition's row survives without scanning others
+    assert [r.prodid for r in df.collect()] == [2]
+
+
+def test_flagship_plan_shape(spark):
+    plan = _formatted_plan(q_top_magasins(spark, SF_SMALL))
+    # date-range filter pushed through the to_date cast to the scan
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(l_shipdate" in plan
+    # dims joined via broadcast, no shuffle join
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    # top-k is a real top-k, not sort+limit
+    assert "TakeOrderedAndProject" in plan
+    # scans are column-pruned: lineitem reads only the 4 needed cols
+    assert "struct<l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint,l_shipdate" in plan
