@@ -43,6 +43,7 @@ HEADLINE = [
     "events-tumbling-1h",
     "events-session",
     "multimodal-bytes",
+    "pipeline-corpus-stats",
 ]
 
 

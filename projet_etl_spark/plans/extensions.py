@@ -21,6 +21,7 @@ from __future__ import annotations
 from projet_etl_spark.functions import text as TX
 from projet_etl_spark.functions import vectors as VEC
 from projet_etl_spark.operators import (
+    corpus,
     dedup,
     events_windows,
     multimodal,
@@ -351,6 +352,43 @@ FROM documents
 GROUP BY md5({_NORM})
 """
 
+# --- corpus-pipeline oracle -----------------------------------------
+
+_CORPUS_SQL = f"""
+WITH scored AS (
+    SELECT doc_id, lang,
+           md5({_NORM}) AS fp,
+           CAST(len({_TOK}) AS BIGINT) AS n_tokens,
+           least(len({_TOK}) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+               * CAST(0.4 AS DOUBLE)
+           + ({_sql_count_in(_TOK, textstats.STOPWORDS['en'])} / len({_TOK}))
+               * CAST(0.4 AS DOUBLE)
+           + (CAST(1.0 AS DOUBLE)
+              - least(((length(text)
+                        - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                       / length(text)) * CAST(10.0 AS DOUBLE),
+                      CAST(1.0 AS DOUBLE)))
+               * CAST(0.2 AS DOUBLE) AS quality
+    FROM documents
+),
+filtered AS (
+    SELECT * FROM scored WHERE quality >= {{cutoff}}
+),
+keep AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM filtered
+    ) WHERE rn = 1
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(AVG(quality), 6) AS avg_quality
+FROM keep
+GROUP BY lang
+ORDER BY lang
+"""
+
 # --- events-window oracles ------------------------------------------
 
 _TUMBLING_SQL = """
@@ -470,6 +508,12 @@ def build():
             multimodal.q_multimodal_bytes,
             _MULTIMODAL_SQL,
             ("multimodal",),
+        ),
+        (
+            "pipeline-corpus-stats",
+            corpus.q_corpus_stats,
+            _CORPUS_SQL.format(cutoff=corpus.QUALITY_CUTOFF),
+            ("pipeline",),
         ),
     ]
     return {
