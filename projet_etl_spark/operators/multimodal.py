@@ -77,3 +77,49 @@ def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column feature extraction through mapInPandas."""
     blobs = binary_table(spark, sf_dir).select("doc_id", "payload")
     return blobs.mapInPandas(make_byte_features(), schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame_chars long, frame_fp string"
+N_FRAMES = 4
+
+
+def make_frame_sampler(n_frames: int = N_FRAMES):
+    """Frame sampling over an opaque payload: one input row fans out
+    to ``n_frames`` fixed-stride chunks — the exact plumbing shape of
+    video frame extraction (decode stubbed; chunking and per-frame
+    fingerprinting are real and deterministic).
+
+    Closure-returned for by-value pickling (see make_byte_features).
+    """
+
+    def frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_chars": [], "frame_fp": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                text = bytes(payload).decode("utf-8")
+                # ceil-split into n_frames chunks; trailing short
+                # chunk allowed, empty chunks skipped
+                stride = -(-len(text) // n_frames) if text else 0
+                for i in range(n_frames):
+                    chunk = text[i * stride : (i + 1) * stride]
+                    if not chunk:
+                        continue
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_chars"].append(len(chunk))
+                    out["frame_fp"].append(
+                        hashlib.md5(chunk.encode("utf-8")).hexdigest()
+                    )
+            yield _pd.DataFrame(out)
+
+    return frame_sample
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame rows from chunked payloads via mapInPandas fan-out."""
+    blobs = binary_table(spark, sf_dir).select("doc_id", "payload")
+    return blobs.mapInPandas(make_frame_sampler(), schema=FRAME_SCHEMA)

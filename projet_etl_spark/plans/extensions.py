@@ -455,6 +455,25 @@ SELECT doc_id,
 FROM documents
 """
 
+_FRAME_SQL = f"""
+WITH f AS (
+    SELECT doc_id, text,
+           CAST(ceil(length(text) / {multimodal.N_FRAMES}.0) AS BIGINT) AS stride
+    FROM documents
+),
+frames AS (
+    SELECT doc_id, i AS frame_idx,
+           substr(text, i * stride + 1, stride) AS chunk
+    FROM f, (VALUES {", ".join(f"({i})" for i in range(multimodal.N_FRAMES))}) v(i)
+    WHERE length(substr(text, i * stride + 1, stride)) > 0
+)
+SELECT doc_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(length(chunk) AS BIGINT) AS frame_chars,
+       md5(chunk) AS frame_fp
+FROM frames
+"""
+
 
 def build():
     """Registry entries for the extension surface; imported by
@@ -507,6 +526,12 @@ def build():
             "multimodal-bytes",
             multimodal.q_multimodal_bytes,
             _MULTIMODAL_SQL,
+            ("multimodal",),
+        ),
+        (
+            "multimodal-frame-sample",
+            multimodal.q_multimodal_frame_sample,
+            _FRAME_SQL,
             ("multimodal",),
         ),
         (

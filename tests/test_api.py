@@ -1,0 +1,54 @@
+"""Request-style dispatch API: parameter mapping, error contract
+(reference views.py:92-96 404 / views.py:113-114 400), JSON edge."""
+
+from __future__ import annotations
+
+import pytest
+
+from projet_etl_spark.api import (
+    StoreNotFoundError,
+    UnknownQueryTypeError,
+    run_query,
+    to_records,
+)
+from tests.conftest import SF_SMALL
+
+
+def test_dispatch_with_reference_param_names(spark):
+    df = run_query(
+        spark,
+        SF_SMALL,
+        "top-magasins-cat",
+        catID="Brand#4",
+        debut="1996-01-01",
+        fin="1997-12-31",
+    )
+    recs = to_records(df)
+    assert 0 < len(recs) <= 10
+    assert set(recs[0]) == {
+        "magid", "total_fabricants", "total_produits", "total_ventes", "score",
+    }
+
+
+def test_unused_params_are_ignored(spark):
+    # reference parses magID/annee for every request but most queries
+    # ignore them (views.py:102-110); annee isn't a cat-query param
+    df = run_query(spark, SF_SMALL, "cat", catID="Brand#4", annee=1996)
+    assert df.count() > 0
+
+
+def test_unknown_type_rejected(spark):
+    with pytest.raises(UnknownQueryTypeError):
+        run_query(spark, SF_SMALL, "drop-tables")
+
+
+def test_unknown_param_rejected(spark):
+    # unlike the reference's str.format splicing (views.py:143), junk
+    # params fail closed instead of reaching SQL
+    with pytest.raises(ValueError, match="unknown parameters"):
+        run_query(spark, SF_SMALL, "cat", catID="Brand#4", catid="'; DROP --")
+
+
+def test_missing_store_404(spark, tmp_path):
+    with pytest.raises(StoreNotFoundError):
+        run_query(spark, str(tmp_path / "nowhere"), "cat", catID="Brand#4")
