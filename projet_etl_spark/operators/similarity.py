@@ -58,16 +58,12 @@ def _centroids(base: DataFrame) -> DataFrame:
 
     Medoids instead of mean centroids keep the index arithmetic
     exactly reproducible in ANSI SQL (no order-dependent float sums).
+    min_by aggregation (partial+final hash agg) instead of a
+    row_number window: same result, no per-partition sort.
     """
-    w = Window.partitionBy("label").orderBy(F.asc("vec_id"))
-    return (
-        base.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            F.col("label").alias("cell"),
-            F.col("v").alias("centv"),
-            F.col("n2").alias("centn"),
-        )
+    return base.groupBy(F.col("label").alias("cell")).agg(
+        F.min_by("v", "vec_id").alias("centv"),
+        F.min_by("n2", "vec_id").alias("centn"),
     )
 
 
@@ -75,23 +71,31 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-10: assign vectors to nearest medoid cell, probe the
     NPROBE nearest cells per query, exact re-rank inside them."""
     base = _emb_with_norm(spark, sf_dir)
-    cents = F.broadcast(_centroids(base))
+    cents = F.broadcast(_centroids(base).persist())
 
-    # coarse assignment: nearest cell per vector (deterministic
-    # tiebreak on cell id)
+    # coarse assignment: nearest cell per vector — argmax via max_by
+    # over a (similarity, -cell) struct (deterministic tiebreak on
+    # the lower cell id), one hash aggregate instead of a sort window
     sim_to_cent = F.round(
         cosine(spark_dot("v", "centv"), F.col("n2"), F.col("centn")), 6
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("simc"), F.asc("cell")
-    )
+    # the assignment IS the IVF index — a built artifact feeding three
+    # subtrees (query set, probe ranking, candidate lookup); persist
+    # eagerly exactly as a real deployment materializes the index
     assigned = (
         base.crossJoin(cents)
         .withColumn("simc", sim_to_cent)
-        .withColumn("arn", F.row_number().over(w_assign))
-        .filter(F.col("arn") == 1)
-        .select("vec_id", "v", "n2", "cell")
+        .groupBy("vec_id")
+        .agg(
+            F.first("v").alias("v"),
+            F.first("n2").alias("n2"),
+            F.max_by(
+                "cell", F.struct(F.col("simc"), (-F.col("cell")).alias("negc"))
+            ).alias("cell"),
+        )
+        .persist()
     )
+    assigned.count()
 
     # queries probe their NPROBE nearest cells
     queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
@@ -120,7 +124,9 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
     ).filter(F.col("query_id") != F.col("cand_id"))
     cos = F.round(cosine(spark_dot("qv", "cv"), F.col("qn"), F.col("cn")), 6)
-    scored = cands.select("query_id", "cand_id", cos.alias("cos")).distinct()
+    # no distinct needed: each vector lives in exactly one cell, so a
+    # (query, candidate) pair can't repeat across probed cells
+    scored = cands.select("query_id", "cand_id", cos.alias("cos"))
     w_rank = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w_rank).cast("long"))

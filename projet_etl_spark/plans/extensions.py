@@ -210,12 +210,15 @@ _ANN_IVF_SQL = (
     _E_CTE
     + f""",
 cents AS (
-    SELECT label AS cell, v AS centv, n2 AS centn FROM (
-        SELECT e.*, ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
-        FROM e
-    ) WHERE rn = 1
+    SELECT label AS cell,
+           arg_min(v, vec_id) AS centv,
+           arg_min(n2, vec_id) AS centn
+    FROM e GROUP BY label
 ),
 assigned AS (
+    -- same selection the Spark side computes with max_by over a
+    -- (sim, -cell) struct; DuckDB 1.0's arg_max can't order by
+    -- structs, so the oracle states the semantics as a window
     SELECT vec_id, v, n2, cell FROM (
         SELECT e.vec_id, e.v, e.n2, c.cell,
                ROW_NUMBER() OVER (
@@ -237,7 +240,7 @@ probes AS (
     ) WHERE prn <= {similarity.NPROBE}
 ),
 scored AS (
-    SELECT DISTINCT p.query_id, a.vec_id AS cand_id,
+    SELECT p.query_id, a.vec_id AS cand_id,
            {_sql_cos(VEC.sql_dot('p.qv', 'a.v'), 'p.qn', 'a.n2')} AS cos
     FROM probes p JOIN assigned a ON p.cell = a.cell
     WHERE a.vec_id <> p.query_id
