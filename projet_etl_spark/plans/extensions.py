@@ -26,6 +26,7 @@ from projet_etl_spark.operators import (
     events_windows,
     multimodal,
     similarity,
+    simple,
     textstats,
 )
 
@@ -543,6 +544,8 @@ def build():
             _CORPUS_SQL.format(cutoff=corpus.QUALITY_CUTOFF),
             ("pipeline",),
         ),
+        # rows-only: HLL estimates are engine-specific by design
+        ("mag-cat-approx", simple.q_mag_cat_approx, None, ("parity", "approx")),
     ]
     return {
         name: QuerySpec(name=name, fn=_wrap(fn), oracle=sql, tags=tags)

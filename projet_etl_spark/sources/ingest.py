@@ -76,6 +76,54 @@ def write_table(
     writer.parquet(path)
 
 
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """JSON-lines source with an explicit schema (no inference pass —
+    at 100 TB a schema-inference read doubles the scan)."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (columnar alternative; same predicate-pushdown and
+    column-pruning behavior as parquet in Spark's readers)."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    return spark.read.schema(schema).orc(path)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+    fmt: str = "parquet",
+) -> int:
+    """Small-files compaction: rewrite a table directory into
+    ceil(rows / target) files. The classic operational fix for
+    streaming/micro-batch sinks — thousands of tiny files turn scan
+    planning and footer reads into the bottleneck long before I/O.
+
+    Returns the number of output files written.
+    """
+    df = getattr(spark.read, fmt)(path)
+    n = df.count()
+    n_files = max(1, -(-n // target_rows_per_file))
+    tmp = path.rstrip("/") + "._compacting"
+    getattr(df.repartition(n_files).write.mode("overwrite"), fmt)(tmp)
+    # swap directories atomically-ish via the local filesystem
+    import shutil
+
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return n_files
+
+
 def table_exists(spark: SparkSession, path: str) -> bool:
     """Existence probe (reference views.py:92-96 404 behavior)."""
     try:

@@ -1,0 +1,52 @@
+"""Source/sink breadth: ORC and JSON-lines round-trips under explicit
+schemas, and small-files compaction."""
+
+from __future__ import annotations
+
+import glob
+
+from projet_etl_spark.schemas import STAR_SCHEMAS
+from projet_etl_spark.sources.ingest import (
+    compact,
+    read_jsonl,
+    read_orc,
+    write_jsonl,
+    write_orc,
+)
+from tests.conftest import SF_SMALL
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    src = _docs(spark)
+    path = str(tmp_path / "docs_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path, STAR_SCHEMAS["documents"])
+    assert back.count() == src.count()
+    assert back.schema == STAR_SCHEMAS["documents"]
+    a = {r.doc_id: r.text for r in src.collect()}
+    b = {r.doc_id: r.text for r in back.collect()}
+    assert a == b
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    src = _docs(spark)
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(src, path)
+    back = read_jsonl(spark, path, STAR_SCHEMAS["documents"])
+    assert back.count() == src.count()
+    assert {r.doc_id for r in back.collect()} == {r.doc_id for r in src.collect()}
+
+
+def test_compact_small_files(spark, tmp_path):
+    src = _docs(spark).repartition(37)  # simulate a fragmented sink
+    path = str(tmp_path / "fragmented")
+    src.write.parquet(path)
+    assert len(glob.glob(f"{path}/part-*")) == 37
+    n_files = compact(spark, path, target_rows_per_file=10_000)
+    assert n_files == 1
+    assert len(glob.glob(f"{path}/part-*")) == 1
+    assert spark.read.parquet(path).count() == 500

@@ -75,3 +75,11 @@ def test_multimodal_decode_is_stubbed():
         raise AssertionError("expected NotImplementedError")
     except NotImplementedError:
         pass
+
+
+def test_approx_distinct_close_to_exact(spark):
+    from projet_etl_spark.operators.simple import q_mag_cat, q_mag_cat_approx
+
+    exact = q_mag_cat(spark, SF_SMALL).collect()[0].total_magasins
+    approx = q_mag_cat_approx(spark, SF_SMALL).collect()[0].total_magasins_approx
+    assert abs(approx - exact) / exact < 0.1
