@@ -263,7 +263,8 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: exact pairwise cosine >= 0.95.
+    """Embedding near-dup pairs: exact pairwise cosine above
+    COSINE_THRESHOLD.
 
     Bit-exact across engines: the dot/norm sums are explicit
     left-associated 64-term expressions (functions/vectors.py).

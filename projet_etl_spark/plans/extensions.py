@@ -548,6 +548,6 @@ def build():
         ("mag-cat-approx", simple.q_mag_cat_approx, None, ("parity", "approx")),
     ]
     return {
-        name: QuerySpec(name=name, fn=_wrap(fn), oracle=sql, tags=tags)
+        name: QuerySpec(name=name, fn=_wrap(fn), oracle=sql, tags=tags, raw_fn=fn)
         for name, fn, sql, tags in specs
     }

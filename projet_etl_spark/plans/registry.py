@@ -27,6 +27,7 @@ class QuerySpec:
     fn: QueryFn
     oracle: str | None
     tags: tuple[str, ...] = field(default=())
+    raw_fn: QueryFn | None = None  # unwrapped operator (docs/introspection)
 
 
 def _wrap(fn) -> QueryFn:
@@ -58,7 +59,11 @@ def _build_registry() -> dict[str, QuerySpec]:
     registry: dict[str, QuerySpec] = {}
     for name, fn in _PARITY_FNS.items():
         registry[name] = QuerySpec(
-            name=name, fn=_wrap(fn), oracle=PARITY_ORACLES[name], tags=("parity",)
+            name=name,
+            fn=_wrap(fn),
+            oracle=PARITY_ORACLES[name],
+            tags=("parity",),
+            raw_fn=fn,
         )
     # extension surfaces register themselves here (dedup, similarity,
     # text stats, windows, multimodal) — imported lazily so a broken
