@@ -1,0 +1,99 @@
+"""Data-curation operators: scrubbing, chunking, sampling.
+
+The remaining staples of a pretraining-data pipeline, all JVM-side
+and oracle-checked:
+
+- PII scrubbing: regex redaction of emails/URLs/long digit runs.
+  Patterns are RE2-compatible (no lookaround) so the identical
+  pattern runs in the oracle.
+- Chunking: split documents into fixed-size token windows with
+  overlap — the unit that actually feeds a trainer. One row fans out
+  to ceil((n-overlap)/(size-overlap)) rows via posexplode over a
+  generated offset sequence; the token array is staged once.
+- Hash sampling: deterministic keep/drop by portable md5-derived
+  hash — reproducible across engines, runs, and cluster sizes,
+  unlike rand()-based sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projet_etl_spark.functions.text import portable_hash60, tokens
+from projet_etl_spark.sources.tables import load_table
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+LONG_DIGITS_RE = r"[0-9]{6,}"
+
+CHUNK_SIZE = 64
+CHUNK_OVERLAP = 16
+SAMPLE_PCT = 10
+
+
+def q_text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails, URLs, and 6+-digit runs; report per-doc counts
+    of each redaction class plus the scrubbed length."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    after_email = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    after_url = F.regexp_replace(after_email, URL_RE, "<URL>")
+    scrubbed = F.regexp_replace(after_url, LONG_DIGITS_RE, "<NUM>")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(URL_RE), 0)).cast("long").alias("n_urls"),
+        F.size(F.regexp_extract_all(t, F.lit(LONG_DIGITS_RE), 0))
+        .cast("long")
+        .alias("n_long_digits"),
+        F.length(scrubbed).cast("long").alias("scrubbed_chars"),
+        F.md5(F.encode(scrubbed, "UTF-8")).alias("scrubbed_fp"),
+    )
+
+
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token windows with overlap: chunk k covers tokens
+    [k*stride, k*stride + CHUNK_SIZE) where stride = size - overlap;
+    the final partial window is kept if it has > overlap tokens (so
+    no chunk is a pure suffix of the previous one)."""
+    stride = CHUNK_SIZE - CHUNK_OVERLAP
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", tokens(F.col("text")).alias("t")).select(
+        "doc_id", "t", F.size("t").alias("n")
+    )
+    # chunk starts: 0, stride, 2*stride, ... while start + overlap < n
+    # (floor, not cast-truncation: DuckDB casts double->int by
+    # ROUNDING, so the oracle mirrors floor()+greatest exactly)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.floor((F.col("n") - F.lit(CHUNK_OVERLAP + 1)) / F.lit(stride)),
+            F.lit(0).cast("long"),
+        )
+        * F.lit(stride),
+        F.lit(stride),
+    )
+    exploded = staged.select(
+        "doc_id", "t", "n", F.posexplode(starts).alias("chunk_idx", "start")
+    )
+    chunk_toks = F.slice(F.col("t"), F.col("start") + 1, CHUNK_SIZE)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start").cast("long").alias("start_tok"),
+        F.size(chunk_toks).cast("long").alias("n_tokens"),
+        F.md5(F.encode(F.concat_ws(" ", chunk_toks), "UTF-8")).alias("chunk_fp"),
+    )
+
+
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% document sample: keep docs whose portable
+    content hash lands in the first SAMPLE_PCT buckets of 100."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = portable_hash60(F.col("text")) % F.lit(100)
+    return docs.select("doc_id", bucket.alias("bucket")).filter(
+        F.col("bucket") < SAMPLE_PCT
+    )

@@ -50,8 +50,13 @@ def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality signals: length, mean token length, punctuation ratio,
     English-stopword ratio, and a weighted quality score."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
+    # token array staged in its own projection: referencing an
+    # inlined split() from several output expressions re-evaluates
+    # the regex per expression (see operators/dedup._doc_shingles)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", tokens(F.col("text")).alias("t")
+    )
+    toks = F.col("t")
     n_tokens = F.size(toks)
     n_chars = F.length("text")
     # punctuation count via replace-and-diff (identical in DuckDB with
@@ -88,8 +93,10 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     zh wins on any CJK codepoint; otherwise the language with the
     highest stopword-hit count, ties broken en > es > de > fr.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", tokens(F.col("text")).alias("t")
+    )
+    toks = F.col("t")
     cjk = F.length("text") - F.length(
         F.regexp_replace(F.col("text"), "[一-鿿]", "")
     )

@@ -393,6 +393,62 @@ GROUP BY lang
 ORDER BY lang
 """
 
+# --- curation oracles -----------------------------------------------
+
+from projet_etl_spark.operators import curation  # noqa: E402
+
+_SCRUB_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{curation.EMAIL_RE}')) AS BIGINT)
+           AS n_emails,
+       CAST(len(regexp_extract_all(text, '{curation.URL_RE}')) AS BIGINT)
+           AS n_urls,
+       CAST(len(regexp_extract_all(text, '{curation.LONG_DIGITS_RE}')) AS BIGINT)
+           AS n_long_digits,
+       CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+                '{curation.EMAIL_RE}', '<EMAIL>', 'g'),
+                '{curation.URL_RE}', '<URL>', 'g'),
+                '{curation.LONG_DIGITS_RE}', '<NUM>', 'g')) AS BIGINT)
+           AS scrubbed_chars,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+                '{curation.EMAIL_RE}', '<EMAIL>', 'g'),
+                '{curation.URL_RE}', '<URL>', 'g'),
+                '{curation.LONG_DIGITS_RE}', '<NUM>', 'g'))
+           AS scrubbed_fp
+FROM documents
+"""
+
+_CHUNK_STRIDE = curation.CHUNK_SIZE - curation.CHUNK_OVERLAP
+_CHUNKS_SQL = f"""
+WITH staged AS (
+    SELECT doc_id, {_TOK} AS t, len({_TOK}) AS n FROM documents
+),
+exploded AS (
+    SELECT doc_id, t, n,
+           unnest(generate_series(0,
+               CAST(greatest(floor((n - {curation.CHUNK_OVERLAP + 1})
+                                   / {_CHUNK_STRIDE}), 0) AS BIGINT)
+                   * {_CHUNK_STRIDE},
+               {_CHUNK_STRIDE})) AS start
+    FROM staged
+)
+SELECT doc_id,
+       CAST(start / {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(start AS BIGINT) AS start_tok,
+       CAST(len(list_slice(t, start + 1, start + {curation.CHUNK_SIZE})) AS BIGINT)
+           AS n_tokens,
+       md5(array_to_string(list_slice(t, start + 1, start + {curation.CHUNK_SIZE}),
+                           ' ')) AS chunk_fp
+FROM exploded
+"""
+
+_SAMPLE_SQL = f"""
+SELECT doc_id,
+       (('0x' || substr(md5(text), 1, 15))::BIGINT % 100) AS bucket
+FROM documents
+WHERE (('0x' || substr(md5(text), 1, 15))::BIGINT % 100) < {curation.SAMPLE_PCT}
+"""
+
 # --- events-window oracles ------------------------------------------
 
 _TUMBLING_SQL = """
@@ -546,6 +602,9 @@ def build():
         ),
         # rows-only: HLL estimates are engine-specific by design
         ("mag-cat-approx", simple.q_mag_cat_approx, None, ("parity", "approx")),
+        ("text-scrub-pii", curation.q_text_scrub_pii, _SCRUB_SQL, ("curation",)),
+        ("text-chunks", curation.q_text_chunks, _CHUNKS_SQL, ("curation",)),
+        ("sample-hash-10pct", curation.q_sample_hash, _SAMPLE_SQL, ("curation",)),
     ]
     return {
         name: QuerySpec(name=name, fn=_wrap(fn), oracle=sql, tags=tags, raw_fn=fn)
