@@ -506,6 +506,27 @@ GROUP BY user_id, session_no
 ORDER BY user_id, session_no
 """
 
+# --- interval-join oracle -------------------------------------------
+
+_ATTRIBUTION_SQL = """
+WITH c AS (
+    SELECT user_id AS c_user, event_id AS click_id, ts AS click_ts
+    FROM events WHERE event_type = 'click'
+),
+p AS (
+    SELECT user_id AS p_user, event_id AS purchase_id, ts AS purchase_ts,
+           value AS amount
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT c_user AS user_id, click_id, purchase_id,
+       ROUND(amount, 6) AS amount,
+       (epoch_us(purchase_ts) - epoch_us(click_ts)) AS latency_us
+FROM c JOIN p
+  ON c_user = p_user
+ AND purchase_ts > click_ts
+ AND purchase_ts <= click_ts + INTERVAL 30 MINUTE
+"""
+
 # --- multimodal oracle ----------------------------------------------
 
 _MULTIMODAL_SQL = """
@@ -533,6 +554,14 @@ SELECT doc_id,
        md5(chunk) AS frame_fp
 FROM frames
 """
+
+
+def _attribution_batch(spark, sf_dir):
+    from projet_etl_spark.streaming.joins import (
+        q_click_purchase_attribution_batch,
+    )
+
+    return q_click_purchase_attribution_batch(spark, sf_dir)
 
 
 def build():
@@ -603,6 +632,12 @@ def build():
         # rows-only: HLL estimates are engine-specific by design
         ("mag-cat-approx", simple.q_mag_cat_approx, None, ("parity", "approx")),
         ("text-scrub-pii", curation.q_text_scrub_pii, _SCRUB_SQL, ("curation",)),
+        (
+            "events-click-attribution",
+            _attribution_batch,
+            _ATTRIBUTION_SQL,
+            ("windows", "join"),
+        ),
         ("text-chunks", curation.q_text_chunks, _CHUNKS_SQL, ("curation",)),
         ("sample-hash-10pct", curation.q_sample_hash, _SAMPLE_SQL, ("curation",)),
     ]

@@ -75,3 +75,22 @@ def test_stateful_running_stats(spark, tmp_path):
         assert g.n_events == w.n_events, uid
         assert abs(g.sum_value - w.sum_value) < 1e-6, uid
         assert g.last_ts_us == w.last_ts_us, uid
+
+
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
+    from projet_etl_spark.streaming.joins import (
+        click_purchase_attribution_stream,
+        q_click_purchase_attribution_batch,
+    )
+    from projet_etl_spark.streaming.windows import run_available_now
+
+    ev = read_events_stream(spark, _events_dir(tmp_path))
+    run_available_now(
+        click_purchase_attribution_stream(ev), "t_attrib", "append"
+    )
+    got = spark.sql("SELECT * FROM t_attrib").collect()
+    want = q_click_purchase_attribution_batch(spark, SF_SMALL).collect()
+    # append-mode stream-stream join emits matches as both sides pass
+    # the watermark; with availableNow draining everything in one go,
+    # all matched pairs are emitted
+    assert _canon(got) == _canon(want)
