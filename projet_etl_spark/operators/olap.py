@@ -1,0 +1,62 @@
+"""OLAP surface beyond the reference's templates (SURVEY.md §2.4/2.5/
+2.7 note these as absent there, free in Spark): grouping-set rollups,
+set operations, and ranked window functions. Each is a registry query
+with a full oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from projet_etl_spark.params import DEFAULTS
+from projet_etl_spark.sources.tables import points_de_vente
+
+
+def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sales counts rolled up (catid, fabid) -> catid -> grand total.
+
+    ROLLUP plans as a single Expand + hash aggregate — one pass over
+    the fact table for all three grouping levels.
+    """
+    return (
+        points_de_vente(spark, sf_dir)
+        .rollup("catid", "fabid")
+        .agg(
+            F.count(F.lit(1)).alias("n_ventes"),
+            F.countDistinct("prodid").alias("n_produits"),
+            F.grouping_id("catid", "fabid").cast("long").alias("gid"),
+        )
+        .select("catid", "fabid", "n_ventes", "n_produits", "gid")
+    )
+
+
+def q_stores_without_category(
+    spark: SparkSession, sf_dir: str, *, cat_id=None
+) -> DataFrame:
+    """Stores with sales but none in the given category — EXCEPT
+    semantics (subtract plans as a left-anti hash join over the
+    distinct sets)."""
+    cat_id = cat_id if cat_id is not None else DEFAULTS["cat_id"]
+    pv = points_de_vente(spark, sf_dir)
+    all_stores = pv.select("magid")
+    cat_stores = pv.filter(F.col("catid") == F.lit(cat_id)).select("magid")
+    return all_stores.subtract(cat_stores).orderBy("magid")
+
+
+def q_top3_stores_per_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-category top-3 stores by sales count — the windowed
+    generalization of the reference's global top-k (SURVEY.md §2.5):
+    rank inside each category partition instead of sorting globally.
+    """
+    counts = (
+        points_de_vente(spark, sf_dir)
+        .groupBy("catid", "magid")
+        .agg(F.count(F.lit(1)).alias("n_ventes"))
+    )
+    w = Window.partitionBy("catid").orderBy(F.desc("n_ventes"), F.asc("magid"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("catid", "rnk")
+    )

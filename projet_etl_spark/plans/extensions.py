@@ -25,6 +25,7 @@ from projet_etl_spark.operators import (
     dedup,
     events_windows,
     multimodal,
+    olap,
     similarity,
     simple,
     textstats,
@@ -506,6 +507,50 @@ GROUP BY user_id, session_no
 ORDER BY user_id, session_no
 """
 
+# --- OLAP-surface oracles -------------------------------------------
+
+from projet_etl_spark.params import DEFAULTS as _DEFAULTS  # noqa: E402
+from projet_etl_spark.sources.tables import ORACLE_VIEWS as _VIEWS  # noqa: E402
+
+_ROLLUP_SQL = (
+    _VIEWS
+    + """
+SELECT catid, fabid,
+       COUNT(*) AS n_ventes,
+       COUNT(DISTINCT prodid) AS n_produits,
+       CAST(GROUPING(catid, fabid) AS BIGINT) AS gid
+FROM points_de_vente
+GROUP BY ROLLUP (catid, fabid)
+"""
+)
+
+_EXCEPT_SQL = (
+    _VIEWS
+    + f"""
+SELECT magid FROM points_de_vente
+EXCEPT
+SELECT magid FROM points_de_vente WHERE catid = '{_DEFAULTS["cat_id"]}'
+ORDER BY magid
+"""
+)
+
+_TOP3_SQL = (
+    _VIEWS
+    + """,
+counts AS (
+    SELECT catid, magid, COUNT(*) AS n_ventes
+    FROM points_de_vente GROUP BY catid, magid
+)
+SELECT catid, magid, n_ventes, rnk FROM (
+    SELECT catid, magid, n_ventes,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY catid ORDER BY n_ventes DESC, magid) AS BIGINT) AS rnk
+    FROM counts
+) WHERE rnk <= 3
+ORDER BY catid, rnk
+"""
+)
+
 # --- interval-join oracle -------------------------------------------
 
 _ATTRIBUTION_SQL = """
@@ -640,6 +685,19 @@ def build():
         ),
         ("text-chunks", curation.q_text_chunks, _CHUNKS_SQL, ("curation",)),
         ("sample-hash-10pct", curation.q_sample_hash, _SAMPLE_SQL, ("curation",)),
+        ("sales-rollup", olap.q_sales_rollup, _ROLLUP_SQL, ("olap",)),
+        (
+            "stores-without-category",
+            olap.q_stores_without_category,
+            _EXCEPT_SQL,
+            ("olap",),
+        ),
+        (
+            "top3-stores-per-category",
+            olap.q_top3_stores_per_category,
+            _TOP3_SQL,
+            ("olap",),
+        ),
     ]
     return {
         name: QuerySpec(name=name, fn=_wrap(fn), oracle=sql, tags=tags, raw_fn=fn)
