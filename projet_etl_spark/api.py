@@ -62,7 +62,11 @@ def run_query(
     >>> run_query(spark, sf_dir, "top-magasins-cat",
     ...           catID="Brand#4", debut="1996-01-01", fin="1997-12-31")
     """
-    if not table_exists(spark, f"{sf_dir}/lineitem.parquet"):
+    from projet_etl_spark.sources.tables import _native_path
+
+    if _native_path(sf_dir, "points_de_vente") is None and not table_exists(
+        spark, f"{sf_dir}/lineitem.parquet"
+    ):
         raise StoreNotFoundError(f"no warehouse at {sf_dir}")
     if type_param not in _DISPATCH:
         raise UnknownQueryTypeError(f"unknown query type: {type_param!r}")

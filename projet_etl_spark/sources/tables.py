@@ -43,12 +43,40 @@ def events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def _native_path(sf_dir: str, name: str) -> str | None:
+    """Path to a reference-native table if the warehouse has one.
+
+    A directory produced by the engine's own ingest (data.py-shaped
+    whitespace CSVs -> parquet) contains ``produits``/
+    ``points_de_vente`` directly; the driver's testdata instead
+    carries the TPC-H-ish star schema that the views below map. Both
+    layouts serve every query unchanged.
+    """
+    import glob
+    import os
+
+    p = os.path.join(sf_dir, name)
+    if os.path.isdir(p) and (
+        glob.glob(os.path.join(p, "*.parquet"))
+        or glob.glob(os.path.join(p, "*", "*.parquet"))
+    ):
+        return p
+    if os.path.isfile(p + ".parquet") or os.path.isdir(p + ".parquet"):
+        return p + ".parquet"
+    return None
+
+
 def produits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog-observation view: (dateid, prodid, catid, fabid).
 
     Maps the reference ``produits`` table (reference data.py:21-28);
     grain = one row per lineitem observation, duplicates meaningful.
     """
+    native = _native_path(sf_dir, "produits")
+    if native:
+        return spark.read.parquet(native).select(
+            "dateid", "prodid", "catid", "fabid"
+        )
     lineitem = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_shipdate"
     )
@@ -71,6 +99,11 @@ def points_de_vente(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference data.py:30-38); ``COUNT(*)`` over this view is
     "total_ventes" (reference views.py:32).
     """
+    native = _native_path(sf_dir, "points_de_vente")
+    if native:
+        return spark.read.parquet(native).select(
+            "dateid", "prodid", "catid", "fabid", "magid"
+        )
     lineitem = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_shipdate"
     )
