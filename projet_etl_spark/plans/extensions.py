@@ -21,6 +21,7 @@ from __future__ import annotations
 from projet_etl_spark.functions import text as TX
 from projet_etl_spark.functions import vectors as VEC
 from projet_etl_spark.operators import (
+    asof,
     corpus,
     dedup,
     events_windows,
@@ -572,6 +573,24 @@ FROM c JOIN p
  AND purchase_ts <= click_ts + INTERVAL 30 MINUTE
 """
 
+# --- as-of join oracle ----------------------------------------------
+
+_ASOF_SQL = """
+WITH cd AS (
+    SELECT user_id, ts, MAX(event_id) AS click_id
+    FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+p AS (
+    SELECT user_id, event_id AS purchase_id, ts
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.purchase_id,
+       cd.click_id AS asof_click_id,
+       (epoch_us(p.ts) - epoch_us(cd.ts)) AS asof_latency_us
+FROM p ASOF LEFT JOIN cd
+  ON p.user_id = cd.user_id AND cd.ts <= p.ts
+"""
+
 # --- multimodal oracle ----------------------------------------------
 
 _MULTIMODAL_SQL = """
@@ -683,6 +702,7 @@ def build():
             _ATTRIBUTION_SQL,
             ("windows", "join"),
         ),
+        ("events-asof-click", asof.q_purchase_asof_click, _ASOF_SQL, ("join",)),
         ("text-chunks", curation.q_text_chunks, _CHUNKS_SQL, ("curation",)),
         ("sample-hash-10pct", curation.q_sample_hash, _SAMPLE_SQL, ("curation",)),
         ("sales-rollup", olap.q_sales_rollup, _ROLLUP_SQL, ("olap",)),
