@@ -41,7 +41,11 @@ HEADLINE = [
     "text-quality",
     "text-lang-id",
     "events-tumbling-1h",
+    "events-sliding-1h-30m",
     "events-session",
+    "events-click-attribution",
+    "events-asof-click",
+    "events-value-bands",
     "multimodal-bytes",
     "pipeline-corpus-stats",
 ]

@@ -573,6 +573,21 @@ FROM c JOIN p
  AND purchase_ts <= click_ts + INTERVAL 30 MINUTE
 """
 
+# --- range-join oracle ----------------------------------------------
+
+from projet_etl_spark.operators import rangejoin  # noqa: E402
+
+_BAND_VALUES = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in rangejoin.BANDS)
+_RANGE_SQL = f"""
+WITH bands(band, lo, hi) AS (VALUES {_BAND_VALUES})
+SELECT band,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY band
+ORDER BY band
+"""
+
 # --- as-of join oracle ----------------------------------------------
 
 _ASOF_SQL = """
@@ -703,6 +718,12 @@ def build():
             ("windows", "join"),
         ),
         ("events-asof-click", asof.q_purchase_asof_click, _ASOF_SQL, ("join",)),
+        (
+            "events-value-bands",
+            rangejoin.q_events_value_bands,
+            _RANGE_SQL,
+            ("join",),
+        ),
         ("text-chunks", curation.q_text_chunks, _CHUNKS_SQL, ("curation",)),
         ("sample-hash-10pct", curation.q_sample_hash, _SAMPLE_SQL, ("curation",)),
         ("sales-rollup", olap.q_sales_rollup, _ROLLUP_SQL, ("olap",)),
