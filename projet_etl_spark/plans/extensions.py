@@ -25,12 +25,14 @@ from projet_etl_spark.operators import (
     corpus,
     dedup,
     events_windows,
+    materialized,
     multimodal,
     olap,
     similarity,
     simple,
     textstats,
 )
+from projet_etl_spark.plans.oracles import PARITY_ORACLES
 
 # --- shared SQL fragments -------------------------------------------
 
@@ -718,6 +720,20 @@ def build():
             ("windows", "join"),
         ),
         ("events-asof-click", asof.q_purchase_asof_click, _ASOF_SQL, ("join",)),
+        # rollup twins share the RAW queries' oracles: the gate proves
+        # the materialized path answers identically
+        (
+            "score-evolution-rollup",
+            materialized.q_score_evolution_rollup,
+            PARITY_ORACLES["score-evolution"],
+            ("materialized",),
+        ),
+        (
+            "nb-mag-cat-date-rollup",
+            materialized.q_nb_mag_cat_date_rollup,
+            PARITY_ORACLES["nb-mag-cat-date"],
+            ("materialized",),
+        ),
         (
             "events-value-bands",
             rangejoin.q_events_value_bands,
