@@ -22,6 +22,7 @@ from projet_etl_spark.functions import text as TX
 from projet_etl_spark.functions import vectors as VEC
 from projet_etl_spark.operators import (
     asof,
+    clusters,
     corpus,
     dedup,
     events_windows,
@@ -712,6 +713,9 @@ def build():
         ),
         # rows-only: HLL estimates are engine-specific by design
         ("mag-cat-approx", simple.q_mag_cat_approx, None, ("parity", "approx")),
+        # rows-only: iterative fixpoint (no SQL oracle); validated in
+        # tests against a driver-side union-find
+        ("dedup-clusters", clusters.q_dedup_clusters, None, ("dedup",)),
         ("text-scrub-pii", curation.q_text_scrub_pii, _SCRUB_SQL, ("curation",)),
         (
             "events-click-attribution",
