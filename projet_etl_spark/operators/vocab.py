@@ -1,0 +1,68 @@
+"""Tokenizer-adjacent corpus operators: vocabulary building and
+per-language temperature resampling.
+
+- ``vocab-top100``: token vocabulary ranked by document frequency —
+  the first pass of any tokenizer training run. One explode + two
+  hash aggregations; at 100 TB the (token) shuffle key is
+  high-entropy so no skew handling is needed.
+- ``resample-by-lang``: temperature-flattened language mix. Each
+  language keeps a deterministic hash-bucket share proportional to
+  count^(1/T - 1) normalized to the largest language — the standard
+  multilingual rebalancing — with the keep-decision made by portable
+  md5 bucket, so the sample is reproducible and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from projet_etl_spark.functions.text import portable_hash60, tokens
+from projet_etl_spark.sources.tables import load_table
+
+VOCAB_K = 100
+TEMPERATURE = 2.0  # T > 1 flattens the language distribution
+
+
+def q_vocab_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 tokens by document frequency (ties: token asc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", tokens(F.col("text")).alias("t")).select(
+        "doc_id", F.explode(F.array_distinct(F.col("t"))).alias("token")
+    )
+    df_counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    w = Window.orderBy(F.desc("doc_freq"), F.asc("token"))
+    return (
+        df_counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= VOCAB_K)
+        .orderBy("rank")
+    )
+
+
+def q_resample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic temperature resampling: language l keeps
+    round(100 * (n_min / n_l)^(1 - 1/T)) percent of its documents by
+    hash bucket — the keep rate falls with size so the mix flattens
+    toward the target distribution; the smallest language keeps 100%.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    n_min = counts.agg(F.min("n").alias("n_min"))
+    quotas = counts.crossJoin(F.broadcast(n_min)).select(
+        "lang",
+        "n",
+        F.round(
+            F.pow(F.col("n_min") / F.col("n"), F.lit(1.0 - 1.0 / TEMPERATURE))
+            * F.lit(100.0),
+            0,
+        )
+        .cast("long")
+        .alias("keep_pct"),
+    )
+    bucket = portable_hash60(F.col("text")) % F.lit(100)
+    return (
+        docs.select("doc_id", "lang", bucket.alias("bucket"))
+        .join(F.broadcast(quotas.select("lang", "keep_pct")), "lang")
+        .filter(F.col("bucket") < F.col("keep_pct"))
+        .select("doc_id", "lang", "bucket")
+    )

@@ -262,6 +262,63 @@ SELECT query_id, cand_id, cos, "rank" FROM ranked WHERE "rank" <= {similarity.TO
 """
 )
 
+# --- quantized-ANN oracle -------------------------------------------
+
+from projet_etl_spark.operators import quantized  # noqa: E402
+
+
+def _sql_qscale(v: str) -> str:
+    return "greatest(" + ", ".join(
+        f"abs({v}[{i}]::DOUBLE)" for i in range(1, VEC.DIM + 1)
+    ) + ")"
+
+
+def _sql_qcode(v: str, scale: str, i: int) -> str:
+    return f"CAST(round({v}[{i}]::DOUBLE / {scale} * 127.0, 0) AS BIGINT)"
+
+
+def _sql_qdot(a: str, sa: str, b: str, sb: str) -> str:
+    return " + ".join(
+        f"{_sql_qcode(a, sa, i)} * {_sql_qcode(b, sb, i)}"
+        for i in range(1, VEC.DIM + 1)
+    )
+
+
+def _sql_qnorm2(a: str, sa: str) -> str:
+    return " + ".join(
+        f"{_sql_qcode(a, sa, i)} * {_sql_qcode(a, sa, i)}"
+        for i in range(1, VEC.DIM + 1)
+    )
+
+
+_QANN_SQL = f"""
+WITH base AS (
+    SELECT vec_id, embedding AS v, {_sql_qscale("embedding")} AS s
+    FROM embeddings
+),
+withn AS (
+    SELECT vec_id, v, s, {_sql_qnorm2("v", "s")} AS qn2 FROM base
+),
+q AS (
+    SELECT vec_id AS query_id, v AS qv, s AS qs, qn2 AS qn FROM withn
+    WHERE vec_id < {quantized.N_QUERIES}
+),
+scored AS (
+    SELECT q.query_id, w.vec_id AS cand_id,
+           ROUND(({_sql_qdot("q.qv", "q.qs", "w.v", "w.s")})
+                 / (sqrt(q.qn) * sqrt(w.qn2)), 6) AS cos_q
+    FROM q, withn w WHERE w.vec_id <> q.query_id
+),
+ranked AS (
+    SELECT query_id, cand_id, cos_q,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cos_q DESC, cand_id) AS BIGINT)
+           AS "rank"
+    FROM scored
+)
+SELECT query_id, cand_id, cos_q, "rank" FROM ranked WHERE "rank" <= {quantized.TOP_K}
+"""
+
 # --- text-stats oracles ---------------------------------------------
 
 
@@ -359,6 +416,44 @@ SELECT md5({_NORM}) AS fp,
        COUNT(*) AS dup_count
 FROM documents
 GROUP BY md5({_NORM})
+"""
+
+# --- vocab / resampling oracles -------------------------------------
+
+from projet_etl_spark.operators import vocab  # noqa: E402
+
+_VOCAB_SQL = f"""
+WITH tokd AS (
+    SELECT doc_id, unnest(list_distinct({_TOK})) AS token FROM documents
+),
+counts AS (
+    SELECT token, COUNT(*) AS doc_freq FROM tokd GROUP BY token
+),
+ranked AS (
+    SELECT token, doc_freq,
+           CAST(ROW_NUMBER() OVER (ORDER BY doc_freq DESC, token) AS BIGINT)
+           AS "rank"
+    FROM counts
+)
+SELECT token, doc_freq, "rank" FROM ranked
+WHERE "rank" <= {vocab.VOCAB_K} ORDER BY "rank"
+"""
+
+_RESAMPLE_SQL = f"""
+WITH counts AS (
+    SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+),
+quotas AS (
+    SELECT lang,
+           CAST(round(pow((SELECT MIN(n) FROM counts) / n,
+                          {1.0 - 1.0 / vocab.TEMPERATURE}) * 100.0, 0) AS BIGINT)
+               AS keep_pct
+    FROM counts
+)
+SELECT d.doc_id, d.lang,
+       (('0x' || substr(md5(d.text), 1, 15))::BIGINT % 100) AS bucket
+FROM documents d JOIN quotas q ON d.lang = q.lang
+WHERE (('0x' || substr(md5(d.text), 1, 15))::BIGINT % 100) < q.keep_pct
 """
 
 # --- corpus-pipeline oracle -----------------------------------------
@@ -663,6 +758,7 @@ def build():
             ("dedup",),
         ),
         ("ann-cosine-topk", similarity.q_ann_cosine_topk, _ANN_BRUTE_SQL, ("ann",)),
+        ("ann-quantized-topk", quantized.q_ann_quantized_topk, _QANN_SQL, ("ann",)),
         ("ann-ivf-topk", similarity.q_ann_ivf_topk, _ANN_IVF_SQL, ("ann",)),
         ("text-token-count", textstats.q_text_token_count, _TOKEN_COUNT_SQL, ("text",)),
         ("text-quality", textstats.q_text_quality, _QUALITY_SQL, ("text",)),
@@ -746,6 +842,8 @@ def build():
         ),
         ("text-chunks", curation.q_text_chunks, _CHUNKS_SQL, ("curation",)),
         ("sample-hash-10pct", curation.q_sample_hash, _SAMPLE_SQL, ("curation",)),
+        ("vocab-top100", vocab.q_vocab_top100, _VOCAB_SQL, ("curation",)),
+        ("resample-by-lang", vocab.q_resample_by_lang, _RESAMPLE_SQL, ("curation",)),
         ("sales-rollup", olap.q_sales_rollup, _ROLLUP_SQL, ("olap",)),
         (
             "stores-without-category",
