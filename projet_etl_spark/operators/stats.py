@@ -1,0 +1,80 @@
+"""Statistical / reshaping operators the reference lacks (SURVEY.md
+§2.4 notes no percentiles; §2.8 no n-gram analytics): exact
+percentiles, typed pivot, and bigram frequency.
+
+- percentiles: Spark's exact ``percentile`` (interpolated) mirrors
+  DuckDB's ``quantile_cont`` — both linear-interpolate on the sorted
+  values, so with round(6) the outputs agree. At 100 TB the exact
+  form needs a sort per group; ``approx_percentile`` (t-digest) is
+  the opt-in, same pattern as mag-cat-approx.
+- pivot: per-day event-type count matrix. Spark's pivot with an
+  EXPLICIT value list compiles to conditional aggregates (one pass,
+  no second job to discover values — at scale always pin the list).
+- bigrams: adjacent-token pair frequency — the n-gram analytics pass
+  of a corpus study; one staged tokenize, posexplode, two hash aggs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from projet_etl_spark.functions.text import tokens
+from projet_etl_spark.sources.tables import events, load_table
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+BIGRAM_K = 50
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p25/p50/p95 of event value per type."""
+    ev = events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day counts pivoted into one column per event type."""
+    ev = events(spark, sf_dir).select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    )
+    return (
+        ev.groupBy("day")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+        .orderBy("day")
+    )
+
+
+def q_bigrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-token bigrams by occurrence (ties: bigram asc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    bigrams = staged.select(
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("t", i), F.element_at("t", i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram")
+    )
+    counts = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("bigram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= BIGRAM_K)
+        .orderBy("rank")
+    )

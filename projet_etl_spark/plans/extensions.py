@@ -456,6 +456,53 @@ FROM documents d JOIN quotas q ON d.lang = q.lang
 WHERE (('0x' || substr(md5(d.text), 1, 15))::BIGINT % 100) < q.keep_pct
 """
 
+# --- stats / reshaping oracles --------------------------------------
+
+from projet_etl_spark.operators import stats  # noqa: E402
+
+_PCTL_SQL = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.25), 6) AS p25,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+_PIVOT_COLS = ",\n       ".join(
+    f"CAST(COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS BIGINT) AS \"{t}\""
+    for t in stats.EVENT_TYPES
+)
+_PIVOT_SQL = f"""
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       {_PIVOT_COLS}
+FROM events
+GROUP BY 1
+ORDER BY day
+"""
+
+_BIGRAM_SQL = f"""
+WITH staged AS (
+    SELECT doc_id, {_TOK} AS t FROM documents
+),
+bigrams AS (
+    SELECT unnest(list_transform(range(1, greatest(len(t), 1)),
+                  i -> t[i] || ' ' || t[i+1])) AS bigram
+    FROM staged
+),
+counts AS (
+    SELECT bigram, COUNT(*) AS n FROM bigrams GROUP BY bigram
+),
+ranked AS (
+    SELECT bigram, n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, bigram) AS BIGINT) AS "rank"
+    FROM counts
+)
+SELECT bigram, n, "rank" FROM ranked WHERE "rank" <= {stats.BIGRAM_K}
+ORDER BY "rank"
+"""
+
 # --- corpus-pipeline oracle -----------------------------------------
 
 _CORPUS_SQL = f"""
@@ -843,6 +890,9 @@ def build():
         ("text-chunks", curation.q_text_chunks, _CHUNKS_SQL, ("curation",)),
         ("sample-hash-10pct", curation.q_sample_hash, _SAMPLE_SQL, ("curation",)),
         ("vocab-top100", vocab.q_vocab_top100, _VOCAB_SQL, ("curation",)),
+        ("value-percentiles", stats.q_value_percentiles, _PCTL_SQL, ("stats",)),
+        ("events-pivot-daily", stats.q_events_pivot_daily, _PIVOT_SQL, ("stats",)),
+        ("bigrams-top50", stats.q_bigrams_top, _BIGRAM_SQL, ("stats",)),
         ("resample-by-lang", vocab.q_resample_by_lang, _RESAMPLE_SQL, ("curation",)),
         ("sales-rollup", olap.q_sales_rollup, _ROLLUP_SQL, ("olap",)),
         (
