@@ -1,0 +1,83 @@
+"""Event-sequence analytics: ordered funnel + retention cohorts.
+
+- funnel: how many users did signup -> click -> purchase IN ORDER.
+  Stage timestamps are per-user minima with an ordering constraint
+  (first click after first signup, first purchase after that click);
+  one groupBy per user, conditional min aggregates, then a global
+  rollup — no self-joins, no windows.
+- retention: users grouped by first-active-day cohort x day offset.
+  Two hash aggregations; the cohort join is a broadcast of per-user
+  first days at any scale where users << events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projet_etl_spark.sources.tables import events
+
+
+def q_funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per funnel stage with the count of users who reached
+    it in order."""
+    ev = events(spark, sf_dir).select("user_id", "event_type", "ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup")
+    )
+    # first click strictly after the first signup, then first
+    # purchase strictly after that click
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("ts_c")
+    )
+    step2 = (
+        per_user.join(clicks, "user_id", "left")
+        .filter(F.col("t_signup").isNotNull() & (F.col("ts_c") > F.col("t_signup")))
+        .groupBy("user_id")
+        .agg(F.min("ts_c").alias("t_click"), F.first("t_signup").alias("t_signup"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("ts_p")
+    )
+    step3 = (
+        step2.join(purchases, "user_id", "left")
+        .filter(F.col("ts_p") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts_p").alias("t_purchase"))
+    )
+    # one composed plan: three stage counts unpivoted to rows —
+    # nothing materializes on the driver
+    joined = (
+        per_user.filter(F.col("t_signup").isNotNull())
+        .join(step2.select("user_id", "t_click"), "user_id", "left")
+        .join(step3.select("user_id", "t_purchase"), "user_id", "left")
+    )
+    counts = joined.agg(
+        F.count("t_signup").alias("n1"),
+        F.count("t_click").alias("n2"),
+        F.count("t_purchase").alias("n3"),
+    )
+    return counts.selectExpr(
+        "stack(3, '1_signup', n1, '2_click_after', n2, "
+        "'3_purchase_after', n3) AS (stage, n_users)"
+    ).orderBy("stage")
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cohort_day, day_offset) -> active user counts."""
+    ev = events(spark, sf_dir).select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first_day = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    active = ev.distinct()
+    return (
+        active.join(F.broadcast(first_day), "user_id")
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )

@@ -503,6 +503,64 @@ SELECT bigram, n, "rank" FROM ranked WHERE "rank" <= {stats.BIGRAM_K}
 ORDER BY "rank"
 """
 
+# --- inference / funnel / retention oracles -------------------------
+
+from projet_etl_spark.operators import funnel, inference  # noqa: E402
+
+_SCORE_EXPR = " + ".join(
+    f"embedding[{i}]::DOUBLE * CAST({inference.WEIGHTS[i - 1]!r} AS DOUBLE)"
+    for i in range(1, VEC.DIM + 1)
+)
+_INFER_SQL = f"""
+SELECT vec_id,
+       ROUND(({_SCORE_EXPR}) + CAST({inference.BIAS!r} AS DOUBLE), 6) AS score,
+       (ROUND(({_SCORE_EXPR}) + CAST({inference.BIAS!r} AS DOUBLE), 6) > 0)
+           AS positive
+FROM embeddings
+"""
+
+_FUNNEL_SQL = """
+WITH per_user AS (
+    SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
+    FROM events GROUP BY user_id
+),
+s1 AS (SELECT user_id, t_signup FROM per_user WHERE t_signup IS NOT NULL),
+step2 AS (
+    SELECT e.user_id, MIN(e.ts) AS t_click
+    FROM events e JOIN s1 ON e.user_id = s1.user_id
+    WHERE e.event_type = 'click' AND e.ts > s1.t_signup
+    GROUP BY e.user_id
+),
+step3 AS (
+    SELECT e.user_id, MIN(e.ts) AS t_purchase
+    FROM events e JOIN step2 ON e.user_id = step2.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > step2.t_click
+    GROUP BY e.user_id
+)
+SELECT * FROM (
+    SELECT '1_signup' AS stage, (SELECT COUNT(*) FROM s1) AS n_users
+    UNION ALL
+    SELECT '2_click_after', (SELECT COUNT(*) FROM step2)
+    UNION ALL
+    SELECT '3_purchase_after', (SELECT COUNT(*) FROM step3)
+) ORDER BY stage
+"""
+
+_RETENTION_SQL = """
+WITH ev AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+first_day AS (
+    SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id
+)
+SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(ev.day - f.cohort_day AS BIGINT) AS day_offset,
+       COUNT(DISTINCT ev.user_id) AS n_users
+FROM ev JOIN first_day f ON ev.user_id = f.user_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
 # --- corpus-pipeline oracle -----------------------------------------
 
 _CORPUS_SQL = f"""
@@ -893,6 +951,15 @@ def build():
         ("value-percentiles", stats.q_value_percentiles, _PCTL_SQL, ("stats",)),
         ("events-pivot-daily", stats.q_events_pivot_daily, _PIVOT_SQL, ("stats",)),
         ("bigrams-top50", stats.q_bigrams_top, _BIGRAM_SQL, ("stats",)),
+        (
+            "embed-score-pandas",
+            inference.q_embed_score_pandas,
+            _INFER_SQL,
+            ("inference",),
+        ),
+        ("embed-score-jvm", inference.q_embed_score_jvm, _INFER_SQL, ("inference",)),
+        ("funnel-signup-click-purchase", funnel.q_funnel_signup_click_purchase, _FUNNEL_SQL, ("analytics",)),
+        ("retention-cohorts", funnel.q_retention_cohorts, _RETENTION_SQL, ("analytics",)),
         ("resample-by-lang", vocab.q_resample_by_lang, _RESAMPLE_SQL, ("curation",)),
         ("sales-rollup", olap.q_sales_rollup, _ROLLUP_SQL, ("olap",)),
         (
