@@ -48,6 +48,12 @@ HEADLINE = [
     "events-value-bands",
     "multimodal-bytes",
     "pipeline-corpus-stats",
+    "revenue-by-nation",
+    "daily-moving-avg",
+    "tfidf-top-terms",
+    "embed-score-pandas",
+    "funnel-signup-click-purchase",
+    "retention-cohorts",
 ]
 
 

@@ -54,6 +54,33 @@ def q_events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_daily_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily event counts with a 7-day moving average and a
+    running cumulative total (window frames over a pre-aggregated
+    series).
+
+    Scale shape: the window function runs AFTER reduction to
+    (event_type, day) grain — its input is days x types rows, not
+    events, so the per-partition sort is trivially small no matter
+    how many raw events feed it. avg/sum over exact BIGINT counts are
+    deterministic (one division at the end) — no rounding needed.
+    """
+    ev = events(spark, sf_dir).select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    return daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.avg("n").over(w.rowsBetween(-6, 0)).alias("avg_7d"),
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cume_n"
+        ),
+    ).orderBy("event_type", "day")
+
+
 def q_bigrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 adjacent-token bigrams by occurrence (ties: bigram asc)."""
     docs = load_table(spark, sf_dir, "documents")

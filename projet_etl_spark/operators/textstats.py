@@ -167,3 +167,59 @@ def q_text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, ch: (acc * RH_BASE + F.ascii(ch)) % RH_MOD,
     )
     return docs.select("doc_id", rh.alias("rolling_hash"))
+
+
+# tf-idf: top terms per language
+TFIDF_K = 10
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 terms per language by corpus tf-idf.
+
+    tf = term occurrences within the language (exact BIGINT),
+    idf = ln(N_docs / df) with df counted over the whole corpus;
+    score = tf * idf. All float math is per-row deterministic
+    (one division + one ln + one multiply), so the only rounding is
+    the presentation ROUND(6) before ranking.
+
+    Scale shape: explode -> two hash aggregations (map-side partial
+    on (lang, token)); tf ⋈ df is an equi-join on token between two
+    already-reduced vocab-sized sides (AQE broadcasts when small —
+    not forced, a 100 TB corpus vocabulary isn't broadcastable); the
+    scalar doc count rides a one-row broadcast; the final top-k
+    window partitions by lang over vocab-sized input.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tokens(F.col("text")).alias("t")
+    )
+    terms = docs.select("doc_id", "lang", F.explode("t").alias("token"))
+    tf = terms.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = terms.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "lang",
+            "token",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    F.col("n_docs").cast("double") / F.col("df").cast("double")
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TFIDF_K)
+        .orderBy("lang", "rnk")
+    )

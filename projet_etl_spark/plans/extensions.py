@@ -561,6 +561,68 @@ GROUP BY 1, 2
 ORDER BY 1, 2
 """
 
+# --- star join / window-frame / tf-idf oracles ----------------------
+
+from projet_etl_spark.operators import star  # noqa: E402
+from projet_etl_spark.params import DEFAULTS as _P2  # noqa: E402
+
+_Q5_SQL = f"""
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = '{star.REGION}'
+  AND CAST(o_orderdate AS DATE)
+      BETWEEN DATE '{_P2["debut"]}' AND DATE '{_P2["fin"]}'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+_MOVING_AVG_SQL = """
+WITH daily AS (
+    SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, n,
+       AVG(n) OVER (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS avg_7d,
+       CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cume_n
+FROM daily
+ORDER BY event_type, day
+"""
+
+_TFIDF_SQL = f"""
+WITH terms AS (
+    SELECT doc_id, lang, unnest({TX.SQL_TOKENS.format(col="text")}) AS token
+    FROM documents
+),
+tf AS (SELECT lang, token, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+    SELECT lang, tf.token,
+           ROUND(tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6)
+               AS tfidf
+    FROM tf JOIN df ON tf.token = df.token, n
+),
+ranked AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY lang ORDER BY tfidf DESC, token) AS BIGINT) AS rnk
+    FROM scored
+)
+SELECT lang, token, tfidf, rnk FROM ranked
+WHERE rnk <= {textstats.TFIDF_K}
+ORDER BY lang, rnk
+"""
+
 # --- corpus-pipeline oracle -----------------------------------------
 
 _CORPUS_SQL = f"""
@@ -951,6 +1013,9 @@ def build():
         ("value-percentiles", stats.q_value_percentiles, _PCTL_SQL, ("stats",)),
         ("events-pivot-daily", stats.q_events_pivot_daily, _PIVOT_SQL, ("stats",)),
         ("bigrams-top50", stats.q_bigrams_top, _BIGRAM_SQL, ("stats",)),
+        ("daily-moving-avg", stats.q_daily_moving_avg, _MOVING_AVG_SQL, ("stats", "windows")),
+        ("revenue-by-nation", star.q_revenue_by_nation, _Q5_SQL, ("join", "olap")),
+        ("tfidf-top-terms", textstats.q_tfidf_top_terms, _TFIDF_SQL, ("text",)),
         (
             "embed-score-pandas",
             inference.q_embed_score_pandas,

@@ -51,3 +51,28 @@ def test_flagship_plan_shape(spark):
     assert "TakeOrderedAndProject" in plan
     # scans are column-pruned: lineitem reads only the 4 needed cols
     assert "struct<l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint,l_shipdate" in plan
+
+
+def test_star_join_plan_shape(spark):
+    """revenue-by-nation: tiny dims broadcast, the order-date range
+    reaches the orders parquet scan, and lineitem's scan is pruned
+    to the 4 columns the query needs."""
+    from projet_etl_spark.operators.star import q_revenue_by_nation
+
+    plan = _formatted_plan(q_revenue_by_nation(spark, SF_SMALL))
+    assert plan.count("BroadcastHashJoin") >= 2  # nation + region at minimum
+    assert "1996-01-01" in plan  # date bound pushed to the scan
+    assert "l_comment" not in plan and "l_quantity" not in plan
+
+
+def test_inference_pandas_matches_jvm(spark):
+    """The Arrow/mapInPandas scorer and the whole-stage-codegen
+    expression produce identical rows (same model, two engines)."""
+    from projet_etl_spark.operators.inference import (
+        q_embed_score_jvm,
+        q_embed_score_pandas,
+    )
+
+    a = sorted(map(tuple, q_embed_score_pandas(spark, SF_SMALL).collect()))
+    b = sorted(map(tuple, q_embed_score_jvm(spark, SF_SMALL).collect()))
+    assert a == b
