@@ -49,6 +49,7 @@ HEADLINE = [
     "multimodal-bytes",
     "pipeline-corpus-stats",
     "revenue-by-nation",
+    "pricing-summary",
     "daily-moving-avg",
     "tfidf-top-terms",
     "embed-score-pandas",

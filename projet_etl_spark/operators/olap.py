@@ -60,3 +60,19 @@ def q_top3_stores_per_category(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .orderBy("catid", "rnk")
     )
+
+
+def q_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sales counts over the full (catid, fabid) CUBE — all four
+    grouping sets (both keys, each alone, grand total) in one Expand +
+    hash-aggregate pass; completes the grouping-sets family next to
+    the ROLLUP variant."""
+    return (
+        points_de_vente(spark, sf_dir)
+        .cube("catid", "fabid")
+        .agg(
+            F.count(F.lit(1)).alias("n_ventes"),
+            F.grouping_id("catid", "fabid").cast("long").alias("gid"),
+        )
+        .select("catid", "fabid", "n_ventes", "gid")
+    )

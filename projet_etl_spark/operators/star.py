@@ -84,3 +84,47 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report (TPC-H Q1 shape): per (returnflag,
+    linestatus) sums, averages, and row counts over shipped lineitems.
+
+    This is the scan-throughput workhorse: one pruned parquet scan,
+    map-side partial aggregation into 4 groups, no join. All sums run
+    in exact DECIMAL (associative, partition-order-independent); the
+    averages are derived from those exact sums with ONE double
+    division at the end, so every value is bit-identical at any
+    parallelism — no ROUND() crutch anywhere.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate") <= DEFAULTS["as_of"]
+    )
+    dec = lambda c: c.cast("decimal(18,4)")  # noqa: E731
+    qty = dec(F.col("l_quantity"))
+    price = dec(F.col("l_extendedprice"))
+    disc_price = dec(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    # charge has SIX true decimal digits (2dp price x 2dp discount x
+    # 2dp tax) — a 4-digit decimal cast lands on exact .xxxx5
+    # midpoints where Spark (HALF_UP) and DuckDB (half-even) disagree;
+    # scale 6 holds the exact value so no rounding mode is involved
+    charge = (
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * (F.lit(1.0) + F.col("l_tax"))
+    ).cast("decimal(18,6)")
+    n = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / n).alias("avg_qty"),
+            (F.sum(price).cast("double") / n).alias("avg_price"),
+            (F.sum(dec(F.col("l_discount"))).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

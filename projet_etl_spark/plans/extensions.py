@@ -623,6 +623,28 @@ WHERE rnk <= {textstats.TFIDF_K}
 ORDER BY lang, rnk
 """
 
+_Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+           AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+           AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+           AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+           AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '{_P2["as_of"]}'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
 # --- corpus-pipeline oracle -----------------------------------------
 
 _CORPUS_SQL = f"""
@@ -787,6 +809,17 @@ SELECT catid, fabid,
        CAST(GROUPING(catid, fabid) AS BIGINT) AS gid
 FROM points_de_vente
 GROUP BY ROLLUP (catid, fabid)
+"""
+)
+
+_CUBE_SQL = (
+    _VIEWS
+    + """
+SELECT catid, fabid,
+       COUNT(*) AS n_ventes,
+       CAST(GROUPING(catid, fabid) AS BIGINT) AS gid
+FROM points_de_vente
+GROUP BY CUBE (catid, fabid)
 """
 )
 
@@ -1027,6 +1060,8 @@ def build():
         ("retention-cohorts", funnel.q_retention_cohorts, _RETENTION_SQL, ("analytics",)),
         ("resample-by-lang", vocab.q_resample_by_lang, _RESAMPLE_SQL, ("curation",)),
         ("sales-rollup", olap.q_sales_rollup, _ROLLUP_SQL, ("olap",)),
+        ("sales-cube", olap.q_sales_cube, _CUBE_SQL, ("olap",)),
+        ("pricing-summary", star.q_pricing_summary, _Q1_SQL, ("olap",)),
         (
             "stores-without-category",
             olap.q_stores_without_category,
