@@ -50,6 +50,8 @@ HEADLINE = [
     "pipeline-corpus-stats",
     "revenue-by-nation",
     "pricing-summary",
+    "top-unshipped-orders",
+    "corr-qty-price",
     "daily-moving-avg",
     "tfidf-top-terms",
     "embed-score-pandas",

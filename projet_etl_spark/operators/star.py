@@ -128,3 +128,89 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+def q_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highest-revenue orders placed by a market segment before the
+    cutoff but still shipping after it (TPC-H Q3 shape).
+
+    Scale shape: both date predicates push into the parquet scans
+    BEFORE the joins; customer is filtered to one segment then joined
+    on custkey (AQE broadcasts when small, shuffle otherwise);
+    the final top-10 plans as TakeOrderedAndProject (per-partition
+    heaps, no global sort). Revenue is an exact decimal sum.
+    """
+    cutoff = DEFAULTS["fin"]
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.to_date("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.to_date("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs extended price per return
+    flag — computed from exact decimal moments (n, Σx, Σy, Σxy, Σx²,
+    Σy²), not the engines' native corr().
+
+    Native corr implementations differ numerically (streaming
+    Welford vs naive) and are partition-order-dependent; exact
+    integer/decimal moments are associative, so the five sums are
+    bit-identical at any parallelism and the closed-form combination
+    at the end is one deterministic double expression per group.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,4)")
+    y = F.col("l_extendedprice").cast("decimal(18,4)")
+    xy = (F.col("l_quantity") * F.col("l_extendedprice")).cast("decimal(18,4)")
+    xx = (F.col("l_quantity") * F.col("l_quantity")).cast("decimal(18,4)")
+    yy = (F.col("l_extendedprice") * F.col("l_extendedprice")).cast(
+        "decimal(18,4)"
+    )
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(xy).cast("double").alias("sxy"),
+        F.sum(xx).cast("double").alias("sxx"),
+        F.sum(yy).cast("double").alias("syy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return (
+        agg.select(
+            "l_returnflag",
+            F.col("n").cast("long").alias("n_rows"),
+            corr.alias("corr_qty_price"),
+        )
+        .orderBy("l_returnflag")
+    )

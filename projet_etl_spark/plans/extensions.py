@@ -645,6 +645,44 @@ GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
 
+_Q3_SQL = f"""
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND CAST(o_orderdate AS DATE) < DATE '{_P2["fin"]}'
+  AND CAST(l_shipdate AS DATE) > DATE '{_P2["fin"]}'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+_CORR_SQL = """
+WITH m AS (
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,4)))
+                AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4)))
+                AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,4)))
+                AS DOUBLE) AS syy
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       (n * sxy - sx * sy)
+           / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price
+FROM m ORDER BY l_returnflag
+"""
+
 # --- corpus-pipeline oracle -----------------------------------------
 
 _CORPUS_SQL = f"""
@@ -1062,6 +1100,8 @@ def build():
         ("sales-rollup", olap.q_sales_rollup, _ROLLUP_SQL, ("olap",)),
         ("sales-cube", olap.q_sales_cube, _CUBE_SQL, ("olap",)),
         ("pricing-summary", star.q_pricing_summary, _Q1_SQL, ("olap",)),
+        ("top-unshipped-orders", star.q_top_unshipped_orders, _Q3_SQL, ("olap", "join")),
+        ("corr-qty-price", star.q_corr_qty_price, _CORR_SQL, ("stats",)),
         (
             "stores-without-category",
             olap.q_stores_without_category,

@@ -150,3 +150,67 @@ def test_topk_tie_broken_by_magid(spark, micro):
     assert tied[0].score == tied[1].score  # genuine tie
     order = [r.magid for r in rows if r.magid in (2, 3)]
     assert order == [2, 3]  # deterministic asc tiebreak
+
+
+def test_funnel_order_constraint(spark):
+    """Funnel counts only in-order progressions: a click BEFORE the
+    first signup doesn't advance the user; a purchase before the
+    qualifying click doesn't either."""
+    from projet_etl_spark.operators.funnel import (
+        q_funnel_signup_click_purchase,
+    )
+
+    t = datetime.datetime
+    rows = [
+        # u1: full in-order funnel
+        (1, "signup", t(2024, 1, 1)), (1, "click", t(2024, 1, 2)),
+        (1, "purchase", t(2024, 1, 3)),
+        # u2: click precedes signup -> stalls at signup
+        (2, "click", t(2024, 1, 1)), (2, "signup", t(2024, 1, 2)),
+        # u3: purchase before its click -> stalls at click
+        (3, "signup", t(2024, 1, 1)), (3, "purchase", t(2024, 1, 2)),
+        (3, "click", t(2024, 1, 3)),
+        # u4: never signs up -> not counted anywhere
+        (4, "click", t(2024, 1, 1)), (4, "purchase", t(2024, 1, 2)),
+    ]
+    df = spark.createDataFrame(
+        [(u, e, ts, 1.0) for u, e, ts in rows],
+        "user_id long, event_type string, ts timestamp, value double",
+    )
+    import projet_etl_spark.operators.funnel as fu
+    import projet_etl_spark.sources.tables as tb
+
+    orig = tb.events
+    try:
+        fu.events = lambda _s, _d: df
+        out = {r.stage: r.n_users for r in
+               q_funnel_signup_click_purchase(spark, "unused").collect()}
+    finally:
+        fu.events = orig
+    assert out == {"1_signup": 3, "2_click_after": 2, "3_purchase_after": 1}
+
+
+def test_moving_avg_frame(spark):
+    """7-day frame averages exactly the rows present in the frame
+    (ROWS, not RANGE: gaps in the calendar are not zero-filled)."""
+    from projet_etl_spark.operators import stats as st
+
+    t = datetime.datetime
+    df = spark.createDataFrame(
+        [("click", t(2024, 1, d, 12), 1.0) for d in (1, 2, 10)]
+        + [("click", t(2024, 1, 10, 13), 1.0)],
+        "event_type string, ts timestamp, value double",
+    )
+    orig = st.events
+    try:
+        st.events = lambda _s, _d: df.selectExpr(
+            "event_type", "ts", "value"
+        )
+        rows = st.q_daily_moving_avg(spark, "unused").collect()
+    finally:
+        st.events = orig
+    by_day = {r.day: r for r in rows}
+    assert by_day["2024-01-10"].n == 2
+    # frame holds the three distinct days present, not ten calendar days
+    assert by_day["2024-01-10"].avg_7d == pytest.approx((1 + 1 + 2) / 3)
+    assert by_day["2024-01-10"].cume_n == 4
