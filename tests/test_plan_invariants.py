@@ -1,0 +1,50 @@
+"""Engine-wide physical-plan invariants over the ENTIRE registry:
+no query may regress onto Spark's slow paths.
+
+- ``BatchEvalPython`` (row-at-a-time Python UDF) must never appear —
+  Python is allowed only behind Arrow (MapInPandas / ArrowEvalPython).
+- ``CartesianProduct`` (non-broadcast cross join) must never appear.
+- ``BroadcastNestedLoopJoin`` is allowed only for the queries that
+  deliberately cross-join a broadcast-tiny side (ANN probe sets and
+  centroids, per-language resample rates, a one-row corpus count);
+  anything new that triggers one must be added here consciously.
+
+Plans are built (not executed), so this sweeps all ~60 queries in
+seconds and fails the moment an operator change flips a join
+strategy or smuggles in a slow UDF.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from projet_etl_spark.plans.registry import REGISTRY
+from tests.conftest import SF_SMALL
+
+# queries whose plan intentionally cross-joins a broadcast-tiny side
+BNLJ_ALLOWED = {
+    "ann-cosine-topk",
+    "ann-ivf-topk",
+    "ann-quantized-topk",
+    "dedup-embedding-cosine",
+    "resample-by-lang",
+    "tfidf-top-terms",
+}
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_slow_paths(spark, name):
+    plan = (
+        REGISTRY[name]
+        .fn(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan, f"[{name}] row-at-a-time Python UDF"
+    assert "CartesianProduct" not in plan, f"[{name}] non-broadcast cross join"
+    if name not in BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"[{name}] unexpected nested-loop join — broadcast-tiny cross "
+            "joins must be allowlisted deliberately"
+        )
