@@ -76,3 +76,25 @@ def test_inference_pandas_matches_jvm(spark):
     a = sorted(map(tuple, q_embed_score_pandas(spark, SF_SMALL).collect()))
     b = sorted(map(tuple, q_embed_score_jvm(spark, SF_SMALL).collect()))
     assert a == b
+
+
+def test_approx_percentile_within_tolerance(spark):
+    """The 100 TB opt-in for value-percentiles: approx_percentile
+    (t-digest, mergeable map-side — no per-group sort) stays within
+    a few percent of the exact interpolated percentile."""
+    from pyspark.sql import functions as F
+
+    from projet_etl_spark.operators.stats import q_value_percentiles
+    from projet_etl_spark.sources.tables import events
+
+    exact = {r.event_type: r.p95 for r in
+             q_value_percentiles(spark, SF_SMALL).collect()}
+    approx = {
+        r.event_type: r.p95a
+        for r in events(spark, SF_SMALL)
+        .groupBy("event_type")
+        .agg(F.expr("approx_percentile(value, 0.95, 1000)").alias("p95a"))
+        .collect()
+    }
+    for k, v in exact.items():
+        assert abs(approx[k] - v) <= 0.05 * max(abs(v), 1e-9), (k, approx[k], v)
