@@ -66,11 +66,21 @@ def write_table(
 ) -> None:
     """Parquet sink with overwrite semantics (reference data.py:41-42
     ``if_exists='replace'``), optionally partitioned by 'yyyy-MM' of a
-    date column for partition pruning at scale."""
+    date column for partition pruning at scale.
+
+    Partitioned writes also sort rows within each task by the date
+    column: inside a month partition the parquet row groups then carry
+    tight min/max stats on the date, so day-level predicates skip row
+    groups the scan never decompresses — the second pruning tier after
+    directory-level partition pruning.
+    """
     writer = df.write.mode(mode)
     if partition_by_month_of is not None:
-        df = df.withColumn(
-            "month", F.date_format(F.col(partition_by_month_of), "yyyy-MM")
+        df = (
+            df.withColumn(
+                "month", F.date_format(F.col(partition_by_month_of), "yyyy-MM")
+            )
+            .sortWithinPartitions("month", partition_by_month_of)
         )
         writer = df.write.mode(mode).partitionBy("month")
     writer.parquet(path)
