@@ -36,6 +36,7 @@ HEADLINE = [
     "dedup-minhash-lsh",
     "dedup-ngram-jaccard",
     "dedup-simhash",
+    "dedup-embedding-lsh",
     "ann-cosine-topk",
     "ann-ivf-topk",
     "text-quality",

@@ -40,6 +40,27 @@ def spark_norm2(a: str, dim: int = DIM) -> Column:
     return reduce(lambda x, y: x + y, terms)
 
 
+def fold_dot(a: str, b: str) -> Column:
+    """Same left-assoc dot product as ``spark_dot`` but as a
+    zip_with + aggregate fold: equal bit-for-bit (0.0 + x == x, then
+    identical term order), yet the expression tree is tiny — 64-term
+    generated sums cost whole-stage codegen tens of seconds of
+    compilation when a plan contains many of them (measured on the
+    16-plane LSH signature)."""
+    return F.aggregate(
+        F.zip_with(
+            F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+def fold_norm2(a: str) -> Column:
+    """``spark_norm2`` as a fold; see ``fold_dot``."""
+    return fold_dot(a, a)
+
+
 def sql_dot(a: str, b: str, dim: int = DIM) -> str:
     return " + ".join(
         f"{a}[{i}]::DOUBLE * {b}[{i}]::DOUBLE" for i in range(1, dim + 1)

@@ -42,6 +42,8 @@ from projet_etl_spark.functions.text import (
 )
 from projet_etl_spark.functions.vectors import (
     cosine,
+    fold_dot,
+    fold_norm2,
     spark_dot,
     spark_norm2,
 )
@@ -284,3 +286,106 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "vec_a", "vec_b", F.round(cos, 6).alias("cos")
     ).filter(F.col("cos") >= COSINE_THRESHOLD)
+
+
+# random-hyperplane (SimHash-for-vectors) LSH over embeddings:
+# 16 signature bits in 4 exact-match bands of 4. Hyperplane weights
+# are small deterministic integers so both engines build the exact
+# same planes.
+RP_BITS = 16
+RP_BAND_BITS = 4
+RP_BANDS = RP_BITS // RP_BAND_BITS
+
+
+def rp_weight(h: int, i: int) -> int:
+    """Weight of 1-based dimension ``i`` in 0-based hyperplane ``h``
+    — pseudo-random in [-5, 5]."""
+    return ((3 * h + 7 * i + 1) % 11) - 5
+
+
+def _rp_band_keys(emb: DataFrame) -> DataFrame:
+    """(vec_id, band, key): 4-bit band values of the 16-bit
+    random-hyperplane signature of column ``v``.
+
+    Each plane's dot product is a zip_with + aggregate fold rather
+    than 64 generated multiply-add terms: 16 generated dots made
+    whole-stage codegen compile for ~27 s (measured, size-independent)
+    while the fold form plans instantly. The fold starts at 0.0 and
+    adds terms left-to-right — the same float association as the
+    oracle's generated sum (0.0 + x == x exactly), and a -0.0/+0.0
+    final difference cannot flip the >= 0 bit test.
+    """
+
+    def dot_h(h: int):
+        w = F.array(
+            *[F.lit(float(rp_weight(h, i))) for i in range(1, 65)]
+        )
+        return F.aggregate(
+            F.zip_with(F.col("v"), w, lambda x, wi: x.cast("double") * wi),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    bits = [
+        F.when(dot_h(h) >= 0, F.lit(1)).otherwise(F.lit(0)).alias(f"b{h}")
+        for h in range(RP_BITS)
+    ]
+    sig = emb.select("vec_id", *bits)
+    bands = [
+        (
+            F.col(f"b{4 * b}") * 8
+            + F.col(f"b{4 * b + 1}") * 4
+            + F.col(f"b{4 * b + 2}") * 2
+            + F.col(f"b{4 * b + 3}")
+        ).alias(f"k{b}")
+        for b in range(RP_BANDS)
+    ]
+    keyed = sig.select("vec_id", *bands)
+    stack = ", ".join(f"{b}, k{b}" for b in range(RP_BANDS))
+    return keyed.selectExpr(
+        "vec_id", f"stack({RP_BANDS}, {stack}) AS (band, key)"
+    )
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via random-hyperplane LSH: candidates
+    share at least one 4-bit signature band, then exact cosine
+    verification at COSINE_THRESHOLD — the scale path next to the
+    exact-quadratic ``dedup-embedding-cosine``.
+
+    At 100 TB the pair search is an equi-join on (band, key) instead
+    of a cross join: cost scales with bucket occupancy, not N². The
+    signature pass is one map-only projection (whole-stage codegen,
+    1024 fused multiply-adds per row, no Python).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    withn = emb.withColumn("n2", fold_norm2("v")).persist()
+    withn.count()  # eager: both verify sides + the band pass reuse it
+    bands = _rp_band_keys(withn)
+    left = bands.select(F.col("vec_id").alias("vec_a"), "band", "key")
+    right = bands.select(F.col("vec_id").alias("vec_b"), "band", "key")
+    cands = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    a = withn.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("n2").alias("na"),
+    )
+    b = withn.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("n2").alias("nb"),
+    )
+    cos = cosine(fold_dot("va", "vb"), F.col("na"), F.col("nb"))
+    return (
+        cands.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos"))
+        .filter(F.col("cos") >= COSINE_THRESHOLD)
+    )

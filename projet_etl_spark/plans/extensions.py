@@ -189,6 +189,48 @@ WHERE a.vec_id < b.vec_id
 """
 )
 
+def _rp_dot_sql(h: int) -> str:
+    return " + ".join(
+        f"embedding[{i}]::DOUBLE * CAST({float(dedup.rp_weight(h, i))!r} AS DOUBLE)"
+        for i in range(1, VEC.DIM + 1)
+    )
+
+
+_RP_BITS_COLS = ",\n           ".join(
+    f"CASE WHEN ({_rp_dot_sql(h)}) >= 0 THEN 1 ELSE 0 END AS b{h}"
+    for h in range(dedup.RP_BITS)
+)
+_RP_BAND_ROWS = "\n    UNION ALL\n    ".join(
+    f"SELECT vec_id, {b} AS band, "
+    f"b{4 * b} * 8 + b{4 * b + 1} * 4 + b{4 * b + 2} * 2 + b{4 * b + 3} AS key "
+    "FROM bits"
+    for b in range(dedup.RP_BANDS)
+)
+_EMB_LSH_SQL = (
+    _E_CTE
+    + f""",
+bits AS (
+    SELECT vec_id,
+           {_RP_BITS_COLS}
+    FROM embeddings
+),
+bands AS (
+    {_RP_BAND_ROWS}
+),
+cand AS (
+    SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+    FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
+    WHERE l.vec_id < r.vec_id
+)
+SELECT vec_a, vec_b,
+       {_sql_cos(VEC.sql_dot('a.v', 'b.v'), 'a.n2', 'b.n2')} AS cos
+FROM cand
+JOIN e a ON vec_a = a.vec_id
+JOIN e b ON vec_b = b.vec_id
+WHERE {_sql_cos(VEC.sql_dot('a.v', 'b.v'), 'a.n2', 'b.n2')} >= {dedup.COSINE_THRESHOLD}
+"""
+)
+
 _ANN_BRUTE_SQL = (
     _E_CTE
     + f""",
@@ -994,6 +1036,12 @@ def build():
             dedup.q_dedup_embedding_cosine,
             _EMB_COS_SQL,
             ("dedup",),
+        ),
+        (
+            "dedup-embedding-lsh",
+            dedup.q_dedup_embedding_lsh,
+            _EMB_LSH_SQL,
+            ("dedup", "ann"),
         ),
         ("ann-cosine-topk", similarity.q_ann_cosine_topk, _ANN_BRUTE_SQL, ("ann",)),
         ("ann-quantized-topk", quantized.q_ann_quantized_topk, _QANN_SQL, ("ann",)),
