@@ -6,8 +6,11 @@
   one groupBy per user, conditional min aggregates, then a global
   rollup — no self-joins, no windows.
 - retention: users grouped by first-active-day cohort x day offset.
-  Two hash aggregations; the cohort join is a broadcast of per-user
-  first days at any scale where users << events.
+  Two hash aggregations; the cohort join is an equi-join on user_id
+  between two already-user-grained sides — per-user state grows with
+  the corpus, so it is NOT forced broadcast (AQE upgrades small
+  cases); both sides arrive partitioned by user_id from their own
+  aggregations, so no extra shuffle either way.
 """
 
 from __future__ import annotations
@@ -71,7 +74,7 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     first_day = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     active = ev.distinct()
     return (
-        active.join(F.broadcast(first_day), "user_id")
+        active.join(first_day, "user_id")
         .select(
             F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
             F.datediff("day", "cohort_day").cast("long").alias("day_offset"),

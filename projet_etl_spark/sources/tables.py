@@ -10,7 +10,10 @@ driver's TPC-H-ish star schema (FIXTURES.md §2):
 Scale notes (100 TB design point):
 - Columns are pruned *before* the joins so the parquet scans read
   only what the view needs (verify with .explain: ReadSchema).
-- ``part`` is a classic small dimension → explicit broadcast hint;
+- ``part`` broadcasts via the auto-broadcast threshold at test
+  SFs — not a forced hint, because part grows linearly with SF
+  and stops being broadcastable at warehouse scale (AQE keeps
+  choosing broadcast exactly as long as it actually fits);
   lineitem⋈orders is a fact-fact equi-join on the natural key — at
   cluster scale both sides should be bucketed by orderkey
   (co-located join, no shuffle); in local runs AQE converts it to a
@@ -82,7 +85,7 @@ def produits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     return (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
         .select(
             F.to_date("l_shipdate").alias("dateid"),
             F.col("l_partkey").alias("prodid"),
@@ -111,7 +114,7 @@ def points_de_vente(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .join(part, lineitem.l_partkey == part.p_partkey)
         .select(
             F.to_date("l_shipdate").alias("dateid"),
             F.col("l_partkey").alias("prodid"),
