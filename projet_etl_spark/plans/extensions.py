@@ -86,7 +86,10 @@ _BAND_SELECTS = "\n    UNION ALL ".join(
     for bi in range(TX.MINHASH_BANDS)
 )
 
-_MINHASH_SQL = (
+# the CTE chain up to `jac` (minhash candidates + exact-jaccard
+# verification) is shared between the pair query and the clusters
+# oracle, which extends it with a recursive connected-components CTE
+_MINHASH_CTES = (
     _SHINGLE_CTES
     + f""",
 hashed AS (
@@ -109,8 +112,38 @@ cands AS (
     + _JACCARD_FROM_CANDS.format(
         extra_join="JOIN cands c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b"
     )
+)
+
+_MINHASH_SQL = (
+    _MINHASH_CTES
     + f"""
 SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {dedup.JACCARD_THRESHOLD}
+"""
+)
+
+# connected components over the minhash near-dup edges as a recursive
+# transitive closure: reach(v, l) holds every label l reachable from
+# v, and MIN(l) per vertex is exactly the fixpoint the Spark side's
+# iterative min-label propagation converges to (operators/clusters.py)
+_CLUSTERS_SQL = (
+    _MINHASH_CTES.replace("\nWITH ", "\nWITH RECURSIVE ", 1)
+    + f""",
+pairs AS (
+    SELECT doc_a, doc_b FROM jac WHERE jaccard >= {dedup.JACCARD_THRESHOLD}
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+    SELECT doc_id AS vertex, doc_id AS label FROM documents
+    UNION
+    SELECT e.src AS vertex, r.label
+    FROM edges e JOIN reach r ON e.dst = r.vertex
+)
+SELECT vertex AS doc_id, MIN(label) AS cluster_id
+FROM reach GROUP BY vertex
 """
 )
 
@@ -180,10 +213,17 @@ def _sql_cos(dot: str, na: str, nb: str) -> str:
 
 _EMB_COS_SQL = (
     _E_CTE
-    + f"""
+    + f""",
+blk AS (
+    -- same bounded deterministic audit block as the Spark side:
+    -- the AUDIT_BLOCK smallest vec_ids by md5 order
+    SELECT vec_id, v, n2 FROM e
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+    LIMIT {dedup.AUDIT_BLOCK}
+)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        {_sql_cos(VEC.sql_dot('a.v', 'b.v'), 'a.n2', 'b.n2')} AS cos
-FROM e a, e b
+FROM blk a, blk b
 WHERE a.vec_id < b.vec_id
   AND {_sql_cos(VEC.sql_dot('a.v', 'b.v'), 'a.n2', 'b.n2')} >= {dedup.COSINE_THRESHOLD}
 """
@@ -1095,9 +1135,9 @@ def build():
         ),
         # rows-only: HLL estimates are engine-specific by design
         ("mag-cat-approx", simple.q_mag_cat_approx, None, ("parity", "approx")),
-        # rows-only: iterative fixpoint (no SQL oracle); validated in
-        # tests against a driver-side union-find
-        ("dedup-clusters", clusters.q_dedup_clusters, None, ("dedup",)),
+        # iterative fixpoint on the Spark side; the oracle states the
+        # same components as a recursive transitive closure
+        ("dedup-clusters", clusters.q_dedup_clusters, _CLUSTERS_SQL, ("dedup",)),
         ("text-scrub-pii", curation.q_text_scrub_pii, _SCRUB_SQL, ("curation",)),
         (
             "events-click-attribution",
