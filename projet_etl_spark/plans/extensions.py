@@ -125,8 +125,15 @@ SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {dedup.JACCARD_THRESHOLD}
 # transitive closure: reach(v, l) holds every label l reachable from
 # v, and MIN(l) per vertex is exactly the fixpoint the Spark side's
 # iterative min-label propagation converges to (operators/clusters.py)
+_RECURSIVE_MINHASH_CTES = _MINHASH_CTES.replace("\nWITH ", "\nWITH RECURSIVE ", 1)
+# Guard the string surgery: if the CTE header ever changes shape the
+# replace would silently no-op and the oracle would become invalid SQL.
+assert "WITH RECURSIVE" in _RECURSIVE_MINHASH_CTES, (
+    "clusters oracle: failed to upgrade minhash CTEs to WITH RECURSIVE"
+)
+
 _CLUSTERS_SQL = (
-    _MINHASH_CTES.replace("\nWITH ", "\nWITH RECURSIVE ", 1)
+    _RECURSIVE_MINHASH_CTES
     + f""",
 pairs AS (
     SELECT doc_a, doc_b FROM jac WHERE jaccard >= {dedup.JACCARD_THRESHOLD}

@@ -1,9 +1,12 @@
 """Connected-components dedup clustering vs a driver-side union-find
-on the same edge set."""
+on the same edge set, plus deep-chain convergence (pointer doubling)
+and loud non-convergence."""
 
 from __future__ import annotations
 
-from projet_etl_spark.operators.clusters import q_dedup_clusters
+import pytest
+
+from projet_etl_spark.operators.clusters import connected_components, q_dedup_clusters
 from projet_etl_spark.operators.dedup import q_dedup_minhash_lsh
 from tests.conftest import SF_SMALL
 
@@ -49,3 +52,38 @@ def test_clusters_match_union_find(spark):
 
     sizes = Counter(got.values())
     assert max(sizes.values()) >= 2
+
+
+def _chain(spark, n):
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "src long, dst long"
+    )
+    vertices = spark.createDataFrame([(i,) for i in range(1, n + 1)], "vertex long")
+    return edges, vertices
+
+
+def test_deep_chain_converges_in_log_rounds(spark):
+    # Diameter-63 chain: plain one-hop propagation needs >30 rounds
+    # (the old 20-round cap silently mislabeled it); pointer doubling
+    # must finish well inside 10.
+    edges, vertices = _chain(spark, 64)
+    labels = connected_components(edges, vertices, max_rounds=10)
+    got = {r.vertex: r.label for r in labels.collect()}
+    assert got == {v: 1 for v in range(1, 65)}
+
+
+def test_unconverged_raises_instead_of_partial_labels(spark):
+    edges, vertices = _chain(spark, 64)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, vertices, max_rounds=3)
+
+
+def test_two_components_and_singletons(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src long, dst long"
+    )
+    vertices = spark.createDataFrame(
+        [(v,) for v in (1, 2, 3, 10, 11, 99)], "vertex long"
+    )
+    got = {r.vertex: r.label for r in connected_components(edges, vertices).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
