@@ -44,7 +44,10 @@ def make_scorer(weights: list[float], bias: float):
             acc = np.zeros(len(pdf), dtype=np.float64)
             for i in range(m.shape[1]):
                 acc = acc + m[:, i] * w[i]
-            s = np.round(acc + bias, 6)
+            # half-away-from-zero to match Spark F.round / DuckDB ROUND;
+            # np.round is half-even and would split on exact midpoints
+            raw = acc + bias
+            s = np.trunc(raw * 1e6 + 0.5 * np.sign(raw)) / 1e6
             yield _pd.DataFrame(
                 {"vec_id": pdf["vec_id"], "score": s, "positive": s > 0}
             )

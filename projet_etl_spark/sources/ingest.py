@@ -121,16 +121,34 @@ def compact(
 
     Returns the number of output files written.
     """
+    import os
+    import shutil
+
+    base = path.rstrip("/")
+    tmp = base + "._compacting"
+    aside = base + "._precompact"
+    # Recover from a previous interrupted swap: data parked aside with
+    # no live directory means the crash hit between the two renames —
+    # restore it. A stale aside next to a live table is a finished
+    # swap whose cleanup died; just clear it.
+    if os.path.exists(aside):
+        if os.path.exists(path):
+            shutil.rmtree(aside)
+        else:
+            os.rename(aside, path)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+
     df = getattr(spark.read, fmt)(path)
     n = df.count()
     n_files = max(1, -(-n // target_rows_per_file))
-    tmp = path.rstrip("/") + "._compacting"
     getattr(df.repartition(n_files).write.mode("overwrite"), fmt)(tmp)
-    # swap directories atomically-ish via the local filesystem
-    import shutil
-
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    # Publish via two metadata-only renames so there is never a window
+    # where the table is gone and unrecoverable: the old data is parked
+    # aside first and only deleted once the new directory is live.
+    os.rename(path, aside)
+    os.rename(tmp, path)
+    shutil.rmtree(aside)
     return n_files
 
 

@@ -54,11 +54,22 @@ def bucketed_sales_join(spark: SparkSession, db: str = "bucketed") -> DataFrame:
 
 
 def salted(df: DataFrame, key: str, n_salts: int, salt_col: str = "_salt") -> DataFrame:
-    """Add a deterministic salt derived from high-entropy columns via
-    a stable hash of the full row key, spreading each hot ``key``
-    value over ``n_salts`` partial groups."""
+    """Spread each hot ``key`` value over ``n_salts`` partial groups.
+
+    The salt must vary WITHIN a key group to be of any use, and
+    full-duplicate rows are a meaningful grain in this data model —
+    hashing the whole row would hand every duplicate the same salt
+    and leave the hot key on one reducer. So the salt hashes the
+    non-key columns plus a per-row ordinal; the ordinal guarantees
+    spread even when rows are bit-identical. Salt values are not
+    stable across repartitionings — fine, because downstream partial
+    aggregation is salt-value-agnostic."""
+    others = [F.col(c) for c in df.columns if c != key]
     return df.withColumn(
-        salt_col, F.pmod(F.xxhash64(*df.columns), F.lit(n_salts))
+        salt_col,
+        F.pmod(
+            F.xxhash64(*others, F.monotonically_increasing_id()), F.lit(n_salts)
+        ),
     )
 
 

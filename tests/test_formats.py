@@ -50,3 +50,33 @@ def test_compact_small_files(spark, tmp_path):
     assert n_files == 1
     assert len(glob.glob(f"{path}/part-*")) == 1
     assert spark.read.parquet(path).count() == 500
+
+
+def test_compact_recovers_interrupted_swap(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "tbl")
+    _docs(spark).repartition(5).write.parquet(path)
+    # simulate a crash between the two publish renames: old data is
+    # parked aside, the live directory is gone
+    os.rename(path, path + "._precompact")
+    assert not os.path.exists(path)
+    n_files = compact(spark, path, target_rows_per_file=10_000)
+    assert n_files == 1
+    assert spark.read.parquet(path).count() == 500
+    assert not os.path.exists(path + "._precompact")
+    assert not os.path.exists(path + "._compacting")
+
+
+def test_compact_clears_stale_aside_and_tmp(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "tbl2")
+    _docs(spark).repartition(3).write.parquet(path)
+    # stale leftovers from a swap whose cleanup died mid-way
+    _docs(spark).limit(10).write.parquet(path + "._precompact")
+    _docs(spark).limit(10).write.parquet(path + "._compacting")
+    compact(spark, path, target_rows_per_file=10_000)
+    assert spark.read.parquet(path).count() == 500
+    assert not os.path.exists(path + "._precompact")
+    assert not os.path.exists(path + "._compacting")

@@ -78,6 +78,34 @@ def test_inference_pandas_matches_jvm(spark):
     assert a == b
 
 
+def test_scorer_rounds_half_away_from_zero():
+    """Exact 6-decimal midpoints must round away from zero (Spark
+    F.round / DuckDB ROUND semantics), not half-even (np.round)."""
+    import numpy as np
+    import pandas as pd
+
+    from projet_etl_spark.functions.vectors import DIM
+    from projet_etl_spark.operators.inference import make_scorer
+
+    # weight only the first dimension; these values scale by 1e6
+    # exactly in float64 so they are true midpoints
+    w = [1.0] + [0.0] * (DIM - 1)
+    score = make_scorer(w, bias=0.0)
+    mids = [2.5e-6, -2.5e-6, 1.5e-6, 0.1234565]
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(len(mids)),
+            "embedding": [[v] + [0.0] * (DIM - 1) for v in mids],
+        }
+    )
+    (out,) = score(iter([pdf]))
+    got = list(out["score"])
+    want = [3e-6, -3e-6, 2e-6, 0.123457]  # away from zero at the midpoint
+    assert got == want, (got, want)
+    # np.round would have given half-even 2e-6 / -2e-6 for the first two
+    assert np.round(2.5e-6, 6) == 2e-6
+
+
 def test_approx_percentile_within_tolerance(spark):
     """The 100 TB opt-in for value-percentiles: approx_percentile
     (t-digest, mergeable map-side — no per-group sort) stays within

@@ -9,6 +9,7 @@ from projet_etl_spark.sources.warehouse import (
     bucketed_sales_join,
     bucketize_star,
     explain_has_shuffle_above_scan,
+    salted,
     salted_count,
 )
 from tests.conftest import SF_SMALL
@@ -50,3 +51,14 @@ def test_salted_count_matches_plain(spark):
         (r.l_suppkey, r.n) for r in salted_count(df, "l_suppkey", n_salts=8).collect()
     }
     assert got == want
+
+
+def test_salt_spreads_full_duplicate_rows(spark):
+    # a hot key whose rows are bit-identical (a real grain here) must
+    # still fan out over multiple salts — hashing the whole row would
+    # put all 400 copies on one reducer
+    df = spark.createDataFrame([(7, "same")] * 400, "k long, v string")
+    n_salts = salted(df, "k", n_salts=8).select("_salt").distinct().count()
+    assert n_salts >= 4
+    counts = {(r.k, r.n) for r in salted_count(df, "k", n_salts=8).collect()}
+    assert counts == {(7, 400)}
