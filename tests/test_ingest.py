@@ -38,6 +38,67 @@ def test_whitespace_csv_roundtrip(spark, tmp_path):
     assert not table_exists(spark, str(tmp_path / "nope"))
 
 
+def test_cli_ingest_end_to_end(spark, tmp_path):
+    """python -m projet_etl_spark.ingest semantics: reference-shaped
+    CSVs -> partitioned warehouse -> parity query vs DuckDB on the
+    ingested parquet (the migrating user's full path)."""
+    import random
+
+    import duckdb
+
+    from projet_etl_spark.api import run_query
+    from projet_etl_spark.ingest import main
+    from tests.conftest import assert_matches_oracle
+
+    rng = random.Random(11)
+    prod_lines = ["DateID  ProdID CatID  FabID"]
+    pv_lines = ["dateID ProdID  CatID FabID   MagID"]
+    for _ in range(300):
+        d = f"2022{rng.randint(1, 3):02d}{rng.randint(1, 28):02d}"
+        prodid = rng.randint(1, 30)
+        catid, fabid = 1 + prodid % 4, 1 + prodid % 6
+        prod_lines.append(f"{d}  {prodid}   {catid} {fabid}")
+        pv_lines.append(f"{d} {prodid}  {catid}   {fabid}  {rng.randint(1, 9)}")
+    (tmp_path / "produits-tous.csv").write_text("\n".join(prod_lines) + "\n")
+    (tmp_path / "pointsDeVente-tous.csv").write_text("\n".join(pv_lines) + "\n")
+
+    wh = str(tmp_path / "wh")
+    assert main([str(tmp_path), wh], spark=spark) == 0
+
+    df = run_query(
+        spark, wh, "top-magasins-cat", catID=1, debut="2022-01-01", fin="2022-03-31"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW points_de_vente AS SELECT dateid, prodid, catid, fabid, magid"
+        f" FROM read_parquet('{wh}/points_de_vente/*/*.parquet')"
+    )
+    assert_matches_oracle(
+        df,
+        con,
+        """
+        SELECT magid,
+               COUNT(DISTINCT fabid) AS total_fabricants,
+               COUNT(DISTINCT prodid) AS total_produits,
+               COUNT(*) AS total_ventes,
+               (COUNT(DISTINCT fabid) * CAST(0.1 AS DOUBLE)
+                + COUNT(DISTINCT prodid) * CAST(0.3 AS DOUBLE)
+                + COUNT(*) * CAST(0.6 AS DOUBLE)) AS score
+        FROM points_de_vente
+        WHERE catid = 1 AND dateid BETWEEN DATE '2022-01-01' AND DATE '2022-03-31'
+        GROUP BY magid ORDER BY score DESC, magid LIMIT 10
+        """,
+        "cli-ingest",
+    )
+    con.close()
+
+
+def test_cli_ingest_missing_inputs(tmp_path):
+    from projet_etl_spark.ingest import main
+
+    assert main([str(tmp_path), str(tmp_path / "wh")], spark=object()) == 2
+
+
 def test_header_validation(spark, tmp_path):
     src = tmp_path / "bad.csv"
     src.write_text("dateid prodid WAT\n20220101 1 2\n")
