@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from projet_etl_spark.cache import eager_persist
 from projet_etl_spark.functions.text import (
     MINHASH_BANDS,
     MINHASH_PERMS,
@@ -130,8 +131,7 @@ def _jaccard_pairs(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (threshold 0.8)."""
-    sh = _doc_shingles(spark, sf_dir).persist()
-    sh.count()
+    sh = eager_persist(_doc_shingles(spark, sf_dir))
     return _jaccard_pairs(sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
@@ -181,22 +181,19 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     otherwise race on the cold cache and each rematerializes the
     whole shingle pipeline (measured: 9 redundant 33-task jobs).
     """
-    sh = _doc_shingles(spark, sf_dir).persist()
-    sh.count()
+    sh = eager_persist(_doc_shingles(spark, sf_dir))
     bands = _minhash_band_keys(sh)
     left = bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
     right = bands.select(F.col("doc_id").alias("doc_b"), "band", "key")
     # the candidate set is tiny but feeds three subtrees (both sides
     # of the doc filter + the verification join); persist so the
     # band self-join runs once
-    cands = (
+    cands = eager_persist(
         left.join(right, ["band", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
-        .persist()
     )
-    cands.count()
     return _jaccard_pairs(sh, pairs=cands).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )
@@ -380,8 +377,8 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").alias("v")
     )
-    withn = emb.withColumn("n2", fold_norm2("v")).persist()
-    withn.count()  # eager: both verify sides + the band pass reuse it
+    # eager: both verify sides + the band pass reuse it
+    withn = eager_persist(emb.withColumn("n2", fold_norm2("v")))
     bands = _rp_band_keys(withn)
     left = bands.select(F.col("vec_id").alias("vec_a"), "band", "key")
     right = bands.select(F.col("vec_id").alias("vec_b"), "band", "key")

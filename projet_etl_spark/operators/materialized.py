@@ -30,11 +30,30 @@ from projet_etl_spark.sources.tables import points_de_vente
 _ROLLUP_CACHE: dict[str, DataFrame] = {}
 
 
+def invalidate_rollups() -> int:
+    """Unpersist and forget every materialized rollup (the refresh
+    hook; also called by cache.release_caches). Returns the number of
+    entries dropped."""
+    n = 0
+    for rollup in _ROLLUP_CACHE.values():
+        try:
+            rollup.unpersist()
+            n += 1
+        except Exception:
+            pass
+    _ROLLUP_CACHE.clear()
+    return n
+
+
 def monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(catid, fabid, magid, mois) -> n_ventes, built once per
-    warehouse per session (the stand-in for a nightly-refreshed
-    rollup table; a deployment would write it partitioned by mois)."""
-    key = f"{id(spark)}:{sf_dir}"
+    warehouse per application (the stand-in for a nightly-refreshed
+    rollup table; a deployment would write it partitioned by mois).
+
+    Keyed by applicationId, not id(spark): Python id values are
+    reused after GC, which could hand a rebuilt warehouse a stale
+    DataFrame bound to a stopped context."""
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}"
     if key not in _ROLLUP_CACHE:
         rollup = (
             points_de_vente(spark, sf_dir)

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from projet_etl_spark.cache import eager_persist, lazy_persist
 from projet_etl_spark.functions.vectors import cosine, spark_dot, spark_norm2
 from projet_etl_spark.sources.tables import load_table
 
@@ -71,7 +72,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-10: assign vectors to nearest medoid cell, probe the
     NPROBE nearest cells per query, exact re-rank inside them."""
     base = _emb_with_norm(spark, sf_dir)
-    cents = F.broadcast(_centroids(base).persist())
+    cents = F.broadcast(lazy_persist(_centroids(base)))
 
     # coarse assignment: nearest cell per vector — argmax via max_by
     # over a (similarity, -cell) struct (deterministic tiebreak on
@@ -82,7 +83,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the assignment IS the IVF index — a built artifact feeding three
     # subtrees (query set, probe ranking, candidate lookup); persist
     # eagerly exactly as a real deployment materializes the index
-    assigned = (
+    assigned = eager_persist(
         base.crossJoin(cents)
         .withColumn("simc", sim_to_cent)
         .groupBy("vec_id")
@@ -93,9 +94,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cell", F.struct(F.col("simc"), (-F.col("cell")).alias("negc"))
             ).alias("cell"),
         )
-        .persist()
     )
-    assigned.count()
 
     # queries probe their NPROBE nearest cells
     queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
