@@ -1,14 +1,18 @@
 """Pre-aggregated monthly rollup — the materialized-view pattern.
 
-At 100 TB the monthly time-series queries (score-evolution,
-nb-mag-cat-date) must not scan raw facts: a rollup at
-(catid, fabid, magid, month) grain with additive measures answers
-them exactly —
+At 100 TB the monthly queries (score-evolution, nb-mag-cat-date,
+top-magasins) must not scan raw facts: a rollup at
+(catid, fabid, prodid, magid, month) grain with additive measures
+answers them exactly —
 
 - counts/sums re-aggregate losslessly across any sub-grouping,
-- distinct counts over dimensions RETAINED IN THE ROLLUP KEY
-  (magid here) stay exact: COUNT(DISTINCT magid) over rollup rows
-  equals it over raw rows.
+- distinct counts over dimensions RETAINED IN THE ROLLUP KEY stay
+  exact: COUNT(DISTINCT x) over rollup rows equals it over raw rows.
+
+The grain keeps every dimension and collapses only the date to
+month — that alone shrinks the fact table by the average rows per
+(combo, month), while answering every whole-month query in the
+parity surface byte-identically.
 
 (The general case — distinct over a rolled-away dimension — needs
 HLL sketches; that path is the `mag-cat-approx` opt-in.)
@@ -46,7 +50,7 @@ def invalidate_rollups() -> int:
 
 
 def monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(catid, fabid, magid, mois) -> n_ventes, built once per
+    """(catid, fabid, prodid, magid, mois) -> n_ventes, built once per
     warehouse per application (the stand-in for a nightly-refreshed
     rollup table; a deployment would write it partitioned by mois).
 
@@ -58,7 +62,11 @@ def monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         rollup = (
             points_de_vente(spark, sf_dir)
             .groupBy(
-                "catid", "fabid", "magid", month_key(F.col("dateid")).alias("mois")
+                "catid",
+                "fabid",
+                "prodid",
+                "magid",
+                month_key(F.col("dateid")).alias("mois"),
             )
             .agg(F.count(F.lit(1)).alias("n_ventes"))
             .persist()
@@ -66,6 +74,62 @@ def monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         rollup.count()
         _ROLLUP_CACHE[key] = rollup
     return _ROLLUP_CACHE[key]
+
+
+def _month_bounds(debut: str, fin: str) -> tuple[str, str]:
+    """Validate a [debut, fin] range covers whole months and return
+    the inclusive month keys; month-grain filtering is only exact on
+    whole-month ranges."""
+    import datetime
+
+    lo = datetime.date.fromisoformat(str(debut))
+    hi = datetime.date.fromisoformat(str(fin))
+    if lo.day != 1 or (hi + datetime.timedelta(days=1)).day != 1:
+        raise ValueError(
+            f"rollup twin needs whole-month bounds, got {debut}..{fin}"
+        )
+    return str(lo)[:7], str(hi)[:7]
+
+
+def q_top_magasins_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    debut: str | None = None,
+    fin: str | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """top-magasins answered from the rollup (same oracle as the raw
+    query). Every score input survives the rollup exactly: the three
+    distinct counts are over key dimensions, and total_ventes is the
+    sum of the additive per-month counts."""
+    from projet_etl_spark.functions.scores import score4
+
+    debut = debut or DEFAULTS["debut"]
+    fin = fin or DEFAULTS["fin"]
+    k = k or DEFAULTS["topk"]
+    lo, hi = _month_bounds(debut, fin)
+    agg = (
+        monthly_rollup(spark, sf_dir)
+        .filter(F.col("mois").between(lo, hi))
+        .groupBy("magid")
+        .agg(
+            F.countDistinct("fabid").alias("total_fabricants"),
+            F.countDistinct("catid").alias("total_categories"),
+            F.countDistinct("prodid").alias("total_produits"),
+            F.sum("n_ventes").alias("total_ventes"),
+        )
+        .withColumn(
+            "score",
+            score4(
+                F.col("total_fabricants"),
+                F.col("total_categories"),
+                F.col("total_produits"),
+                F.col("total_ventes"),
+            ),
+        )
+    )
+    return agg.orderBy(F.desc("score"), F.asc("magid")).limit(k)
 
 
 def q_score_evolution_rollup(

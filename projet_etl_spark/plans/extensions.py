@@ -1168,6 +1168,12 @@ def build():
             ("materialized",),
         ),
         (
+            "top-magasins-rollup",
+            materialized.q_top_magasins_rollup,
+            PARITY_ORACLES["top-magasins"],
+            ("materialized",),
+        ),
+        (
             "events-value-bands",
             rangejoin.q_events_value_bands,
             _RANGE_SQL,
