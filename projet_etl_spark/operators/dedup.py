@@ -280,6 +280,13 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale-safe), and the pair scan broadcasts one copy of the block,
     so the nested-loop side is statically bounded at ~2 MB.
 
+    NOTE on recall comparisons: above AUDIT_BLOCK vectors this audit
+    covers only the sampled block while the LSH path scans the full
+    table, so "exact baseline" claims must first intersect the LSH
+    pairs with the block: LSH ∩ block ⊆ these results (asserted by
+    tests/test_scale_patterns.py::test_lsh_pairs_within_block_are_in_cosine_audit);
+    LSH pairs outside the block are invisible here by design.
+
     Bit-exact across engines: the dot/norm sums are explicit
     left-associated 64-term expressions (functions/vectors.py).
     """

@@ -86,6 +86,37 @@ def write_table(
     writer.parquet(path)
 
 
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    properties: dict[str, str] | None = None,
+    num_partitions: int | None = None,
+) -> None:
+    """SQL-database sink — parity with the reference's ``to_sql`` into
+    SQLite (reference data.py:41-42, ``if_exists='replace'``).
+
+    Thin wrapper over Spark's JDBC writer: the target database's JDBC
+    driver jar must be on the executor classpath (``spark.jars`` /
+    ``--packages``); this container ships no driver jars, so calls
+    here surface the JVM's "No suitable driver" error (the wrapper is
+    exercised by a test that asserts exactly that). ``num_partitions``
+    caps concurrent connections — a 1000-executor cluster writing
+    through one JDBC endpoint must throttle, not open one connection
+    per task.
+    """
+    writer = df.coalesce(num_partitions) if num_partitions else df
+    (
+        writer.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .options(**(properties or {}))
+        .mode(mode)
+        .save()
+    )
+
+
 def read_jsonl(
     spark: SparkSession, path: str, schema: T.StructType
 ) -> DataFrame:

@@ -10,6 +10,7 @@ from projet_etl_spark.sources.ingest import (
     compact,
     read_jsonl,
     read_orc,
+    write_jdbc,
     write_jsonl,
     write_orc,
 )
@@ -39,6 +40,21 @@ def test_jsonl_roundtrip(spark, tmp_path):
     back = read_jsonl(spark, path, STAR_SCHEMAS["documents"])
     assert back.count() == src.count()
     assert {r.doc_id for r in back.collect()} == {r.doc_id for r in src.collect()}
+
+
+def test_write_jdbc_surfaces_missing_driver(spark, tmp_path):
+    """No JDBC driver jars ship in this container, so the wrapper must
+    surface the JVM's driver resolution error (with a jar on the
+    classpath the same call writes the table — see docstring)."""
+    import pytest
+
+    with pytest.raises(Exception, match="(?i)driver|jdbc"):
+        write_jdbc(
+            _docs(spark).limit(5),
+            f"jdbc:sqlite:{tmp_path}/out.db",
+            "documents",
+            num_partitions=1,
+        )
 
 
 def test_compact_small_files(spark, tmp_path):

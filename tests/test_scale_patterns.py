@@ -106,6 +106,39 @@ def test_scorer_rounds_half_away_from_zero():
     assert np.round(2.5e-6, 6) == 2e-6
 
 
+def test_lsh_pairs_within_block_are_in_cosine_audit(spark):
+    """The recall contract between the two embedding-dedup paths:
+    every LSH pair whose BOTH endpoints fall inside the cosine audit
+    block must appear in the exact audit results (outside the block
+    the audit is blind by design — comparisons must intersect)."""
+    from pyspark.sql import functions as F
+
+    from projet_etl_spark.operators.dedup import (
+        AUDIT_BLOCK,
+        q_dedup_embedding_cosine,
+        q_dedup_embedding_lsh,
+    )
+    from projet_etl_spark.sources.tables import load_table
+
+    block = {
+        r.vec_id
+        for r in load_table(spark, SF_SMALL, "embeddings")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(AUDIT_BLOCK)
+        .collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b) for r in q_dedup_embedding_lsh(spark, SF_SMALL).collect()
+    }
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in q_dedup_embedding_cosine(spark, SF_SMALL).collect()
+    }
+    in_block = {p for p in lsh if p[0] in block and p[1] in block}
+    assert in_block, "expected some LSH pairs inside the audit block"
+    assert in_block <= exact
+
+
 def test_approx_percentile_within_tolerance(spark):
     """The 100 TB opt-in for value-percentiles: approx_percentile
     (t-digest, mergeable map-side — no per-group sort) stays within
