@@ -38,6 +38,7 @@ HEADLINE = [
     "dedup-ngram-jaccard",
     "dedup-simhash",
     "dedup-embedding-lsh",
+    "decontaminate-ngram",
     "ann-cosine-topk",
     "ann-ivf-topk",
     "text-quality",

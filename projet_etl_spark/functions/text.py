@@ -61,6 +61,18 @@ def shingles3(toks: Column) -> Column:
     return F.array_distinct(F.when(F.size(toks) >= 3, make).otherwise(empty))
 
 
+def shingles_k(toks: Column, k: int) -> Column:
+    """Distinct word k-grams; empty array when fewer than k tokens.
+    ``shingles3`` is the k=3 special case kept for the dedup family;
+    decontamination uses longer grams (short grams over-flag)."""
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+    )
+    empty = F.array().cast("array<string>")
+    return F.array_distinct(F.when(F.size(toks) >= k, make).otherwise(empty))
+
+
 def portable_hash60(s: Column) -> Column:
     """Deterministic cross-engine 60-bit hash of a string.
 
@@ -88,5 +100,15 @@ SQL_SHINGLES = (
     "i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2]))"
 )
 SQL_HASH60 = "(('0x' || substr(md5({col}), 1, 15))::BIGINT)"
+
+
+def sql_shingles_k(t: str, k: int) -> str:
+    """DuckDB twin of shingles_k: range() is end-exclusive so an
+    undersized token list yields an empty gram list without a guard."""
+    terms = " || ' ' || ".join(f"{t}[i+{j}]" for j in range(k))
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({t}) - {k - 2}, 1)), i -> {terms}))"
+    )
 SQL_H30 = f"({SQL_HASH60} % {H30_MOD})"
 SQL_NORMALIZED = "regexp_replace(lower(trim({col})), '\\s+', ' ', 'g')"

@@ -121,3 +121,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("vertex").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus: one representative per near-dup
+    cluster — the min doc_id, which is exactly the cluster label —
+    with the number of documents it stands for. This is the view a
+    training pipeline actually materializes after clustering
+    (keep-one-per-cluster); n_docs = 1 rows are the singletons."""
+    labels = q_dedup_clusters(spark, sf_dir)
+    return labels.groupBy(F.col("cluster_id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

@@ -24,6 +24,7 @@ from projet_etl_spark.operators import (
     asof,
     clusters,
     corpus,
+    decontam,
     dedup,
     events_windows,
     materialized,
@@ -153,6 +154,33 @@ SELECT vertex AS doc_id, MIN(label) AS cluster_id
 FROM reach GROUP BY vertex
 """
 )
+
+# the deduplicated corpus = one row per cluster label (the min doc_id
+# representative) with its member count
+_CANONICAL_SQL = f"""
+SELECT cluster_id AS doc_id, COUNT(*) AS n_docs
+FROM ({_CLUSTERS_SQL}) c
+GROUP BY cluster_id
+"""
+
+# --- decontamination oracle ------------------------------------------
+
+_DECONTAM_SHINGLES = TX.sql_shingles_k("t", decontam.CONTAM_K)
+_DECONTAM_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, {_TOK} AS t FROM documents
+),
+sh AS (
+    SELECT doc_id, unnest({_DECONTAM_SHINGLES}) AS s FROM tok
+),
+ev AS (
+    SELECT DISTINCT s FROM sh WHERE doc_id < {decontam.EVAL_DOCS}
+)
+SELECT a.doc_id, COUNT(*) AS n_overlap
+FROM sh a JOIN ev ON a.s = ev.s
+WHERE a.doc_id >= {decontam.EVAL_DOCS}
+GROUP BY a.doc_id
+"""
 
 _NGRAM_SQL = (
     _SHINGLE_CTES
@@ -1145,6 +1173,13 @@ def build():
         # iterative fixpoint on the Spark side; the oracle states the
         # same components as a recursive transitive closure
         ("dedup-clusters", clusters.q_dedup_clusters, _CLUSTERS_SQL, ("dedup",)),
+        ("dedup-canonical", clusters.q_dedup_canonical, _CANONICAL_SQL, ("dedup",)),
+        (
+            "decontaminate-ngram",
+            decontam.q_decontaminate_ngram,
+            _DECONTAM_SQL,
+            ("curation",),
+        ),
         ("text-scrub-pii", curation.q_text_scrub_pii, _SCRUB_SQL, ("curation",)),
         (
             "events-click-attribution",
