@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup-simhash",
     "dedup-embedding-lsh",
     "decontaminate-ngram",
+    "pack-sequences",
     "ann-cosine-topk",
     "ann-ivf-topk",
     "text-quality",

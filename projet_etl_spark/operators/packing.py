@@ -1,0 +1,55 @@
+"""Greedy sequence packing: assign documents to fixed token-budget
+training packs.
+
+Pre-training dataloaders concatenate documents and cut the stream
+into fixed-length sequences; a document belongs to the pack where
+its first token lands (documents may straddle pack boundaries —
+that is the real concat-then-chunk behavior, not a bin-packing
+approximation of it). The distributed form shards the corpus by a
+portable hash of doc_id and packs within each shard over a
+deterministic doc_id order, so the window function is
+partition-local (never a single global sort) and the resulting
+packing is reproducible run-to-run at any parallelism. At 100 TB the
+shard count scales with the cluster; each shard's running sum is one
+partition-local cumulative window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from projet_etl_spark.functions.text import portable_hash60, tokens
+from projet_etl_spark.sources.tables import load_table
+
+N_SHARDS = 8
+PACK_BUDGET = 2048  # tokens per training sequence
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shard, n_tokens, start_tok, pack_id): where each doc's
+    tokens begin in its shard's concatenated stream and which
+    fixed-budget pack that start falls into."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        (portable_hash60(F.col("doc_id").cast("string")) % F.lit(N_SHARDS)).alias(
+            "shard"
+        ),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    started = base.withColumn(
+        "start_tok", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return started.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "start_tok",
+        F.expr(f"start_tok div {PACK_BUDGET}").alias("pack_id"),
+    )

@@ -30,6 +30,7 @@ from projet_etl_spark.operators import (
     materialized,
     multimodal,
     olap,
+    packing,
     similarity,
     simple,
     textstats,
@@ -154,6 +155,33 @@ SELECT vertex AS doc_id, MIN(label) AS cluster_id
 FROM reach GROUP BY vertex
 """
 )
+
+# --- sequence-packing oracle -----------------------------------------
+# same hash-shard + partition-local cumulative window on both sides;
+# DuckDB's windowed SUM promotes to HUGEINT, hence the BIGINT casts
+_PACK_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, {_TOK} AS t FROM documents
+),
+base AS (
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           ({TX.SQL_HASH60.format(col="CAST(doc_id AS VARCHAR)")}
+            % {packing.N_SHARDS}) AS shard
+    FROM tok
+),
+started AS (
+    SELECT doc_id, shard, n_tokens,
+           CAST(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - n_tokens AS BIGINT) AS start_tok
+    FROM base
+)
+SELECT doc_id, shard, n_tokens, start_tok,
+       start_tok // {packing.PACK_BUDGET} AS pack_id
+FROM started
+"""
 
 # the deduplicated corpus = one row per cluster label (the min doc_id
 # representative) with its member count
@@ -1180,6 +1208,7 @@ def build():
             _DECONTAM_SQL,
             ("curation",),
         ),
+        ("pack-sequences", packing.q_pack_sequences, _PACK_SQL, ("curation",)),
         ("text-scrub-pii", curation.q_text_scrub_pii, _SCRUB_SQL, ("curation",)),
         (
             "events-click-attribution",
