@@ -96,3 +96,57 @@ def test_whitespace_csv_roundtrip_random(spark, tmp_path_factory, rows, seps):
         [(r.dateid, r.prodid, r.catid, r.fabid) for r in df.collect()]
     )
     assert got == sorted(rows)
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab c\tx"),  # forces token boundary cases
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.integers(2, 6),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_shingles_k_matches_duckdb(spark, texts, k):
+    """shingles_k and sql_shingles_k must produce identical distinct
+    k-gram sets for arbitrary whitespace-mangled text — the parity the
+    decontamination oracle rests on."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from projet_etl_spark.functions.text import (
+        SQL_TOKENS,
+        shingles_k,
+        sql_shingles_k,
+        tokens,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: sorted(r.sh)
+        for r in df.select(
+            "doc_id", tokens(F.col("text")).alias("t")
+        ).select("doc_id", shingles_k(F.col("t"), k).alias("sh")).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, ?)" for i in range(len(texts)))
+        + ") v(doc_id, text)",
+        list(texts),
+    )
+    tok = SQL_TOKENS.format(col="text")
+    want = {
+        r[0]: sorted(r[1])
+        for r in con.execute(
+            f"SELECT doc_id, {sql_shingles_k(f'({tok})', k)} FROM documents"
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
