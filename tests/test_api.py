@@ -52,3 +52,41 @@ def test_unknown_param_rejected(spark):
 def test_missing_store_404(spark, tmp_path):
     with pytest.raises(StoreNotFoundError):
         run_query(spark, str(tmp_path / "nowhere"), "cat", catID="Brand#4")
+
+
+def test_query_cli_json_roundtrip(spark, capsys):
+    import json
+
+    from projet_etl_spark.query import main
+
+    rc = main(
+        [
+            "top-magasins-cat",
+            "--sf-dir",
+            SF_SMALL,
+            "--param",
+            "catID=Brand#4",
+            "--param",
+            "debut=1996-01-01",
+            "--param",
+            "fin=1997-12-31",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    recs = json.loads(capsys.readouterr().out)
+    assert 0 < len(recs) <= 10
+    assert set(recs[0]) == {
+        "magid", "total_fabricants", "total_produits", "total_ventes", "score",
+    }
+
+
+def test_query_cli_error_codes(spark, tmp_path, capsys):
+    from projet_etl_spark.query import main
+
+    assert main(["nope", "--sf-dir", SF_SMALL], spark=spark) == 4  # 400
+    assert (
+        main(["cat", "--sf-dir", str(tmp_path / "nowhere")], spark=spark) == 44
+    )  # 404
+    assert main(["cat", "--sf-dir", SF_SMALL, "--param", "junk"], spark=spark) == 2
+    capsys.readouterr()  # drain stderr
