@@ -44,6 +44,7 @@ HEADLINE = [
     "ann-ivf-topk",
     "text-quality",
     "text-lang-id",
+    "text-repetition",
     "events-tumbling-1h",
     "events-sliding-1h-30m",
     "events-session",

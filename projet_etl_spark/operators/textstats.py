@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from projet_etl_spark.functions.text import fingerprint, tokens
+from projet_etl_spark.functions.text import fingerprint, shingles3, tokens
 from projet_etl_spark.sources.tables import load_table
 
 # small fixed stopword lists for the lang-id heuristic; the zh signal
@@ -44,6 +44,37 @@ def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.length("text").cast("long").alias("n_chars_obs"),
         F.size(toks).cast("long").alias("n_tokens"),
+    )
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition: the fraction of word-3-gram
+    occurrences that are repeats of an earlier 3-gram in the same
+    document (the Gopher/C4-style "repetitious text" quality rule —
+    boilerplate and degenerate generations score high). Map-only:
+    total 3-gram slots minus distinct 3-grams, over total slots;
+    docs too short for a 3-gram score 0."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    )
+    total = F.greatest(F.size("t") - 2, F.lit(0)).cast("long")
+    staged = docs.select(
+        "doc_id",
+        total.alias("n_grams"),
+        F.size(shingles3(F.col("t"))).cast("long").alias("n_distinct"),
+    )
+    return staged.select(
+        "doc_id",
+        "n_grams",
+        "n_distinct",
+        F.round(
+            F.coalesce(
+                (F.col("n_grams") - F.col("n_distinct"))
+                / F.nullif(F.col("n_grams"), F.lit(0)),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("rep_ratio"),
     )
 
 

@@ -156,6 +156,24 @@ FROM reach GROUP BY vertex
 """
 )
 
+# --- repetition oracle -----------------------------------------------
+_SHINGLE_LIST = TX.SQL_SHINGLES.format(t="t")
+_REPETITION_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, {_TOK} AS t FROM documents
+),
+staged AS (
+    SELECT doc_id,
+           CAST(greatest(len(t) - 2, 0) AS BIGINT) AS n_grams,
+           CAST(len({_SHINGLE_LIST}) AS BIGINT) AS n_distinct
+    FROM tok
+)
+SELECT doc_id, n_grams, n_distinct,
+       ROUND(COALESCE((n_grams - n_distinct) / NULLIF(n_grams, 0),
+                      CAST(0 AS DOUBLE)), 6) AS rep_ratio
+FROM staged
+"""
+
 # --- sequence-packing oracle -----------------------------------------
 # same hash-shard + partition-local cumulative window on both sides;
 # DuckDB's windowed SUM promotes to HUGEINT, hence the BIGINT casts
@@ -1209,6 +1227,7 @@ def build():
             ("curation",),
         ),
         ("pack-sequences", packing.q_pack_sequences, _PACK_SQL, ("curation",)),
+        ("text-repetition", textstats.q_text_repetition, _REPETITION_SQL, ("text",)),
         ("text-scrub-pii", curation.q_text_scrub_pii, _SCRUB_SQL, ("curation",)),
         (
             "events-click-attribution",
