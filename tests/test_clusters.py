@@ -78,6 +78,28 @@ def test_unconverged_raises_instead_of_partial_labels(spark):
         connected_components(edges, vertices, max_rounds=3)
 
 
+def test_random_graphs_match_union_find(spark):
+    """Pointer doubling on random graphs (including multi-component,
+    self-loop and duplicate-edge shapes) must agree with union-find."""
+    import random
+
+    rng = random.Random(17)
+    for trial in range(5):
+        n = rng.randint(2, 40)
+        m = rng.randint(1, 60)
+        edges = [
+            (rng.randint(1, n), rng.randint(1, n)) for _ in range(m)
+        ]
+        e_df = spark.createDataFrame(edges, "src long, dst long")
+        v_df = spark.createDataFrame([(v,) for v in range(1, n + 1)], "vertex long")
+        got = {
+            r.vertex: r.label for r in connected_components(e_df, v_df).collect()
+        }
+        want = _union_find(edges)
+        for v in range(1, n + 1):
+            assert got[v] == want.get(v, v), (trial, v, got[v], want.get(v, v))
+
+
 def test_two_components_and_singletons(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11)], "src long, dst long"
