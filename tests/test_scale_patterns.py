@@ -106,6 +106,27 @@ def test_scorer_rounds_half_away_from_zero():
     assert np.round(2.5e-6, 6) == 2e-6
 
 
+def test_new_curation_ops_prune_scans(spark):
+    """decontaminate-ngram and pack-sequences must read only
+    (doc_id, text) from the documents scan, and decontamination's
+    eval side must be the broadcast build side."""
+    from projet_etl_spark.operators.decontam import q_decontaminate_ngram
+    from projet_etl_spark.operators.packing import q_pack_sequences
+
+    for q in (q_decontaminate_ngram, q_pack_sequences):
+        plan = _formatted_plan(q(spark, SF_SMALL))
+        scan_lines = [
+            l for l in plan.splitlines() if "ReadSchema" in l
+        ]
+        assert scan_lines, plan
+        for line in scan_lines:
+            assert "doc_id" in line and "text" in line, line
+            # the wide columns stay out of the scan
+            assert "lang" not in line and "source" not in line, line
+    plan = _formatted_plan(q_decontaminate_ngram(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+
+
 def test_lsh_pairs_within_block_are_in_cosine_audit(spark):
     """The recall contract between the two embedding-dedup paths:
     every LSH pair whose BOTH endpoints fall inside the cosine audit
