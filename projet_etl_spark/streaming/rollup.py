@@ -48,15 +48,37 @@ def rollup_counts(facts: DataFrame) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_ventes"))
 
 
+GRAIN = ("catid", "fabid", "prodid", "magid", "mois")
+
+
 def upsert_rollup_batch(batch_df: DataFrame, out_path: str) -> None:
-    """foreachBatch body: overwrite only the month partitions this
-    micro-batch touched (dynamic partition overwrite), leaving all
-    other months untouched — the per-month refresh unit of a 100 TB
-    rollup table."""
+    """foreachBatch body: merge updated grains into the rollup table,
+    rewriting only the month partitions this micro-batch touched
+    (dynamic partition overwrite) — the per-month refresh unit of a
+    100 TB rollup table.
+
+    An update-mode aggregation emits only the grains a batch CHANGED,
+    so a naive partition overwrite would drop that month's unchanged
+    grains; the merge keeps existing rows the update doesn't replace
+    and overwrites the rest. The batch must be materialized before
+    the overwrite (it reads the table it rewrites); the touched-month
+    list is a driver-side collect bounded by months-per-batch, the
+    standard partition-management pattern."""
+    import os
+
+    from pyspark.sql import functions as F
+
     spark = batch_df.sparkSession
+    batch_df = batch_df.localCheckpoint()  # cut the self-read dependency
+    months = [r.mois for r in batch_df.select("mois").distinct().collect()]
+    if not months:
+        return
+    out = batch_df
+    if os.path.exists(out_path):
+        existing = spark.read.parquet(out_path).filter(F.col("mois").isin(months))
+        kept = existing.join(
+            batch_df.select(*GRAIN), list(GRAIN), "left_anti"
+        ).localCheckpoint()
+        out = kept.unionByName(batch_df)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        batch_df.write.mode("overwrite")
-        .partitionBy("mois")
-        .parquet(out_path)
-    )
+    out.write.mode("overwrite").partitionBy("mois").parquet(out_path)

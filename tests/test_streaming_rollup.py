@@ -65,6 +65,50 @@ def test_stream_rollup_equals_batch(spark, tmp_path):
     assert jan and jan[0][5] == 3
 
 
+def test_foreachbatch_upsert_stream_with_restart(spark, tmp_path):
+    """The deployment shape: update-mode rollup stream draining
+    through the foreachBatch merge-upsert with a checkpoint. The
+    final table must equal the batch rollup, per-month partitions of
+    unchanged grains must survive partial updates, and a restart with
+    no new input must change nothing."""
+    import time
+
+    src = str(tmp_path / "pdv_stream_in")
+    out = str(tmp_path / "rollup_out")
+    ckpt = str(tmp_path / "rollup_ckpt")
+    _facts(spark, _BATCH1).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    _facts(spark, _BATCH2).coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        q = (
+            rollup_counts(read_pdv_stream(spark, src, max_files_per_trigger=1))
+            .writeStream.foreachBatch(
+                lambda df, _epoch: upsert_rollup_batch(df, out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    want = sorted(
+        tuple(r)
+        for r in rollup_counts(_facts(spark, _BATCH1 + _BATCH2))
+        # parquet partitioning reads mois back as the last column
+        .select("catid", "fabid", "prodid", "magid", "n_ventes", "mois")
+        .collect()
+    )
+    assert got == want
+
+    # restart on the same checkpoint with no new files: no change
+    drain()
+    assert sorted(tuple(r) for r in spark.read.parquet(out).collect()) == got
+
+
 def test_upsert_refreshes_only_touched_months(spark, tmp_path):
     out = str(tmp_path / "rollup_tbl")
     upsert_rollup_batch(rollup_counts(_facts(spark, _BATCH1)), out)
