@@ -45,6 +45,7 @@ HEADLINE = [
     "text-quality",
     "text-lang-id",
     "text-repetition",
+    "quality-filter-per-lang",
     "events-tumbling-1h",
     "events-sliding-1h-30m",
     "events-session",

@@ -148,6 +148,41 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select("doc_id", "cjk_chars", pred.alias("pred_lang"))
 
 
+KEEP_FRAC = 0.5  # survivor fraction per language
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-stratified selection: keep the top KEEP_FRAC of
+    documents per language by quality score — the corpus-filtering
+    step that actually consumes the quality signals. Stratifying by
+    language keeps the cut from silently purging low-resource
+    languages (an unstratified global cut would, because the
+    stopword-based score is calibrated per language).
+
+    Scale shape: one partition-local ranked window per language —
+    the partition key is the stratum, never a global sort; ties are
+    broken by doc_id so the cut is deterministic at any parallelism.
+    """
+    from pyspark.sql import Window
+
+    scored = (
+        q_text_quality(spark, sf_dir)
+        .select("doc_id", "quality")
+        .join(load_table(spark, sf_dir, "documents").select("doc_id", "lang"), "doc_id")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("quality"), F.asc("doc_id"))
+    ranked = scored.select(
+        "doc_id",
+        "lang",
+        "quality",
+        F.row_number().over(w).cast("long").alias("lang_rank"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n_lang"),
+    )
+    return ranked.filter(
+        F.col("lang_rank") <= F.ceil(F.col("n_lang") * F.lit(KEEP_FRAC))
+    ).select("doc_id", "lang", "quality", "lang_rank")
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint (md5 of normalized text) per document."""
     docs = load_table(spark, sf_dir, "documents")

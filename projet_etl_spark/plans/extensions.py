@@ -156,6 +156,28 @@ FROM reach GROUP BY vertex
 """
 )
 
+# --- quality-stratified filter oracle --------------------------------
+# reuses the full quality query as a CTE so the score definitions
+# cannot drift between the signal and the selection
+_QUALITY_FILTER_SQL_TEMPLATE = """
+WITH qx AS ({quality}),
+scored AS (
+    SELECT q.doc_id, d.lang, q.quality
+    FROM qx q JOIN documents d ON q.doc_id = d.doc_id
+),
+ranked AS (
+    SELECT doc_id, lang, quality,
+           ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY quality DESC, doc_id
+           ) AS lang_rank,
+           COUNT(*) OVER (PARTITION BY lang) AS n_lang
+    FROM scored
+)
+SELECT doc_id, lang, quality, lang_rank
+FROM ranked
+WHERE lang_rank <= ceil(n_lang * {keep})
+"""
+
 # --- repetition oracle -----------------------------------------------
 _SHINGLE_LIST = TX.SQL_SHINGLES.format(t="t")
 _REPETITION_SQL = f"""
@@ -1228,6 +1250,14 @@ def build():
         ),
         ("pack-sequences", packing.q_pack_sequences, _PACK_SQL, ("curation",)),
         ("text-repetition", textstats.q_text_repetition, _REPETITION_SQL, ("text",)),
+        (
+            "quality-filter-per-lang",
+            textstats.q_quality_filter,
+            _QUALITY_FILTER_SQL_TEMPLATE.format(
+                quality=_QUALITY_SQL, keep=textstats.KEEP_FRAC
+            ),
+            ("curation", "text"),
+        ),
         ("text-scrub-pii", curation.q_text_scrub_pii, _SCRUB_SQL, ("curation",)),
         (
             "events-click-attribution",
