@@ -79,6 +79,28 @@ def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blobs.mapInPandas(make_byte_features(), schema=FEATURE_SCHEMA)
 
 
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binary dedup: bitwise-identical payloads collapse to one
+    representative — the content-hash image/audio dedup step, which
+    needs no codec at all. JVM-side md5 over the binary column (no
+    Python anywhere), one hash-groupBy — the same scale shape as
+    dedup-exact, but on raw bytes rather than normalized text."""
+    blobs = binary_table(spark, sf_dir).select("doc_id", "payload")
+    return (
+        blobs.select(
+            "doc_id",
+            F.md5("payload").alias("content_hash"),
+            F.length("payload").cast("long").alias("n_bytes"),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+        )
+    )
+
+
 FRAME_SCHEMA = "doc_id long, frame_idx long, frame_chars long, frame_fp string"
 N_FRAMES = 4
 

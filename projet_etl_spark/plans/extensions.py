@@ -156,6 +156,18 @@ FROM reach GROUP BY vertex
 """
 )
 
+# --- multimodal binary dedup oracle ----------------------------------
+# the payload is encode(text, UTF-8), so DuckDB's md5/strlen over the
+# varchar see the identical bytes
+_MM_DEDUP_SQL = """
+SELECT md5(text) AS content_hash,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS dup_count,
+       CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes
+FROM documents
+GROUP BY 1
+"""
+
 # --- quality-stratified filter oracle --------------------------------
 # reuses the full quality query as a CTE so the score definitions
 # cannot drift between the signal and the selection
@@ -1229,6 +1241,12 @@ def build():
             multimodal.q_multimodal_frame_sample,
             _FRAME_SQL,
             ("multimodal",),
+        ),
+        (
+            "multimodal-dedup",
+            multimodal.q_multimodal_dedup,
+            _MM_DEDUP_SQL,
+            ("multimodal", "dedup"),
         ),
         (
             "pipeline-corpus-stats",
