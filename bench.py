@@ -59,6 +59,7 @@ HEADLINE = [
     "top-unshipped-orders",
     "corr-qty-price",
     "daily-moving-avg",
+    "events-anomalies",
     "tfidf-top-terms",
     "embed-score-pandas",
     "funnel-signup-click-purchase",

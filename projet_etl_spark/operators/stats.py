@@ -40,6 +40,36 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Z_THRESHOLD = 3.0
+
+
+def q_events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers: events whose value deviates more
+    than Z_THRESHOLD population standard deviations from their event
+    type's mean — the standard metric-monitoring shape.
+
+    Moments are exact decimal sums (associative, bit-identical at any
+    parallelism — the corr-qty-price discipline; value is 2-decimal
+    money so decimal(18,2)/(18,4) hold it exactly), the per-type
+    moment table is broadcast (cardinality = event types, fixed), and
+    the per-row z is one deterministic double expression, so both
+    engines flag the identical event set."""
+    ev = events(spark, sf_dir).select("event_id", "event_type", "value")
+    x = F.col("value").cast("decimal(18,2)")
+    xx = (F.col("value") * F.col("value")).cast("decimal(18,4)")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(xx).cast("double").alias("sxx"),
+    )
+    j = ev.join(F.broadcast(m), "event_type")
+    mean = F.col("sx") / F.col("n")
+    z = (F.col("value") - mean) / F.sqrt(F.col("sxx") / F.col("n") - mean * mean)
+    return j.select(
+        "event_id", "event_type", "value", F.round(z, 6).alias("z")
+    ).filter(F.abs(F.col("z")) > F.lit(Z_THRESHOLD))
+
+
 def q_events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day counts pivoted into one column per event type."""
     ev = events(spark, sf_dir).select(

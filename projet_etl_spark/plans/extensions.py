@@ -33,6 +33,7 @@ from projet_etl_spark.operators import (
     packing,
     similarity,
     simple,
+    stats,
     textstats,
 )
 from projet_etl_spark.plans.oracles import PARITY_ORACLES
@@ -155,6 +156,24 @@ SELECT vertex AS doc_id, MIN(label) AS cluster_id
 FROM reach GROUP BY vertex
 """
 )
+
+# --- z-score anomaly oracle ------------------------------------------
+# identical moment casts and expression association as the Spark plan
+_ANOMALY_SQL = f"""
+WITH m AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(value * value AS DECIMAL(18,4))) AS DOUBLE) AS sxx
+    FROM events GROUP BY event_type
+)
+SELECT * FROM (
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND((e.value - m.sx / m.n)
+                 / sqrt(m.sxx / m.n - (m.sx / m.n) * (m.sx / m.n)), 6) AS z
+    FROM events e JOIN m ON e.event_type = m.event_type
+) s WHERE abs(z) > {stats.Z_THRESHOLD}
+"""
 
 # --- multimodal binary dedup oracle ----------------------------------
 # the payload is encode(text, UTF-8), so DuckDB's md5/strlen over the
@@ -654,8 +673,6 @@ WHERE (('0x' || substr(md5(d.text), 1, 15))::BIGINT % 100) < q.keep_pct
 """
 
 # --- stats / reshaping oracles --------------------------------------
-
-from projet_etl_spark.operators import stats  # noqa: E402
 
 _PCTL_SQL = """
 SELECT event_type,
@@ -1317,6 +1334,7 @@ def build():
         ("events-pivot-daily", stats.q_events_pivot_daily, _PIVOT_SQL, ("stats",)),
         ("bigrams-top50", stats.q_bigrams_top, _BIGRAM_SQL, ("stats",)),
         ("daily-moving-avg", stats.q_daily_moving_avg, _MOVING_AVG_SQL, ("stats", "windows")),
+        ("events-anomalies", stats.q_events_anomalies, _ANOMALY_SQL, ("stats",)),
         ("revenue-by-nation", star.q_revenue_by_nation, _Q5_SQL, ("join", "olap")),
         ("tfidf-top-terms", textstats.q_tfidf_top_terms, _TFIDF_SQL, ("text",)),
         (
