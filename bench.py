@@ -53,6 +53,7 @@ HEADLINE = [
     "events-asof-click",
     "events-value-bands",
     "multimodal-bytes",
+    "multimodal-dedup",
     "pipeline-corpus-stats",
     "revenue-by-nation",
     "pricing-summary",

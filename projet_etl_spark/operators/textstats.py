@@ -159,9 +159,12 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     languages (an unstratified global cut would, because the
     stopword-based score is calibrated per language).
 
-    Scale shape: one partition-local ranked window per language —
-    the partition key is the stratum, never a global sort; ties are
-    broken by doc_id so the cut is deterministic at any parallelism.
+    Scale shape: this exact form ranks each language in one window
+    partition — the oracle-able baseline, same trade as
+    value-percentiles. At 100 TB swap in the approx twin below
+    (``q_quality_filter_approx``): a t-digest quality threshold per
+    language is mergeable map-side state with no per-stratum sort,
+    and the filter itself is map-only.
     """
     from pyspark.sql import Window
 
@@ -181,6 +184,30 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(
         F.col("lang_rank") <= F.ceil(F.col("n_lang") * F.lit(KEEP_FRAC))
     ).select("doc_id", "lang", "quality", "lang_rank")
+
+
+def q_quality_filter_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of the stratified quality cut: an
+    approx_percentile (t-digest — mergeable, map-side partials, no
+    per-group sort) threshold per language, broadcast back, then a
+    map-only filter. Estimates are engine-specific, so this twin is
+    tolerance-tested against the exact cut (pytest) instead of
+    oracle-hashed."""
+    from pyspark.sql import functions as F2
+
+    scored = (
+        q_text_quality(spark, sf_dir)
+        .select("doc_id", "quality")
+        .join(load_table(spark, sf_dir, "documents").select("doc_id", "lang"), "doc_id")
+    )
+    thresholds = scored.groupBy("lang").agg(
+        F2.approx_percentile("quality", 1.0 - KEEP_FRAC).alias("q_min")
+    )
+    return (
+        scored.join(F2.broadcast(thresholds), "lang")
+        .filter(F2.col("quality") >= F2.col("q_min"))
+        .select("doc_id", "lang", "quality")
+    )
 
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -160,6 +160,21 @@ def test_lsh_pairs_within_block_are_in_cosine_audit(spark):
     assert in_block <= exact
 
 
+def test_quality_filter_approx_overlaps_exact(spark):
+    """The t-digest-threshold quality cut (the 100 TB path) must
+    substantially agree with the exact per-language ranked cut."""
+    from projet_etl_spark.operators.textstats import (
+        q_quality_filter,
+        q_quality_filter_approx,
+    )
+
+    exact = {r.doc_id for r in q_quality_filter(spark, SF_SMALL).collect()}
+    approx = {r.doc_id for r in q_quality_filter_approx(spark, SF_SMALL).collect()}
+    assert exact and approx
+    overlap = len(exact & approx) / len(exact)
+    assert overlap >= 0.9, (overlap, len(exact), len(approx))
+
+
 def test_approx_percentile_within_tolerance(spark):
     """The 100 TB opt-in for value-percentiles: approx_percentile
     (t-digest, mergeable map-side — no per-group sort) stays within
