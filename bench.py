@@ -1,4 +1,4 @@
-"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+"""Benchmark harness: runs EVERY registry query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
 "queries": {...}, "sf": ...}.
@@ -6,6 +6,19 @@ ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
 Each query is fully executed (collect) so the timing covers scan ->
 shuffle -> result, not just plan construction. A warmup query runs
 first so JVM/codegen startup doesn't pollute q1.
+
+Statistical discipline (round-4): a single timing of a 0.5-2 s query
+in local mode swings +/-30-130% (stage-launch overhead, codegen
+compile, GC), so the whole suite runs $SPARK_GRAFT_BENCH_REPS full
+passes (default 3) and each query reports the MINIMUM across passes
+("queries"), with the max-min spread alongside ("spread") so
+run-to-run noise is visible instead of masquerading as a plan
+regression. Tracked operator caches are released between passes
+(each pass re-does its eager persists); the materialized rollups are
+staged once before timing and kept, because rollup *build* is refresh
+cost, not query cost. "value" stays the sum over the HEADLINE list
+(comparable with earlier rounds); "tier2_total" covers the rest of
+the registry so no query is perf-invisible.
 """
 
 from __future__ import annotations
@@ -70,14 +83,19 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = None
     spark = get_spark(app_name="projet-etl-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    from projet_etl_spark.cache import release_caches
+
     qs = queries()
-    names = [n for n in HEADLINE if n in qs]
+    headline = [n for n in HEADLINE if n in qs]
+    tier2 = [n for n in qs if n not in HEADLINE]
+    names = headline + tier2
 
     # warmup: JVM + whole-stage codegen + parquet footer cache
     qs[names[0]](spark, sf_dir).collect()
@@ -87,13 +105,19 @@ def main() -> None:
 
     monthly_rollup(spark, sf_dir)
 
-    timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(reps):
+        # drop per-query eager persists so every pass re-does its own
+        # materialization work; keep the staged rollups (refresh cost)
+        release_caches(rollups=False)
+        for name in names:
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).collect()
+            samples[name].append(time.perf_counter() - t0)
 
-    total = round(sum(timings.values()), 4)
+    timings = {n: round(min(ts), 4) for n, ts in samples.items()}
+    spread = {n: round(max(ts) - min(ts), 4) for n, ts in samples.items()}
+    total = round(sum(timings[n] for n in headline), 4)
     print(
         json.dumps(
             {
@@ -101,6 +125,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "reps": reps,
+                "tier2_total": round(sum(timings[n] for n in tier2), 4),
                 "sf": sf,
             }
         )

@@ -19,12 +19,29 @@ from pyspark.sql import DataFrame
 
 _TRACKED: list[DataFrame] = []
 
+# A long-lived query service that never calls release_caches() must
+# not accumulate an unbounded driver-side list (each entry pins a
+# py4j handle even after its storage blocks are LRU-evicted). Past
+# this cap the oldest tracked persist is dropped eagerly —
+# unpersisting is always safe (dependent plans recompute).
+_MAX_TRACKED = 256
+
+
+def _track(df: DataFrame) -> None:
+    _TRACKED.append(df)
+    while len(_TRACKED) > _MAX_TRACKED:
+        old = _TRACKED.pop(0)
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+
 
 def eager_persist(df: DataFrame) -> DataFrame:
     """persist + materialize now (count) + register for release."""
     df = df.persist()
     df.count()
-    _TRACKED.append(df)
+    _track(df)
     return df
 
 
@@ -32,14 +49,17 @@ def lazy_persist(df: DataFrame) -> DataFrame:
     """persist without forcing materialization (for frames consumed
     by exactly one downstream job, e.g. a broadcast side) + register."""
     df = df.persist()
-    _TRACKED.append(df)
+    _track(df)
     return df
 
 
-def release_caches() -> int:
-    """Unpersist every tracked intermediate (and the materialized
-    rollups); returns how many cache entries were dropped. Safe to
-    call anytime — plans referencing a released cache recompute."""
+def release_caches(rollups: bool = True) -> int:
+    """Unpersist every tracked intermediate (and, unless
+    ``rollups=False``, the materialized rollups); returns how many
+    cache entries were dropped. Safe to call anytime — plans
+    referencing a released cache recompute. ``rollups=False`` is for
+    callers (e.g. the bench harness) that staged the rollups
+    deliberately and only want per-query intermediates dropped."""
     n = 0
     for df in _TRACKED:
         try:
@@ -49,7 +69,8 @@ def release_caches() -> int:
             # a stopped SparkContext can't unpersist — nothing to free
             pass
     _TRACKED.clear()
-    from projet_etl_spark.operators import materialized
+    if rollups:
+        from projet_etl_spark.operators import materialized
 
-    n += materialized.invalidate_rollups()
+        n += materialized.invalidate_rollups()
     return n

@@ -22,19 +22,36 @@ from pyspark.sql import functions as F
 from projet_etl_spark.functions.text import portable_hash60, tokens
 from projet_etl_spark.sources.tables import load_table
 
+# Registry/oracle fixture shard count. The operator itself takes
+# n_shards (defaulting to the cluster's defaultParallelism, so the
+# packing parallelism scales with the cluster); the registry entry
+# pins this constant so the DuckDB oracle — generated from the same
+# constant — stays in lockstep.
 N_SHARDS = 8
 PACK_BUDGET = 2048  # tokens per training sequence
 
 
-def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_pack_sequences(
+    spark: SparkSession, sf_dir: str, n_shards: int | None = None
+) -> DataFrame:
     """(doc_id, shard, n_tokens, start_tok, pack_id): where each doc's
     tokens begin in its shard's concatenated stream and which
-    fixed-budget pack that start falls into."""
+    fixed-budget pack that start falls into.
+
+    ``n_shards`` controls the packing parallelism (how many
+    independent concatenated streams exist); ``None`` derives it from
+    ``sparkContext.defaultParallelism`` so a bigger cluster packs in
+    proportionally more, smaller shards. The shard assignment is a
+    deterministic hash of doc_id, so the output is reproducible for a
+    given shard count — but different shard counts are different
+    (equally valid) packings."""
+    if n_shards is None:
+        n_shards = spark.sparkContext.defaultParallelism
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id",
         F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
-        (portable_hash60(F.col("doc_id").cast("string")) % F.lit(N_SHARDS)).alias(
+        (portable_hash60(F.col("doc_id").cast("string")) % F.lit(int(n_shards))).alias(
             "shard"
         ),
     )

@@ -53,7 +53,15 @@ def q_events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     money so decimal(18,2)/(18,4) hold it exactly), the per-type
     moment table is broadcast (cardinality = event types, fixed), and
     the per-row z is one deterministic double expression, so both
-    engines flag the identical event set."""
+    engines flag the identical event set.
+
+    The naive-form variance sxx/n - mean² can land a hair below zero
+    on a near-constant stratum (catastrophic cancellation); Spark's
+    sqrt(negative) is NaN — which compares GREATER than any value, so
+    |z| > 3 would emit spurious rows — while DuckDB's sqrt(negative)
+    errors out. Clamping with greatest(var, 0) and pre-filtering
+    var > 0 on BOTH sides removes the divergence: degenerate strata
+    produce no anomalies in either engine."""
     ev = events(spark, sf_dir).select("event_id", "event_type", "value")
     x = F.col("value").cast("decimal(18,2)")
     xx = (F.col("value") * F.col("value")).cast("decimal(18,4)")
@@ -64,10 +72,21 @@ def q_events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = ev.join(F.broadcast(m), "event_type")
     mean = F.col("sx") / F.col("n")
-    z = (F.col("value") - mean) / F.sqrt(F.col("sxx") / F.col("n") - mean * mean)
-    return j.select(
-        "event_id", "event_type", "value", F.round(z, 6).alias("z")
-    ).filter(F.abs(F.col("z")) > F.lit(Z_THRESHOLD))
+    var = F.greatest(
+        F.col("sxx") / F.col("n") - mean * mean, F.lit(0.0)
+    )
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        j.select(
+            "event_id",
+            "event_type",
+            "value",
+            var.alias("var"),
+            F.round(z, 6).alias("z"),
+        )
+        .filter((F.col("var") > F.lit(0.0)) & (F.abs(F.col("z")) > F.lit(Z_THRESHOLD)))
+        .drop("var")
+    )
 
 
 def q_events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:

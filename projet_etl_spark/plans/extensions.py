@@ -158,7 +158,9 @@ FROM reach GROUP BY vertex
 )
 
 # --- z-score anomaly oracle ------------------------------------------
-# identical moment casts and expression association as the Spark plan
+# identical moment casts and expression association as the Spark plan;
+# the GREATEST clamp + var > 0 pre-filter mirror the Spark plan's
+# cancellation guard (Spark sqrt(neg)=NaN vs DuckDB sqrt(neg)=error)
 _ANOMALY_SQL = f"""
 WITH m AS (
     SELECT event_type,
@@ -167,12 +169,15 @@ WITH m AS (
            CAST(SUM(CAST(value * value AS DECIMAL(18,4))) AS DOUBLE) AS sxx
     FROM events GROUP BY event_type
 )
-SELECT * FROM (
+SELECT event_id, event_type, value, z FROM (
     SELECT e.event_id, e.event_type, e.value,
+           GREATEST(m.sxx / m.n - (m.sx / m.n) * (m.sx / m.n),
+                    CAST(0 AS DOUBLE)) AS var,
            ROUND((e.value - m.sx / m.n)
-                 / sqrt(m.sxx / m.n - (m.sx / m.n) * (m.sx / m.n)), 6) AS z
+                 / sqrt(GREATEST(m.sxx / m.n - (m.sx / m.n) * (m.sx / m.n),
+                                 CAST(0 AS DOUBLE))), 6) AS z
     FROM events e JOIN m ON e.event_type = m.event_type
-) s WHERE abs(z) > {stats.Z_THRESHOLD}
+) s WHERE var > CAST(0 AS DOUBLE) AND abs(z) > {stats.Z_THRESHOLD}
 """
 
 # --- multimodal binary dedup oracle ----------------------------------
@@ -229,8 +234,14 @@ FROM staged
 
 # --- sequence-packing oracle -----------------------------------------
 # same hash-shard + partition-local cumulative window on both sides;
-# DuckDB's windowed SUM promotes to HUGEINT, hence the BIGINT casts
-_PACK_SQL = f"""
+# DuckDB's windowed SUM promotes to HUGEINT, hence the BIGINT casts.
+# Generated per shard count so tests can verify non-default packings;
+# the registry fixture pins packing.N_SHARDS on both sides.
+
+
+def pack_sql(n_shards: int) -> str:
+    """DuckDB oracle for q_pack_sequences at a given shard count."""
+    return f"""
 WITH tok AS (
     SELECT doc_id, {_TOK} AS t FROM documents
 ),
@@ -238,7 +249,7 @@ base AS (
     SELECT doc_id,
            CAST(len(t) AS BIGINT) AS n_tokens,
            ({TX.SQL_HASH60.format(col="CAST(doc_id AS VARCHAR)")}
-            % {packing.N_SHARDS}) AS shard
+            % {int(n_shards)}) AS shard
     FROM tok
 ),
 started AS (
@@ -253,6 +264,19 @@ SELECT doc_id, shard, n_tokens, start_tok,
        start_tok // {packing.PACK_BUDGET} AS pack_id
 FROM started
 """
+
+
+_PACK_SQL = pack_sql(packing.N_SHARDS)
+
+
+def _q_pack_sequences_fixture(spark, sf_dir):
+    """(doc_id, shard, n_tokens, start_tok, pack_id): where each doc's
+    tokens begin in its shard's concatenated stream and which
+    fixed-budget pack that start falls into (registry fixture: shard
+    count pinned to packing.N_SHARDS so the oracle stays in lockstep;
+    direct callers of q_pack_sequences get a cluster-derived
+    default)."""
+    return packing.q_pack_sequences(spark, sf_dir, n_shards=packing.N_SHARDS)
 
 # the deduplicated corpus = one row per cluster label (the min doc_id
 # representative) with its member count
@@ -1283,7 +1307,7 @@ def build():
             _DECONTAM_SQL,
             ("curation",),
         ),
-        ("pack-sequences", packing.q_pack_sequences, _PACK_SQL, ("curation",)),
+        ("pack-sequences", _q_pack_sequences_fixture, _PACK_SQL, ("curation",)),
         ("text-repetition", textstats.q_text_repetition, _REPETITION_SQL, ("text",)),
         (
             "quality-filter-per-lang",

@@ -32,16 +32,42 @@ def read_whitespace_csv(
     Column order comes from the file header (lowercased,
     reference data.py:9-10); types come from ``schema`` (DateType
     fields are parsed from ``date_format`` ints, data.py:13-14).
+
+    Multi-file inputs (a directory or glob) are supported only when
+    every file carries the SAME header tokens: each file's first line
+    is probed driver-side (one line per file — the same O(#files)
+    driver cost as the file listing itself) and a mismatch raises
+    instead of silently splicing columns in the wrong order. Header
+    rows are removed by token equality, so per-file header copies
+    disappear regardless of whitespace variations. Probing opens
+    local paths; URI-scheme paths (s3://, hdfs://) keep the
+    single-header contract by documentation — port the probe to the
+    Hadoop FileSystem API when running against an object store.
     """
+    header_lines = _probe_first_lines(path)
+    headers = {tuple(line.strip().split()) for line in header_lines.values()}
+    if len(headers) > 1:
+        detail = {f: line.strip() for f, line in sorted(header_lines.items())}
+        raise ValueError(
+            f"files under {path!r} disagree on the header line — "
+            f"refusing to splice columns: {detail}"
+        )
+
     raw = spark.read.text(path)
-    header_line = raw.limit(1).collect()[0][0]
-    names = [c.lower() for c in header_line.strip().split()]
+    if headers:
+        header_toks = list(next(iter(headers)))
+    else:  # non-probeable path: fall back to the first line of the input
+        header_toks = raw.limit(1).collect()[0][0].strip().split()
+    names = [c.lower() for c in header_toks]
     by_name = {f.name.lower(): f for f in schema.fields}
     unknown = [n for n in names if n not in by_name]
     if unknown:
         raise ValueError(f"header columns {unknown} not in schema")
 
     toks = F.split(F.trim(F.col("value")), r"\s+")
+    is_header = F.transform(toks, lambda x: F.lower(x)) == F.array(
+        *[F.lit(n) for n in names]
+    )
     cols = []
     for i, name in enumerate(names):
         field = by_name[name]
@@ -52,10 +78,40 @@ def read_whitespace_csv(
             col = raw_col.cast(field.dataType)
         cols.append(col.alias(name))
     return (
-        raw.filter(F.col("value") != F.lit(header_line))
+        raw.filter(~is_header)
         .filter(F.trim(F.col("value")) != "")
         .select(*cols)
     )
+
+
+def _probe_first_lines(path: str) -> dict[str, str]:
+    """First line of every local file the path denotes (file, dir, or
+    glob); empty dict when the path isn't locally probeable (URI
+    scheme) — callers then fall back to first-line-of-input."""
+    import glob
+    import os
+    import re
+
+    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", path):
+        return {}
+    p = path[len("file:"):] if path.startswith("file:") else path
+    if os.path.isdir(p):
+        files = sorted(
+            f
+            for f in glob.glob(os.path.join(p, "*"))
+            if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
+        )
+    elif any(ch in p for ch in "*?["):
+        files = sorted(f for f in glob.glob(p) if os.path.isfile(f))
+    elif os.path.isfile(p):
+        files = [p]
+    else:
+        return {}
+    out: dict[str, str] = {}
+    for f in files:
+        with open(f, encoding="utf-8", errors="replace") as fh:
+            out[f] = fh.readline().rstrip("\n")
+    return out
 
 
 def write_table(

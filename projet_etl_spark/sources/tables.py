@@ -40,9 +40,28 @@ def events(spark: SparkSession, sf_dir: str) -> DataFrame:
     runtime-settable) and rebuild microsecond timestamps. ``div``
     floors like DuckDB's ns->us truncation, so both engines see the
     identical microsecond instant.
+
+    The legacy conf is scoped to this read (set, resolve the scan,
+    restore): the parquet relation captures the conversion when
+    ``spark.read.parquet`` resolves the footer schema, and execution
+    of the returned plan stays valid after the restore (verified by
+    tests/test_formats.py::test_events_conf_scoped). Other
+    nanos-timestamp parquet reads in the same session keep Spark's
+    default loud failure instead of silently changing type.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    try:
+        prev: str | None = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, "true")
+    try:
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 

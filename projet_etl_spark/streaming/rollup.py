@@ -80,5 +80,13 @@ def upsert_rollup_batch(batch_df: DataFrame, out_path: str) -> None:
             batch_df.select(*GRAIN), list(GRAIN), "left_anti"
         ).localCheckpoint()
         out = kept.unionByName(batch_df)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    out.write.mode("overwrite").partitionBy("mois").parquet(out_path)
+    # per-writer option, NOT a session conf: a session-wide "dynamic"
+    # would silently turn later full-replace writes (e.g. ingest
+    # write_table re-runs, which rely on static overwrite semantics)
+    # into partial partition merges that keep stale months around
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("mois")
+        .parquet(out_path)
+    )

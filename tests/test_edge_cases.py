@@ -214,3 +214,51 @@ def test_moving_avg_frame(spark):
     # frame holds the three distinct days present, not ten calendar days
     assert by_day["2024-01-10"].avg_7d == pytest.approx((1 + 1 + 2) / 3)
     assert by_day["2024-01-10"].cume_n == 4
+
+
+def test_anomalies_degenerate_stratum_no_nan(spark, tmp_path):
+    """A constant stratum whose naive variance lands BELOW zero in
+    doubles (catastrophic cancellation: 0.01 x 3 gives -1.4e-20) must
+    produce no anomaly rows — without the greatest(var,0) clamp +
+    var>0 pre-filter, Spark emits NaN z rows (NaN compares greater
+    than 3) while DuckDB's sqrt(negative) errors out (ADVICE r3)."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from projet_etl_spark.operators.stats import q_events_anomalies
+    from projet_etl_spark.plans.extensions import _ANOMALY_SQL
+
+    rows = [("flat", 0.01)] * 3 + [("mix", 1.0)] * 30 + [("mix", 100.0)]
+    n = len(rows)
+    table = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(
+                [1_700_000_000_000_000_000 + i for i in range(n)],
+                pa.timestamp("ns"),
+            ),
+            "user_id": pa.array([1] * n, pa.int64()),
+            "event_type": pa.array([t for t, _ in rows]),
+            "value": pa.array([v for _, v in rows], pa.float64()),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+
+    df = q_events_anomalies(spark, str(tmp_path))
+    got = df.collect()
+    assert got, "the genuine mix-stratum outlier must still be flagged"
+    assert all(r.event_type == "mix" for r in got), got
+    assert not any(math.isnan(r.z) for r in got), got
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    try:
+        assert_matches_oracle(df, con, _ANOMALY_SQL, name="anomalies-degenerate")
+    finally:
+        con.close()

@@ -21,6 +21,31 @@ def _docs(spark):
     return spark.read.parquet(f"{SF_SMALL}/documents.parquet")
 
 
+def test_events_conf_scoped(spark, tmp_path):
+    """events() must not leak nanosAsLong into the session: a normal
+    TIMESTAMP(MICROS) parquet read AFTER events() keeps its
+    TimestampType (under a leaked conf it would silently become
+    long), while the events plan itself stays executable."""
+    import datetime
+
+    from pyspark.sql.types import LongType, TimestampType
+
+    from projet_etl_spark.sources.tables import events
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    ev = events(spark, SF_SMALL)
+    assert spark.conf.get(key) == "false", "conf leaked out of events()"
+    assert ev.count() > 0  # plan valid after the restore
+    assert isinstance(ev.schema["ts"].dataType, TimestampType)
+
+    path = str(tmp_path / "micros_ts")
+    spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1, 12, 0, 0),)], "t timestamp"
+    ).write.parquet(path)
+    t = spark.read.parquet(path).schema["t"].dataType
+    assert isinstance(t, TimestampType) and not isinstance(t, LongType)
+
+
 def test_orc_roundtrip(spark, tmp_path):
     src = _docs(spark)
     path = str(tmp_path / "docs_orc")

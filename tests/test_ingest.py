@@ -38,6 +38,40 @@ def test_whitespace_csv_roundtrip(spark, tmp_path):
     assert not table_exists(spark, str(tmp_path / "nope"))
 
 
+def test_multi_file_dir_same_header(spark, tmp_path):
+    """A directory of CSVs sharing one header parses as their union,
+    with every file's header row removed — even when the header's
+    internal whitespace differs between files (token equality, not
+    line equality)."""
+    d = tmp_path / "csvdir"
+    d.mkdir()
+    (d / "a.csv").write_text(CSV)
+    (d / "b.csv").write_text(
+        "DateID ProdID CatID FabID\n20220201 4 30 300\n"
+    )
+    df = read_whitespace_csv(spark, str(d), PRODUITS_SCHEMA)
+    rows = df.collect()
+    assert len(rows) == 4
+    assert {r.prodid for r in rows} == {1, 2, 3, 4}
+    assert all(r.dateid is not None for r in rows)
+
+
+def test_multi_file_dir_differing_headers_raise(spark, tmp_path):
+    """Files that disagree on the header must raise loudly instead of
+    silently splicing columns in one file's order (VERDICT r3
+    'What's wrong #3')."""
+    import pytest
+
+    d = tmp_path / "csvdir"
+    d.mkdir()
+    (d / "a.csv").write_text(CSV)
+    (d / "b.csv").write_text(
+        "ProdID DateID CatID FabID\n4 20220201 30 300\n"
+    )
+    with pytest.raises(ValueError, match="disagree on the header"):
+        read_whitespace_csv(spark, str(d), PRODUITS_SCHEMA)
+
+
 def test_cli_ingest_end_to_end(spark, tmp_path):
     """python -m projet_etl_spark.ingest semantics: reference-shaped
     CSVs -> partitioned warehouse -> parity query vs DuckDB on the

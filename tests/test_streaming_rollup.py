@@ -131,3 +131,27 @@ def test_upsert_refreshes_only_touched_months(spark, tmp_path):
         for r in after.filter(F.col("mois") == "2022-01").collect()
     }
     assert jan[(1, 7)] == 3  # replaced with the recomputed count
+
+
+def test_upsert_does_not_leak_dynamic_overwrite(spark, tmp_path):
+    """upsert_rollup_batch scopes partitionOverwriteMode to its own
+    writer (ADVICE r3): a later partitioned overwrite in the same
+    session must keep full-replace (static) semantics — months absent
+    from the rewrite disappear instead of lingering as stale
+    partitions."""
+    out = str(tmp_path / "rollup_tbl")
+    upsert_rollup_batch(rollup_counts(_facts(spark, _BATCH1)), out)
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower()
+        == "static"
+    ), "session conf mutated by upsert_rollup_batch"
+
+    tbl = str(tmp_path / "replace_tbl")
+    jan_feb = rollup_counts(_facts(spark, _BATCH1))
+    jan_feb.write.mode("overwrite").partitionBy("mois").parquet(tbl)
+    assert spark.read.parquet(tbl).filter(F.col("mois") == "2022-02").count() > 0
+    # re-ingest with only March: January AND February must be GONE
+    mar = rollup_counts(_facts(spark, [_BATCH2[1]]))
+    mar.write.mode("overwrite").partitionBy("mois").parquet(tbl)
+    months = {r.mois for r in spark.read.parquet(tbl).select("mois").collect()}
+    assert months == {"2022-03"}, months
