@@ -68,18 +68,23 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) exploded distinct word-3-gram sets.
+def doc_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) exploded distinct word-3-gram sets of a
+    (doc_id, text) frame — shared by the batch queries and the
+    streaming micro-batch twin (streaming/neardedup.py).
 
     The token array is materialized in its own projection: inlining
     ``tokens()`` into ``shingles3`` makes Catalyst re-evaluate the
     regex split per element_at reference (measured 19x slower);
     keeping it as a named column bounds it to once per row.
     """
-    docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", tokens(F.col("text")).alias("t")).select(
         "doc_id", F.explode(shingles3(F.col("t"))).alias("s")
     )
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_shingles(load_table(spark, sf_dir, "documents"))
 
 
 def _jaccard_pairs(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:

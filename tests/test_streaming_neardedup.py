@@ -1,0 +1,93 @@
+"""Streaming minhash-LSH near-dedup: the union of per-micro-batch
+pair emissions over a document stream must equal the batch
+q_dedup_minhash_lsh result on the full corpus (batch/stream parity),
+and a replayed batch must not duplicate pairs or store rows."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from projet_etl_spark.operators.dedup import q_dedup_minhash_lsh
+from projet_etl_spark.streaming.neardedup import (
+    near_dedup_batch,
+    read_pairs,
+    stream_near_dedup,
+)
+from tests.conftest import SF_SMALL
+
+DOC_STREAM_SCHEMA = "doc_id long, text string"
+
+
+def _stage_stream_files(spark, stream_dir, n_files=3):
+    """Split the documents table into n single-file micro-batches
+    (deterministic by doc_id) and return the full (doc_id, text)."""
+    rows = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    stream_dir.mkdir()
+    for i in range(n_files):
+        part = [r for r in rows if r.doc_id % n_files == i]
+        table = pa.table(
+            {
+                "doc_id": pa.array([r.doc_id for r in part], pa.int64()),
+                "text": pa.array([r.text for r in part]),
+            }
+        )
+        pq.write_table(table, str(stream_dir / f"part{i}.parquet"))
+    return rows
+
+
+def test_stream_near_dedup_equals_batch(spark, tmp_path):
+    _stage_stream_files(spark, tmp_path / "docs_stream")
+    stream = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "docs_stream"))
+    )
+    q = stream_near_dedup(
+        stream,
+        str(tmp_path / "store"),
+        str(tmp_path / "pairs"),
+        str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in read_pairs(spark, str(tmp_path / "pairs")).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in q_dedup_minhash_lsh(spark, SF_SMALL).collect()
+    }
+    assert want, "fixture corpus must contain near-dup pairs"
+    assert got == want
+    # each pair found exactly once across batches
+    n_rows = read_pairs(spark, str(tmp_path / "pairs")).count()
+    assert n_rows == len(got)
+
+
+def test_near_dedup_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once after a crash: re-running a
+    batch id must overwrite its own output partition, leaving pair
+    and store contents identical — not doubled."""
+    rows = _stage_stream_files(spark, tmp_path / "unused", n_files=1)
+    docs = spark.createDataFrame(
+        [(r.doc_id, r.text) for r in rows[:200]], DOC_STREAM_SCHEMA
+    )
+    store, pairs = str(tmp_path / "store"), str(tmp_path / "pairs")
+    near_dedup_batch(docs, 0, store, pairs)
+    first = sorted(
+        tuple(r) for r in read_pairs(spark, pairs).collect()
+    )
+    n_store = spark.read.parquet(f"{store}/docs").count()
+    near_dedup_batch(docs, 0, store, pairs)  # replay of batch 0
+    again = sorted(
+        tuple(r) for r in read_pairs(spark, pairs).collect()
+    )
+    assert again == first
+    assert spark.read.parquet(f"{store}/docs").count() == n_store
