@@ -10,6 +10,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from projet_etl_spark.operators import dedup  # noqa: E402
 from projet_etl_spark.plans.registry import REGISTRY  # noqa: E402
 
 HEADER = """# Operator inventory (generated from plans/registry.py)
@@ -37,6 +38,21 @@ def main() -> None:
             )
         check = "oracle" if spec.oracle else "rows-only"
         lines.append(f"| `{name}` | {','.join(spec.tags)} | {check} | {doc} |")
+    lines.append(f"""
+## Tunables that are fixture-driven, not production defaults
+
+- `COSINE_THRESHOLD = {dedup.COSINE_THRESHOLD}`
+  (operators/dedup.py): the embedding near-dup threshold is set where
+  the SYNTHETIC test embeddings have signal (they are near-orthogonal;
+  max pairwise cosine ~0.51). Production text-embedding dedup should
+  run at ~0.95 — shipping {dedup.COSINE_THRESHOLD} against real
+  embeddings would merge documents that merely share a topic.
+- `JACCARD_THRESHOLD = {dedup.JACCARD_THRESHOLD}`
+  (operators/dedup.py): the standard near-dup setting; reasonable in
+  production as-is.
+- `AUDIT_BLOCK = {dedup.AUDIT_BLOCK}` (operators/dedup.py): size of
+  the deterministic exact-audit sample for `dedup-embedding-cosine`;
+  the audit is O(AUDIT_BLOCK^2) regardless of corpus size.""")
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "OPERATORS.md")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")

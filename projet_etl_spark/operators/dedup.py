@@ -303,7 +303,13 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(AUDIT_BLOCK)
     )
     withn = block.withColumn("n2", spark_norm2("v"))
-    a = withn.select(
+    # TakeOrderedAndProject emits ONE partition; left as-is the whole
+    # block x block scan would run as a single task (measured 23 s at
+    # sf0.1). Spreading the STREAMED copy across the cluster makes the
+    # nested-loop scan embarrassingly parallel; the broadcast copy
+    # stays a single bounded exchange. Round-robin repartition is
+    # result-invariant here (pair set doesn't depend on row placement).
+    a = withn.repartition(spark.sparkContext.defaultParallelism).select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("n2").alias("na")
     )
     b = withn.select(

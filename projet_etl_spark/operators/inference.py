@@ -29,8 +29,56 @@ BIAS = 0.25
 OUT_SCHEMA = "vec_id long, score double, positive boolean"
 
 
+def _build_round6():
+    """Factory for the rounding helper. The helper must be CREATED
+    inside a function (qualname `_build_round6.<locals>...`) so
+    cloudpickle ships it BY VALUE inside the scorer closure; a plain
+    module-level function would pickle by reference and executors of
+    an external driver (foreign cwd, projet_etl_spark not importable)
+    would die with ModuleNotFoundError — same trap as the multimodal
+    factories."""
+
+    def round6_half_up(np, raw):
+        """round(x, 6) with Spark/DuckDB semantics: HALF_UP on the
+        value's SHORTEST DECIMAL representation (BigDecimal.valueOf),
+        not on the binary double.
+
+        The vectorized trunc(x*1e6 + 0.5*sign) formula operates on
+        the binary product, which can land on the opposite side of
+        .5 from the decimal representation when x is within ~1 ulp
+        of a rounding boundary (ADVICE r3). So: numpy fast path for
+        every row whose scaled fraction is safely away from .5, and
+        an exact decimal-string quantize for the rare boundary rows.
+        The margin (1e-12 relative) is ~1000x the worst accumulated
+        double error of the scaling multiply, so no divergent row
+        can slip through it, while in practice ~0 rows per batch
+        take the slow path.
+        """
+        scaled = raw * 1e6
+        fast = np.trunc(scaled + 0.5 * np.sign(raw)) / 1e6
+        margin = np.maximum(np.abs(scaled) * 1e-12, 1e-9)
+        risky = np.abs(np.mod(scaled, 1.0) - 0.5) <= margin
+        risky &= np.isfinite(raw)
+        if risky.any():
+            from decimal import ROUND_HALF_UP, Decimal
+
+            q = Decimal("0.000001")
+            for j in np.nonzero(risky)[0]:
+                fast[j] = float(
+                    Decimal(repr(raw[j])).quantize(q, rounding=ROUND_HALF_UP)
+                )
+        return fast
+
+    return round6_half_up
+
+
+# module-level instance for direct (driver-side / test) callers
+_round6_half_up = _build_round6()
+
+
 def make_scorer(weights: list[float], bias: float):
     """Closure-shipped scorer (by-value pickling; see multimodal)."""
+    _round6 = _build_round6()
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -44,10 +92,8 @@ def make_scorer(weights: list[float], bias: float):
             acc = np.zeros(len(pdf), dtype=np.float64)
             for i in range(m.shape[1]):
                 acc = acc + m[:, i] * w[i]
-            # half-away-from-zero to match Spark F.round / DuckDB ROUND;
-            # np.round is half-even and would split on exact midpoints
             raw = acc + bias
-            s = np.trunc(raw * 1e6 + 0.5 * np.sign(raw)) / 1e6
+            s = _round6(np, raw)
             yield _pd.DataFrame(
                 {"vec_id": pdf["vec_id"], "score": s, "positive": s > 0}
             )

@@ -9,6 +9,16 @@ end), so the recall-vs-exact comparison is itself oracle-checkable.
 
 Round-half-away-from-zero matches between Spark (HALF_UP) and DuckDB
 for both signs, so quantized codes agree bit-for-bit.
+
+Plan shape: codes are materialized ONCE per vector as an array<long>
+column (a map-only transform), and the per-pair work is a zip_with +
+aggregate integer fold over the two code arrays. The earlier form
+re-derived both vectors' codes inside every pair expression — 128
+round()/division subtrees per pair — which both stalled whole-stage
+codegen compilation (the measured ~25 s wide-expression cliff,
+docs/SCALE.md) and multiplied the arithmetic by the pair count
+instead of the vector count. Integer sums are associative, so the
+fold's left-assoc order is bit-exact under any evaluation strategy.
 """
 
 from __future__ import annotations
@@ -23,14 +33,6 @@ from projet_etl_spark.operators.similarity import N_QUERIES, TOP_K
 from projet_etl_spark.sources.tables import load_table
 
 
-def _qcode(v: str, i: int) -> Column:
-    """Quantized code of element i: round(v_i / scale * 127)."""
-    return F.round(
-        F.element_at(F.col(v), i).cast("double") / F.col(f"{v}_scale") * F.lit(127.0),
-        0,
-    ).cast("long")
-
-
 def _with_scale(df: DataFrame, v: str) -> DataFrame:
     """Per-vector symmetric scale = max(|v_i|)."""
     absmax = reduce(
@@ -40,40 +42,54 @@ def _with_scale(df: DataFrame, v: str) -> DataFrame:
     return df.withColumn(f"{v}_scale", absmax)
 
 
-def _qdot(a: str, b: str) -> Column:
-    terms = [_qcode(a, i) * _qcode(b, i) for i in range(1, DIM + 1)]
-    return reduce(lambda x, y: x + y, terms)
+def _qcodes(v: str) -> Column:
+    """array<long> of quantized codes: round(v_i / scale * 127)."""
+    return F.transform(
+        F.col(v),
+        lambda x: F.round(
+            x.cast("double") / F.col(f"{v}_scale") * F.lit(127.0), 0
+        ).cast("long"),
+    )
 
 
-def _qnorm2(a: str) -> Column:
-    terms = [_qcode(a, i) * _qcode(a, i) for i in range(1, DIM + 1)]
-    return reduce(lambda x, y: x + y, terms)
+def _int_fold_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two code arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
 
 
 def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 per query vector under int8 cosine — integer dot
     products end-to-end, one double division at ranking time."""
-    base = _with_scale(
-        load_table(spark, sf_dir, "embeddings").select(
-            "vec_id", F.col("embedding").alias("v")
-        ),
-        "v",
-    ).withColumn("qn2", _qnorm2("v"))
+    base = (
+        _with_scale(
+            load_table(spark, sf_dir, "embeddings").select(
+                "vec_id", F.col("embedding").alias("v")
+            ),
+            "v",
+        )
+        .withColumn("qc", _qcodes("v"))
+        .withColumn("qn2", _int_fold_dot(F.col("qc"), F.col("qc")))
+        .select("vec_id", "qc", "qn2")
+    )
     q = base.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("v_scale").alias("qv_scale"),
+        F.col("qc").alias("qa"),
         F.col("qn2").alias("qn"),
     )
     c = base.select(
         F.col("vec_id").alias("cand_id"),
-        F.col("v").alias("cv"),
-        F.col("v_scale").alias("cv_scale"),
+        F.col("qc").alias("qb"),
         F.col("qn2").alias("cn"),
     )
     pairs = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("cand_id"))
     cos_q = F.round(
-        _qdot("qv", "cv") / (F.sqrt(F.col("qn")) * F.sqrt(F.col("cn"))), 6
+        _int_fold_dot(F.col("qa"), F.col("qb"))
+        / (F.sqrt(F.col("qn")) * F.sqrt(F.col("cn"))),
+        6,
     )
     scored = pairs.select("query_id", "cand_id", cos_q.alias("cos_q"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_q"), F.asc("cand_id"))

@@ -150,3 +150,70 @@ def test_shingles_k_matches_duckdb(spark, texts, k):
     }
     con.close()
     assert got == want
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_round6_half_up_matches_decimal_reference(values):
+    """The scorer's vectorized rounding must equal BigDecimal-style
+    HALF_UP on the shortest decimal representation for ANY double —
+    including values the fast path's margin must reroute (ADVICE r3:
+    the trunc formula alone can land on the wrong side of .5)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    from projet_etl_spark.operators.inference import _round6_half_up
+
+    got = _round6_half_up(np, np.asarray(values, dtype=np.float64))
+    q = Decimal("0.000001")
+    want = [
+        float(Decimal(repr(v)).quantize(q, rounding=ROUND_HALF_UP))
+        for v in values
+    ]
+    assert list(got) == want, (values, list(got), want)
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-10, max_value=10, allow_nan=False, allow_infinity=False),
+        min_size=4,
+        max_size=4,
+    ),
+    st.floats(min_value=-1, max_value=1, allow_nan=False, allow_infinity=False),
+)
+@settings(max_examples=50, deadline=None)
+def test_scorer_matches_decimal_reference_random_weights(weights, bias):
+    """End-to-end make_scorer over random weights/bias: scores equal
+    the decimal-reference rounding of the left-assoc dot + bias."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pandas as pd
+
+    from projet_etl_spark.operators.inference import make_scorer
+
+    rng = [
+        [((7 * i + 3 * j) % 19 - 9) / 8.3 for i in range(4)] for j in range(32)
+    ]
+    pdf = pd.DataFrame({"vec_id": range(len(rng)), "embedding": rng})
+    (out,) = make_scorer(weights, bias)(iter([pdf]))
+    q = Decimal("0.000001")
+    for row_vals, got in zip(rng, out["score"]):
+        acc = np.float64(0.0)
+        for x, w in zip(row_vals, weights):
+            acc = acc + np.float64(x) * np.float64(w)
+        raw = float(acc + np.float64(bias))
+        want = float(Decimal(repr(raw)).quantize(q, rounding=ROUND_HALF_UP))
+        assert got == want, (row_vals, raw, got, want)
