@@ -54,10 +54,22 @@ def connected_components(
         edges.select(F.col("src"), F.col("dst"))
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
+        # materialize once: every round joins against sym, and without
+        # the checkpoint each round's jobs re-derive the upstream edge
+        # plan (for near-dup graphs, the whole LSH candidate pipeline)
+        .localCheckpoint()
     )
-    labels = vertices.select(
+    # Only vertices that appear in an edge can ever receive a foreign
+    # label; everything else is a singleton that labels itself. At web
+    # scale the near-dup graph is a small fraction of the corpus, so
+    # iterating over the ACTIVE subgraph makes every per-round join
+    # scale with |edges|, not |corpus| — the corpus-sized work is one
+    # final left join. (sym is symmetric, so src covers all endpoints.)
+    active = sym.select(F.col("src").alias("vertex")).distinct()
+    labels = active.select(
         F.col("vertex"), F.col("vertex").alias("label")
     ).localCheckpoint()
+    converged = False
     for _ in range(max_rounds):
         # hook: pull the min label across each edge
         neighbor_min = (
@@ -101,10 +113,17 @@ def connected_components(
         if n_changed == 0:
             # hook fixpoint: label is equal across every edge, i.e.
             # constant (= the min vertex id) within each component.
-            return labels
-    raise RuntimeError(
-        f"connected_components did not converge within {max_rounds} rounds; "
-        "labels were still changing — refusing to return partial components"
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_rounds} rounds; "
+            "labels were still changing — refusing to return partial components"
+        )
+    # singletons (no incident edge) label themselves
+    return vertices.join(labels, "vertex", "left").select(
+        F.col("vertex"),
+        F.coalesce(F.col("label"), F.col("vertex")).alias("label"),
     )
 
 
