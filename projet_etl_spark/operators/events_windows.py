@@ -94,3 +94,45 @@ def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_no")
     )
+
+
+ROLLING_DAYS = 7
+
+
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per day: exact distinct active users that day (DAU) and over
+    the trailing 7 days (WAU), plus DAU/WAU stickiness — the classic
+    growth-analytics rollup.
+
+    Scale shape: a sliding COUNT(DISTINCT) cannot ride an ordinary
+    window frame, and a day-spine range join would be a nested-loop.
+    Instead each (user, day) contributes itself to the 7 days it
+    keeps the user "active" for — a map-side `explode(sequence(...))`
+    — and both counts become plain hash aggregations. No join against
+    the event volume: events reduce to the (user, day) grain first,
+    so the explode multiplies user-days, not events. The exact
+    distinct is the oracle-able baseline; at 100 TB swap the final
+    count for HLL sketches merged per day (`mag-cat-approx` pattern).
+    """
+    ev = events(spark, sf_dir)
+    ud = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    dau = ud.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    contrib = ud.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add("day", ROLLING_DAYS - 1))
+        ).alias("day"),
+        "user_id",
+    )
+    wau = contrib.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, "day")  # inner: keeps only days with events
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )

@@ -214,3 +214,180 @@ def q_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+LATE_DAYS = 60
+
+
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders in the date window with at least one line shipped more
+    than LATE_DAYS after the order date, counted per priority (TPC-H
+    Q4 shape — the reference schema has no commit/receipt dates, so
+    "late" is shipdate > orderdate + 60d).
+
+    Scale shape: this is the EXISTS/semi-join pattern — the probe
+    (orders) keeps exactly one row per match however many lines are
+    late, so no post-join distinct is ever needed. The join key is
+    the orderkey equality; the cross-table date inequality rides
+    along as a residual condition on the same sort-merge/hash join
+    (never a cartesian). Both scans are pruned: orders by the date
+    window, lineitem to two columns. On a real cluster lineitem and
+    orders are bucketed by orderkey (sources/warehouse.py), making
+    this semi-join co-located and shuffle-free.
+    """
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.to_date("o_orderdate").between(DEFAULTS["debut"], DEFAULTS["fin"])
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (
+            F.to_date("l_shipdate")
+            > F.date_add(F.to_date("o_orderdate"), LATE_DAYS)
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of customers by how many orders they placed in
+    the date window — including the zero-order customers (TPC-H Q13
+    shape).
+
+    The filter on orders must sit BEFORE the outer join (an outer
+    join's WHERE on the right side would silently turn it inner and
+    drop the zero bucket) — the classic ON-vs-WHERE outer-join trap,
+    encoded here declaratively.
+
+    Scale shape: count orders per customer first (map-side partial
+    agg on o_custkey — no join needed for the matched side), then
+    LEFT JOIN that reduced per-customer count onto customers to pick
+    up the zero bucket, then a second tiny aggregation over counts.
+    The join input is |customers-with-orders|, not |orders|.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.to_date("o_orderdate").between(DEFAULTS["debut"], DEFAULTS["fin"])
+        )
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        cust.join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("n_orders"))
+        .groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )
+
+
+def q_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per market segment: how many window orders exceed their own
+    customer's average order value — the correlated-scalar-subquery
+    shape (`o_totalprice > (SELECT AVG(...) WHERE same customer)`)
+    decorrelated into a per-customer aggregate joined back.
+
+    Determinism: the per-customer average is an exact DECIMAL sum
+    divided once by the count, so the > comparison is bit-identical
+    at any parallelism (same discipline as corr-qty-price moments).
+
+    Scale shape: the aggregate and the join both key on o_custkey, so
+    AQE reuses one shuffle partitioning for both; the customer
+    segment join keys on the same column. No window function — a
+    windowed AVG(...) OVER (PARTITION BY custkey) would re-shuffle
+    the full order rows; the agg-then-join form moves only the
+    per-customer averages.
+    """
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.to_date("o_orderdate").between(DEFAULTS["debut"], DEFAULTS["fin"])
+        )
+        .select("o_custkey", "o_totalprice")
+    )
+    cavg = o.groupBy("o_custkey").agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("cavg")
+    )
+    seg = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    flagged = o.join(cavg, "o_custkey").join(
+        seg, F.col("o_custkey") == F.col("c_custkey")
+    )
+    above = F.when(F.col("o_totalprice") > F.col("cavg"), F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    return (
+        flagged.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(above).cast("long").alias("n_above"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_orders",
+            "n_above",
+            (F.col("n_above").cast("double") / F.col("n_orders").cast("double")).alias(
+                "above_frac"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# narrow window so brand coverage is non-trivial (full window: 98/100
+# suppliers cover every brand; H1-1996: 1/100)
+COVERAGE_WINDOW = ("1996-01-01", "1996-06-30")
+
+
+def q_supplier_brand_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers that shipped parts of EVERY brand inside the window
+    — relational division (the FOR ALL quantifier), expressed as
+    count-distinct-equals-total instead of double NOT EXISTS.
+
+    Scale shape: lineitem is date-pruned at the scan, joined to part
+    on partkey (AQE broadcasts part while it's small; shuffle join
+    beyond), reduced to distinct (supplier, brand) pairs, then one
+    groupBy per supplier. The brand universe total is a one-row
+    aggregate broadcast into the HAVING-style filter — no correlated
+    subquery, no per-supplier anti-join cascade.
+    """
+    lo, hi = COVERAGE_WINDOW
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.to_date("l_shipdate").between(lo, hi))
+        .select("l_suppkey", "l_partkey")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    sb = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_suppkey", "p_brand")
+        .distinct()
+    )
+    total = part.agg(F.countDistinct("p_brand").alias("total_brands"))
+    return (
+        sb.groupBy("l_suppkey")
+        .agg(F.countDistinct("p_brand").alias("n_brands"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_brands") == F.col("total_brands"))
+        .select(
+            "l_suppkey",
+            F.col("n_brands").cast("long").alias("n_brands"),
+        )
+        .orderBy("l_suppkey")
+    )

@@ -15,7 +15,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from projet_etl_spark.functions.text import fingerprint, shingles3, tokens
+from projet_etl_spark.functions.text import (
+    fingerprint,
+    shingles3,
+    shingles_k,
+    tokens,
+)
 from projet_etl_spark.sources.tables import load_table
 
 # small fixed stopword lists for the lang-id heuristic; the zh signal
@@ -315,4 +320,99 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= TFIDF_K)
         .orderBy("lang", "rnk")
+    )
+
+
+# cross-document duplicated-gram audit (Lee et al., "Deduplicating
+# Training Data Makes Language Models Better": repeated long substrings
+# across documents are the highest-value dedup target). 5-word grams
+# for the same reason decontamination uses them: 3-grams over-flag.
+CROSS_DOC_K = 5
+
+
+def q_dedup_cross_doc_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fraction of its distinct 5-grams that also occur
+    in at least one OTHER document — the gram-granular analogue of
+    suffix-array substring dedup, used to rank documents for removal
+    or to audit what near-dedup left behind.
+
+    Scale shape: grams are distinct-per-doc, so one hash groupBy on
+    the gram yields exact containing-doc counts; the join back to
+    per-doc grams is a shuffle equi-join on the gram key (both sides
+    reduced/exploded text, never the corpus itself), then one
+    map-side-partial groupBy per doc. The final left join restores
+    gram-less (<5-token) documents with n_grams=0. No broadcast of
+    unbounded sides; every stage keys on gram or doc_id.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id",
+        F.explode(shingles_k(tokens(F.col("text")), CROSS_DOC_K)).alias("gram"),
+    )
+    freq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    per_doc = (
+        g.join(freq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("n_docs") >= 2, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_dup_grams"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_dup_grams"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_grams"),
+            (
+                F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("double")
+                / F.coalesce(F.col("n_grams"), F.lit(0)).cast("double")
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy (bits) of the token frequency
+    distribution — a repetition/diversity quality signal: boilerplate
+    and keyword-stuffed pages score low, natural prose scores high.
+
+    entropy = log2(n) - sum(c * log2(c)) / n over per-token counts c
+    (the algebraic form that needs no per-token division). The
+    c*log2(c) sum is a float whose merge order varies with
+    partitioning, so the result carries the engine's standard
+    presentation ROUND(6) (docs/SCALE.md determinism invariant).
+
+    Scale shape: explode -> groupBy (doc_id, token) -> groupBy doc_id,
+    both hash aggregations with map-side partials; no joins, no
+    windows, embarrassingly parallel at any corpus size.
+    """
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    counts = t.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.count(F.lit(1)).alias("n_unique_tokens"),
+            F.sum(F.col("c").cast("double") * F.log2("c")).alias("clog"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            F.col("n_unique_tokens").cast("long"),
+            F.round(
+                F.log2(F.col("n").cast("double"))
+                - F.col("clog") / F.col("n").cast("double"),
+                6,
+            ).alias("entropy_bits"),
+        )
+        .orderBy("doc_id")
     )

@@ -1209,6 +1209,154 @@ FROM frames
 """
 
 
+# TPC-H Q4 shape: EXISTS semi-join with a cross-table inequality
+_Q4_SQL = f"""
+SELECT o_orderpriority, COUNT(*) AS n_late_orders
+FROM orders
+WHERE CAST(o_orderdate AS DATE)
+      BETWEEN DATE '{_P2["debut"]}' AND DATE '{_P2["fin"]}'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND CAST(l_shipdate AS DATE)
+          > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+# TPC-H Q13 shape: outer-join count distribution including the zero
+# bucket (the order filter sits before the join, not in a WHERE after
+# it — a WHERE would turn the outer join inner and drop the zeros)
+_Q13_SQL = f"""
+WITH filtered AS (
+    SELECT o_custkey FROM orders
+    WHERE CAST(o_orderdate AS DATE)
+          BETWEEN DATE '{_P2["debut"]}' AND DATE '{_P2["fin"]}'
+),
+per_cust AS (
+    SELECT c_custkey, COUNT(o_custkey) AS n_orders
+    FROM customer LEFT JOIN filtered ON c_custkey = o_custkey
+    GROUP BY c_custkey
+)
+SELECT n_orders, COUNT(*) AS n_customers
+FROM per_cust
+GROUP BY n_orders
+ORDER BY n_customers DESC, n_orders DESC
+"""
+
+# cross-document duplicated 5-grams (substring-dedup audit)
+_CROSSDOC_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, {_TOK} AS t FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           unnest({TX.sql_shingles_k("t", textstats.CROSS_DOC_K)}) AS gram
+    FROM tok
+),
+freq AS (SELECT gram, COUNT(*) AS n_docs FROM grams GROUP BY gram),
+per_doc AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_grams
+    FROM grams JOIN freq USING (gram)
+    GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_grams, 0) AS n_grams,
+       COALESCE(p.n_dup_grams, 0) AS n_dup_grams,
+       CAST(COALESCE(p.n_dup_grams, 0) AS DOUBLE)
+           / CAST(COALESCE(p.n_grams, 0) AS DOUBLE) AS dup_frac
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+# sliding exact distinct actives: DAU / trailing-7-day WAU per day
+_ROLLING_SQL = f"""
+WITH ud AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+base AS (
+    SELECT d.day,
+           (SELECT COUNT(DISTINCT user_id) FROM ud WHERE ud.day = d.day)
+               AS dau,
+           (SELECT COUNT(DISTINCT user_id) FROM ud u
+            WHERE u.day BETWEEN d.day - {events_windows.ROLLING_DAYS - 1}
+                            AND d.day) AS wau
+    FROM (SELECT DISTINCT day FROM ud) d
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, dau, wau,
+       CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+FROM base
+ORDER BY day
+"""
+
+# correlated scalar subquery (decorrelated): orders above their own
+# customer's average order value, rolled up per market segment
+_ABOVE_AVG_SQL = f"""
+WITH o AS (
+    SELECT o_custkey, o_totalprice FROM orders
+    WHERE CAST(o_orderdate AS DATE)
+          BETWEEN DATE '{_P2["debut"]}' AND DATE '{_P2["fin"]}'
+),
+a AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               / COUNT(*) AS cavg
+    FROM o GROUP BY o_custkey
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN o_totalprice > cavg THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_above,
+       CAST(SUM(CASE WHEN o_totalprice > cavg THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS above_frac
+FROM o
+JOIN a USING (o_custkey)
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+# relational division: suppliers covering EVERY brand in the window
+_DIVISION_SQL = f"""
+WITH sb AS (
+    SELECT DISTINCT l_suppkey, p_brand
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE CAST(l_shipdate AS DATE)
+          BETWEEN DATE '{star.COVERAGE_WINDOW[0]}'
+              AND DATE '{star.COVERAGE_WINDOW[1]}'
+)
+SELECT l_suppkey, CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS n_brands
+FROM sb
+GROUP BY l_suppkey
+HAVING COUNT(DISTINCT p_brand) = (SELECT COUNT(DISTINCT p_brand) FROM part)
+ORDER BY l_suppkey
+"""
+
+# per-doc Shannon entropy of the token distribution
+_ENTROPY_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_TOK}) AS tok FROM documents
+),
+counts AS (
+    SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_unique_tokens,
+       ROUND(log2(CAST(SUM(c) AS DOUBLE))
+             - SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+               / CAST(SUM(c) AS DOUBLE),
+             6) AS entropy_bits
+FROM counts
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def _attribution_batch(spark, sf_dir):
     from projet_etl_spark.streaming.joins import (
         q_click_purchase_attribution_batch,
@@ -1387,6 +1535,48 @@ def build():
             olap.q_top3_stores_per_category,
             _TOP3_SQL,
             ("olap",),
+        ),
+        (
+            "late-shipment-priority",
+            star.q_late_shipment_priority,
+            _Q4_SQL,
+            ("olap", "join"),
+        ),
+        (
+            "customer-order-distribution",
+            star.q_customer_order_distribution,
+            _Q13_SQL,
+            ("olap", "join"),
+        ),
+        (
+            "dedup-cross-doc-ngrams",
+            textstats.q_dedup_cross_doc_ngrams,
+            _CROSSDOC_SQL,
+            ("dedup", "text"),
+        ),
+        (
+            "text-token-entropy",
+            textstats.q_text_token_entropy,
+            _ENTROPY_SQL,
+            ("text",),
+        ),
+        (
+            "rolling-active-users",
+            events_windows.q_rolling_active_users,
+            _ROLLING_SQL,
+            ("windows", "stats"),
+        ),
+        (
+            "orders-above-customer-avg",
+            star.q_orders_above_customer_avg,
+            _ABOVE_AVG_SQL,
+            ("olap", "join"),
+        ),
+        (
+            "supplier-brand-coverage",
+            star.q_supplier_brand_coverage,
+            _DIVISION_SQL,
+            ("olap", "join"),
         ),
     ]
     return {
