@@ -345,9 +345,21 @@ def q_dedup_cross_doc_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbounded sides; every stage keys on gram or doc_id.
     """
     docs = load_table(spark, sf_dir, "documents")
-    g = docs.select(
-        "doc_id",
-        F.explode(shingles_k(tokens(F.col("text")), CROSS_DOC_K)).alias("gram"),
+    # token array staged in its own projection: inlining tokens()
+    # inside shingles_k re-evaluates the regex split per element_at
+    # (measured 15.6 s -> 5.4 s for the gram explode at sf0.1; same
+    # trap as operators/dedup._doc_shingles)
+    staged = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    # the exploded gram table feeds BOTH the frequency agg and the
+    # join-back; one staged materialization instead of deriving the
+    # tokenize+shingle pipeline twice (cache tracked for release)
+    from projet_etl_spark.cache import eager_persist
+
+    g = eager_persist(
+        staged.select(
+            "doc_id",
+            F.explode(shingles_k(F.col("t"), CROSS_DOC_K)).alias("gram"),
+        )
     )
     freq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
     per_doc = (

@@ -225,3 +225,47 @@ def test_approx_percentile_within_tolerance(spark):
     }
     for k, v in exact.items():
         assert abs(approx[k] - v) <= 0.05 * max(abs(v), 1e-9), (k, approx[k], v)
+
+
+def test_late_shipment_semi_join_shape(spark):
+    """The EXISTS shape must plan as a real semi-join (one probe row
+    per order however many lines are late — no post-join distinct)
+    with the date window pushed to the orders scan. The cross-table
+    inequality is a residual on the equi-join, never a cartesian."""
+    from projet_etl_spark.operators.star import q_late_shipment_priority
+
+    plan = _formatted_plan(q_late_shipment_priority(spark, SF_SMALL))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(o_orderdate" in plan
+    # lineitem pruned to the two columns the residual needs
+    assert "l_extendedprice" not in plan and "l_quantity" not in plan
+
+
+def test_rolling_active_users_has_no_join_against_events(spark):
+    """The sliding distinct is explode+aggregate over the (user, day)
+    grain: no nested-loop/range join anywhere, and the only join is
+    the final day-level dau/wau equi-join."""
+    from projet_etl_spark.operators.events_windows import (
+        q_rolling_active_users,
+    )
+
+    plan = _formatted_plan(q_rolling_active_users(spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan  # the explode(sequence(...)) contribution
+
+
+def test_cross_doc_ngrams_joins_on_gram_key(spark):
+    """The duplicated-gram audit must candidate via equi-joins (gram,
+    doc_id keys) — the exact-quadratic all-pairs shape is banned."""
+    from projet_etl_spark.operators.textstats import (
+        q_dedup_cross_doc_ngrams,
+    )
+
+    plan = _formatted_plan(q_dedup_cross_doc_ngrams(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # documents scan pruned: the gram pipeline needs doc_id + text only
+    assert "ReadSchema" in plan
+    assert "n_chars" not in plan.split("ReadSchema", 1)[1]
