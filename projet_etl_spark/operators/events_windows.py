@@ -136,3 +136,42 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def q_rolling_active_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB / streaming form of ``q_rolling_active_users``:
+    DAU and trailing-7-day WAU as HyperLogLog++ estimates.
+
+    Why this exists: the exact form's contribution explode carries
+    every (user, day) pair through the shuffle; the sketch form
+    reduces map-side to ONE mergeable HLL per (day, partition), so
+    shuffle volume is sketches × days, independent of user count —
+    the same estimator a streaming job would merge per micro-batch.
+    No DuckDB oracle: HLL estimates are implementation-specific
+    (rows-only check, like mag-cat-approx); the accuracy contract
+    against the exact twin is pinned by
+    tests/test_scale_patterns.py::test_rolling_approx_within_tolerance.
+    """
+    ev = events(spark, sf_dir)
+    ud = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    dau = ud.groupBy("day").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("dau_approx")
+    )
+    contrib = ud.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add("day", ROLLING_DAYS - 1))
+        ).alias("day"),
+        "user_id",
+    )
+    wau = contrib.groupBy("day").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("wau_approx")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("dau_approx").cast("long"),
+            F.col("wau_approx").cast("long"),
+        )
+        .orderBy("day")
+    )

@@ -1578,6 +1578,15 @@ def build():
             _DIVISION_SQL,
             ("olap", "join"),
         ),
+        # rows-only like mag-cat-approx: HLL estimates are
+        # engine-specific; accuracy vs the exact twin is pinned by
+        # tests/test_scale_patterns.py::test_rolling_approx_within_tolerance
+        (
+            "rolling-active-users-approx",
+            events_windows.q_rolling_active_users_approx,
+            None,
+            ("windows", "stats", "approx"),
+        ),
     ]
     return {
         name: QuerySpec(name=name, fn=_wrap(fn), oracle=sql, tags=tags, raw_fn=fn)

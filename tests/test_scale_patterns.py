@@ -269,3 +269,26 @@ def test_cross_doc_ngrams_joins_on_gram_key(spark):
     # documents scan pruned: the gram pipeline needs doc_id + text only
     assert "ReadSchema" in plan
     assert "n_chars" not in plan.split("ReadSchema", 1)[1]
+
+
+def test_rolling_approx_within_tolerance(spark):
+    """The HLL twin of rolling-active-users tracks the exact counts
+    within the sketch's error envelope (rsd=0.02 -> a few % here)."""
+    from projet_etl_spark.operators.events_windows import (
+        q_rolling_active_users,
+        q_rolling_active_users_approx,
+    )
+
+    exact = {
+        r.day: (r.dau, r.wau)
+        for r in q_rolling_active_users(spark, SF_SMALL).collect()
+    }
+    approx = {
+        r.day: (r.dau_approx, r.wau_approx)
+        for r in q_rolling_active_users_approx(spark, SF_SMALL).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for day, (dau, wau) in exact.items():
+        da, wa = approx[day]
+        assert abs(da - dau) <= max(2, 0.05 * dau), (day, dau, da)
+        assert abs(wa - wau) <= max(2, 0.05 * wau), (day, wau, wa)
