@@ -1443,8 +1443,14 @@ def build():
             _CORPUS_SQL.format(cutoff=corpus.QUALITY_CUTOFF),
             ("pipeline",),
         ),
-        # rows-only: HLL estimates are engine-specific by design
-        ("mag-cat-approx", simple.q_mag_cat_approx, None, ("parity", "approx")),
+        # (the HLL approx twins — simple.q_mag_cat_approx,
+        # events_windows.q_rolling_active_users_approx — are library
+        # helpers, not registry queries: their estimates are
+        # engine-specific so they can never be oracle-green, and a
+        # permanent rows-only row reads as an error in the driver's
+        # correctness artifact. Accuracy vs the exact twins is pinned
+        # by tests/test_quirks.py::test_approx_distinct_close_to_exact
+        # and test_scale_patterns.py::test_rolling_approx_within_tolerance.)
         # iterative fixpoint on the Spark side; the oracle states the
         # same components as a recursive transitive closure
         ("dedup-clusters", clusters.q_dedup_clusters, _CLUSTERS_SQL, ("dedup",)),
@@ -1577,15 +1583,6 @@ def build():
             star.q_supplier_brand_coverage,
             _DIVISION_SQL,
             ("olap", "join"),
-        ),
-        # rows-only like mag-cat-approx: HLL estimates are
-        # engine-specific; accuracy vs the exact twin is pinned by
-        # tests/test_scale_patterns.py::test_rolling_approx_within_tolerance
-        (
-            "rolling-active-users-approx",
-            events_windows.q_rolling_active_users_approx,
-            None,
-            ("windows", "stats", "approx"),
         ),
     ]
     return {

@@ -55,6 +55,60 @@ _PARITY_FNS: dict[str, Callable] = {
 }
 
 
+# The driver's CORRECTNESS artifact records at most the FIRST 50
+# entries of ``queries()``, keyed by name.  Rotating the dict order
+# therefore costs nothing (every green row from a past round stays
+# keyed by its name) but decides WHICH queries get a hard
+# value-match row this round.  The prefix below lists every query
+# that has never appeared in a driver artifact (rounds 1-4 always
+# recorded the same first-50 prefix) plus all round-5 additions, so
+# each finally gets an oracle-checked row; long-green parity queries
+# rotate to the back of the line.
+_DRIVER_PREFIX: tuple[str, ...] = (
+    # round-3/4 additions that never got a CORRECTNESS row
+    "sample-hash-10pct",
+    "vocab-top100",
+    "value-percentiles",
+    "events-pivot-daily",
+    "bigrams-top50",
+    "daily-moving-avg",
+    "events-anomalies",
+    "revenue-by-nation",
+    "tfidf-top-terms",
+    "embed-score-pandas",
+    "embed-score-jvm",
+    "funnel-signup-click-purchase",
+    "retention-cohorts",
+    "resample-by-lang",
+    "sales-rollup",
+    "sales-cube",
+    "pricing-summary",
+    "top-unshipped-orders",
+    "corr-qty-price",
+    "stores-without-category",
+    "top3-stores-per-category",
+    "late-shipment-priority",
+    "customer-order-distribution",
+    "orders-above-customer-avg",
+    "supplier-brand-coverage",
+    "dedup-cross-doc-ngrams",
+    "text-token-entropy",
+    "rolling-active-users",
+    # round-5 additions
+    "kmeans-clusters",
+    "dedup-longest-span",
+    "text-quality-model",
+    "text-quality-model-jvm",
+)
+
+
+def _rotate(registry: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
+    head = [n for n in _DRIVER_PREFIX if n in registry]
+    return {n: registry[n] for n in head} | {
+        n: spec for n, spec in registry.items() if n not in set(head)
+    }
+
+
 def _build_registry() -> dict[str, QuerySpec]:
     registry: dict[str, QuerySpec] = {}
     for name, fn in _PARITY_FNS.items():
@@ -74,7 +128,7 @@ def _build_registry() -> dict[str, QuerySpec]:
         registry.update(extensions.build())
     except ImportError:
         pass
-    return registry
+    return _rotate(registry)
 
 
 REGISTRY: dict[str, QuerySpec] = _build_registry()
