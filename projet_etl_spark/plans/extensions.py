@@ -31,6 +31,7 @@ from projet_etl_spark.operators import (
     multimodal,
     olap,
     packing,
+    quality_model,
     similarity,
     simple,
     stats,
@@ -1357,6 +1358,44 @@ ORDER BY doc_id
 """
 
 
+# fastText-style hashed-feature linear quality model: both twins
+# (pandas / JVM) share this oracle — the logit is an exact BIGINT
+# sum of md5-derived integer milli-weights, so the score is
+# bit-equal across Spark, Python hashlib, and DuckDB
+_QM_BUCKET = f"({_H30_OF.format(col='feat')} % {quality_model.N_BUCKETS})"
+_QM_SALTED = f"('w#' || CAST({_QM_BUCKET} AS VARCHAR))"
+_QM_WEIGHT = (
+    f"({_H30_OF.format(col=_QM_SALTED)}"
+    f" % {2 * quality_model.W_SPAN + 1}) - {quality_model.W_SPAN}"
+)
+_QMODEL_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, {_TOK} AS t FROM documents
+),
+feats AS (
+    SELECT doc_id,
+           unnest(list_concat(
+               list_transform(t, x -> 'u#' || x),
+               list_transform(range(1, len(t)),
+                              i -> 'b#' || t[i] || ' ' || t[i+1])
+           )) AS feat
+    FROM tok
+),
+w AS (
+    SELECT doc_id, {_QM_WEIGHT} AS w FROM feats
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_features,
+       CAST(SUM(w) AS BIGINT) AS logit_milli,
+       CAST(SUM(w) AS DOUBLE)
+           / CAST(COUNT(*) * {quality_model.W_SPAN} AS DOUBLE) AS score,
+       SUM(w) > 0 AS keep
+FROM w
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def _attribution_batch(spark, sf_dir):
     from projet_etl_spark.streaming.joins import (
         q_click_purchase_attribution_batch,
@@ -1583,6 +1622,18 @@ def build():
             star.q_supplier_brand_coverage,
             _DIVISION_SQL,
             ("olap", "join"),
+        ),
+        (
+            "text-quality-model",
+            quality_model.q_text_quality_model,
+            _QMODEL_SQL,
+            ("curation", "text", "inference"),
+        ),
+        (
+            "text-quality-model-jvm",
+            quality_model.q_text_quality_model_jvm,
+            _QMODEL_SQL,
+            ("curation", "text", "inference"),
         ),
     ]
     return {

@@ -35,11 +35,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events stream table with a proper TimestampType ``ts``.
 
-    The driver parquet stores ts as TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; we read nanos as long (legacy conf,
-    runtime-settable) and rebuild microsecond timestamps. ``div``
-    floors like DuckDB's ns->us truncation, so both engines see the
-    identical microsecond instant.
+    Handles BOTH fixture vintages the driver has shipped:
+    - TIMESTAMP(NANOS) (rounds 1-4), which Spark's vectorized reader
+      rejects: read nanos as long (legacy conf, runtime-settable) and
+      rebuild microsecond timestamps — ``div`` floors like DuckDB's
+      ns->us truncation, so both engines see the identical instant;
+    - plain timestamp[us] (round 5+), which resolves as
+      TIMESTAMP_NTZ: cast to session-local TimestampType (the
+      session is pinned UTC, so the wall clock — and thus every
+      window/date bucket — is unchanged and still matches the
+      timezone-naive oracle).
 
     The legacy conf is scoped to this read (set, resolve the scan,
     restore): the parquet relation captures the conversion when
@@ -49,6 +54,8 @@ def events(spark: SparkSession, sf_dir: str) -> DataFrame:
     nanos-timestamp parquet reads in the same session keep Spark's
     default loud failure instead of silently changing type.
     """
+    from pyspark.sql.types import LongType
+
     key = "spark.sql.legacy.parquet.nanosAsLong"
     try:
         prev: str | None = spark.conf.get(key)
@@ -62,7 +69,9 @@ def events(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(raw.schema["ts"].dataType, LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _native_path(sf_dir: str, name: str) -> str | None:

@@ -25,21 +25,37 @@ EVENTS_RAW_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, "
     "value double, props string"
 )
+# round-5+ fixture vintage: ts is parquet timestamp[us] (NTZ)
+EVENTS_TS_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "value double, props string"
+)
 
 
 def read_events_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """File-source stream of the events table (nanos->micros ts, same
-    conversion as sources.tables.events). ``max_files_per_trigger``
-    bounds each micro-batch (source option — watermark advances
-    between batches)."""
+    """File-source stream of the events table (same ts conversion as
+    sources.tables.events, for either fixture vintage: TIMESTAMP(NANOS)
+    read as long nanos, or plain timestamp[us] read as NTZ).
+    ``max_files_per_trigger`` bounds each micro-batch (source option —
+    watermark advances between batches)."""
+    from pyspark.sql.types import LongType
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    # probe one footer batch-side to pick the matching stream schema
+    # (streams must declare their schema up front)
+    nanos = isinstance(
+        spark.read.parquet(path).schema["ts"].dataType, LongType
+    )
+    schema = EVENTS_RAW_SCHEMA if nanos else EVENTS_TS_SCHEMA
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
