@@ -390,6 +390,94 @@ def q_dedup_cross_doc_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# substring-level cross-doc dedup (dedup-longest-span): maximal
+# shared token spans per doc pair, reconstructed from runs of
+# adjacent shared 5-grams — the distributed, join-based equivalent
+# of the suffix-array long-duplicate pass in Lee et al.; the
+# gram-level audit above only counts shared grams, this one merges
+# them into spans.
+SPAN_DF_CAP = 16  # grams in more docs than this are boilerplate seeds
+MIN_SPAN_TOKENS = 8  # report pairs sharing a run of >= 8 tokens
+
+
+def q_dedup_longest_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per doc pair: the longest shared token span and how many
+    distinct shared spans clear MIN_SPAN_TOKENS.
+
+    A shared span is a maximal run of positions where both documents
+    carry identical CROSS_DOC_K-grams on one alignment diagonal
+    (pos_a - pos_b constant, consecutive pos_a): a run of n adjacent
+    shared k-grams covers n + k - 1 identical tokens.
+
+    Scale shape: positions ride the gram explode, the document
+    frequency cap (2 <= df <= SPAN_DF_CAP) prunes both unique grams
+    (no partner) and boilerplate grams BEFORE the self-join, so the
+    join fanout per gram key is bounded by SPAN_DF_CAP²; island
+    detection is a window over (doc_a, doc_b, diagonal) partitions —
+    pair-local, never corpus-wide. No cartesian anywhere
+    (tests/test_scale_patterns.py pins the plan).
+    """
+    from pyspark.sql import Window
+
+    from projet_etl_spark.cache import eager_persist
+
+    k = CROSS_DOC_K
+    staged = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    )
+    gram_structs = F.transform(
+        F.sequence(F.lit(1), F.size("t") - (k - 1)),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.concat_ws(
+                " ", *[F.element_at(F.col("t"), i + j) for j in range(k)]
+            ).alias("gram"),
+        ),
+    )
+    # positioned grams feed the frequency agg AND both self-join
+    # sides — one staged materialization (same rationale as the
+    # cross-doc audit above)
+    g = eager_persist(
+        staged.filter(F.size("t") >= k)
+        .select("doc_id", F.explode(gram_structs).alias("pg"))
+        .select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
+    )
+    seeds = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= SPAN_DF_CAP))
+        .select("gram")
+    )
+    kept = g.join(seeds, "gram")
+    a = kept.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "gram")
+    b = kept.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"), "gram")
+    pairs = (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pos_a", (F.col("pos_a") - F.col("pos_b")).alias("diag"))
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    islands = pairs.withColumn("isl", F.col("pos_a") - F.row_number().over(w))
+    spans = (
+        islands.groupBy("doc_a", "doc_b", "diag", "isl")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("doc_a", "doc_b", (F.col("n") + F.lit(k - 1)).alias("span_tokens"))
+    )
+    return (
+        spans.groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("span_tokens").cast("long").alias("longest_span_tokens"),
+            F.sum(
+                F.when(F.col("span_tokens") >= MIN_SPAN_TOKENS, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_spans"),
+        )
+        .filter(F.col("longest_span_tokens") >= MIN_SPAN_TOKENS)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Shannon entropy (bits) of the token frequency
     distribution — a repetition/diversity quality signal: boilerplate

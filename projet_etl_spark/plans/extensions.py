@@ -1337,6 +1337,55 @@ HAVING COUNT(DISTINCT p_brand) = (SELECT COUNT(DISTINCT p_brand) FROM part)
 ORDER BY l_suppkey
 """
 
+# maximal shared token spans per doc pair (substring-level dedup):
+# runs of adjacent shared 5-grams merged on alignment diagonals
+_SPAN_GRAM = " || ' ' || ".join(
+    f"t[pos+{j}]" if j else "t[pos]" for j in range(textstats.CROSS_DOC_K)
+)
+_SPAN_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, {_TOK} AS t FROM documents
+),
+pg AS (
+    SELECT doc_id, unnest(range(1, len(t) - {textstats.CROSS_DOC_K - 2})) AS pos, t
+    FROM tok WHERE len(t) >= {textstats.CROSS_DOC_K}
+),
+g AS (
+    SELECT doc_id, pos, {_SPAN_GRAM} AS gram FROM pg
+),
+seeds AS (
+    SELECT gram FROM (
+        SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gram
+    ) WHERE df >= 2 AND df <= {textstats.SPAN_DF_CAP}
+),
+kept AS (
+    SELECT g.doc_id, g.pos, g.gram FROM g JOIN seeds USING (gram)
+),
+p AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.pos AS pos_a, a.pos - b.pos AS diag
+    FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id
+),
+isl AS (
+    SELECT doc_a, doc_b, diag,
+           pos_a - ROW_NUMBER() OVER (
+               PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS isl
+    FROM p
+),
+spans AS (
+    SELECT doc_a, doc_b, COUNT(*) + {textstats.CROSS_DOC_K - 1} AS span_tokens
+    FROM isl GROUP BY doc_a, doc_b, diag, isl
+)
+SELECT doc_a, doc_b,
+       CAST(MAX(span_tokens) AS BIGINT) AS longest_span_tokens,
+       CAST(SUM(CASE WHEN span_tokens >= {textstats.MIN_SPAN_TOKENS}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_spans
+FROM spans
+GROUP BY doc_a, doc_b
+HAVING MAX(span_tokens) >= {textstats.MIN_SPAN_TOKENS}
+ORDER BY doc_a, doc_b
+"""
+
 # per-doc Shannon entropy of the token distribution
 _ENTROPY_SQL = f"""
 WITH toks AS (
@@ -1622,6 +1671,12 @@ def build():
             star.q_supplier_brand_coverage,
             _DIVISION_SQL,
             ("olap", "join"),
+        ),
+        (
+            "dedup-longest-span",
+            textstats.q_dedup_longest_span,
+            _SPAN_SQL,
+            ("dedup", "text"),
         ),
         (
             "text-quality-model",

@@ -292,3 +292,41 @@ def test_rolling_approx_within_tolerance(spark):
         da, wa = approx[day]
         assert abs(da - dau) <= max(2, 0.05 * dau), (day, dau, da)
         assert abs(wa - wau) <= max(2, 0.05 * wau), (day, wau, wa)
+
+
+def test_longest_span_plan_is_gram_bucketed(spark):
+    """The span merger must stay on gram-key equi-joins (the df cap
+    prunes before the self-join); all-pairs shapes are banned, and
+    the documents scan reads only doc_id + text."""
+    from projet_etl_spark.operators.textstats import q_dedup_longest_span
+
+    plan = _formatted_plan(q_dedup_longest_span(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ReadSchema" in plan
+    assert "n_chars" not in plan.split("ReadSchema", 1)[1]
+
+
+def test_longest_span_merges_adjacent_grams(spark, tmp_path):
+    """Constructed corpus: two docs share one 12-token run (-> one
+    span of 12) and a separate 8-token run (-> second span), a third
+    doc shares nothing long enough; island detection must merge
+    adjacent shared 5-grams into exactly those spans."""
+    from projet_etl_spark.operators.textstats import q_dedup_longest_span
+
+    shared12 = " ".join(f"s{i}" for i in range(12))
+    shared8 = " ".join(f"r{i}" for i in range(8))
+    docs = [
+        (0, f"{shared12} xxa xxb {shared8} tail0 tail1"),
+        (1, f"lead1a lead1b {shared12} yya {shared8}"),
+        (2, "zz0 zz1 zz2 zz3 zz4 zz5 zz6 zz7 zz8"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    rows = q_dedup_longest_span(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b) == (0, 1)
+    assert r.longest_span_tokens == 12
+    assert r.n_spans == 2
