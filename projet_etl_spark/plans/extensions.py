@@ -27,6 +27,7 @@ from projet_etl_spark.operators import (
     decontam,
     dedup,
     events_windows,
+    kmeans,
     materialized,
     multimodal,
     olap,
@@ -1407,6 +1408,89 @@ ORDER BY doc_id
 """
 
 
+# k-means oracle: the fixed-point Lloyd iteration replayed as a CTE
+# chain — every quantity is exact BIGINT (see operators/kmeans.py),
+# so K x ITERS of assignment/update CTEs reproduce the Spark result
+# bit-for-bit, empty-cluster and tie-break semantics included.
+def _kmeans_sql(k: int, iters: int, scale: int) -> str:
+    half_up = (
+        "CASE WHEN u.s >= 0 THEN (2*u.s + u.n) // (2*u.n) "
+        "ELSE -((-2*u.s + u.n) // (2*u.n)) END"
+    )
+    ctes = [
+        f"""xv AS (
+    SELECT vec_id, pos,
+           CAST(floor(CAST(v[pos] AS DOUBLE) * {scale}.0 + 0.5) AS BIGINT) AS x
+    FROM (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS pos,
+                 embedding AS v
+          FROM embeddings)
+)""",
+        f"""init AS (
+    SELECT vec_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster
+    FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+)""",
+        """c0 AS (
+    SELECT i.cluster, q.pos, q.x AS c FROM init i JOIN xv q USING (vec_id)
+)""",
+    ]
+    for t in range(1, iters + 1):
+        ctes += [
+            f"""d{t} AS (
+    SELECT q.vec_id, c.cluster, SUM((q.x - c.c) * (q.x - c.c)) AS d
+    FROM xv q JOIN c{t - 1} c ON q.pos = c.pos
+    GROUP BY q.vec_id, c.cluster
+)""",
+            f"""a{t} AS (
+    SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+        FROM d{t}) WHERE rn = 1
+)""",
+            f"""u{t} AS (
+    SELECT a.cluster, q.pos, SUM(q.x) AS s, COUNT(*) AS n
+    FROM a{t} a JOIN xv q USING (vec_id)
+    GROUP BY a.cluster, q.pos
+)""",
+            f"""c{t} AS (
+    SELECT p.cluster, p.pos, COALESCE({half_up}, p.c) AS c
+    FROM c{t - 1} p LEFT JOIN u{t} u
+      ON p.cluster = u.cluster AND p.pos = u.pos
+)""",
+        ]
+    ctes.append(
+        f"""df AS (
+    SELECT q.vec_id, c.cluster, SUM((q.x - c.c) * (q.x - c.c)) AS d
+    FROM xv q JOIN c{iters} c ON q.pos = c.pos
+    GROUP BY q.vec_id, c.cluster
+)"""
+    )
+    ctes.append(
+        """af AS (
+    SELECT vec_id, cluster, d FROM (
+        SELECT vec_id, cluster, d,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+        FROM df) WHERE rn = 1
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(d) AS BIGINT) AS sum_dist2,
+       CAST(SUM(d) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_dist2
+FROM af
+GROUP BY cluster
+ORDER BY cluster
+"""
+    )
+
+
+_KMEANS_SQL = _kmeans_sql(kmeans.K_CLUSTERS, kmeans.KMEANS_ITERS, kmeans.KMEANS_SCALE)
+
+
 # fastText-style hashed-feature linear quality model: both twins
 # (pandas / JVM) share this oracle — the logit is an exact BIGINT
 # sum of md5-derived integer milli-weights, so the score is
@@ -1671,6 +1755,12 @@ def build():
             star.q_supplier_brand_coverage,
             _DIVISION_SQL,
             ("olap", "join"),
+        ),
+        (
+            "kmeans-clusters",
+            kmeans.q_kmeans_clusters,
+            _KMEANS_SQL,
+            ("ml", "ann"),
         ),
         (
             "dedup-longest-span",

@@ -53,3 +53,16 @@ def test_kmeans_output_invariants(spark):
     assert len(out) <= K_CLUSTERS
     assert sum(r.n_vectors for r in out) == n_total  # a partition of the corpus
     assert all(r.mean_dist2 >= 0 for r in out)
+
+
+def test_kmeans_quantized_matches_float_assignments(spark):
+    """The registered fixed-point twin must assign every vector to
+    the same cluster as the float path: 1e-6 quantization noise is
+    orders of magnitude below the assignment margins."""
+    from projet_etl_spark.operators.kmeans import kmeans_fit_q
+
+    _, assigned_f = kmeans_fit(spark, SF_SMALL)
+    _, assigned_q = kmeans_fit_q(spark, SF_SMALL)
+    f = {r.vec_id: r.cluster for r in assigned_f.collect()}
+    q = {r.vec_id: r.cluster for r in assigned_q.collect()}
+    assert f == q
