@@ -140,6 +140,47 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs(sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
+# document-frequency cap on the shingles feeding LSH banding: a
+# shingle present in more than max(DF_CAP_MIN, DF_CAP_FRAC * corpus)
+# documents is boilerplate (stop-phrase, template chrome) — it
+# carries no near-dup signal, but under skew it becomes the minimum
+# of many permutations for a large doc population, collapsing them
+# into one band bucket and turning the candidate equi-join quadratic
+# in that bucket. Dropping ultra-high-DF shingles BEFORE the
+# signature pass (the standard stop-word discipline of web-scale
+# minhash dedup) bounds bucket occupancy; exact-jaccard verification
+# still runs on the UNCAPPED shingle sets, so any candidate that
+# survives is scored on full content. Trade-off, by design: on a
+# pathological corpus a doc pair sharing ONLY boilerplate can lose
+# its candidate bucket (bounded recall loss on content-free
+# overlap); on the test fixtures no shingle reaches the cap, so
+# results are unchanged. The streaming twin keeps uncapped
+# signatures (a per-batch df would make signatures batch-dependent
+# and corrupt the persisted store; production would use a static
+# stop-shingle list there).
+DF_CAP_MIN = 8
+DF_CAP_FRAC = 0.5
+
+
+def df_capped_shingles(sh: DataFrame) -> DataFrame:
+    """Shingle rows minus ultra-high-document-frequency shingles.
+
+    ``sh`` is (doc_id, s) with per-doc-distinct shingles, so one
+    hash groupBy on the shingle yields exact document frequencies;
+    the corpus size rides a 1-row broadcast and the filter returns
+    via a shuffle semi-join on the shingle key.
+    """
+    freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    nd = sh.agg(F.countDistinct("doc_id").alias("n_docs"))
+    cap = F.greatest(
+        F.lit(DF_CAP_MIN), F.ceil(F.col("n_docs") * F.lit(DF_CAP_FRAC))
+    )
+    keep = (
+        freq.crossJoin(F.broadcast(nd)).filter(F.col("df") <= cap).select("s")
+    )
+    return sh.join(keep, "s", "left_semi")
+
+
 def _minhash_band_keys(sh: DataFrame) -> DataFrame:
     """(doc_id, band, key): LSH band signatures from 16 permutations.
 
@@ -187,7 +228,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole shingle pipeline (measured: 9 redundant 33-task jobs).
     """
     sh = eager_persist(_doc_shingles(spark, sf_dir))
-    bands = _minhash_band_keys(sh)
+    bands = _minhash_band_keys(df_capped_shingles(sh))
     left = bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
     right = bands.select(F.col("doc_id").alias("doc_b"), "band", "key")
     # the candidate set is tiny but feeds three subtrees (both sides

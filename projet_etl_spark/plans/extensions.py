@@ -97,8 +97,23 @@ _BAND_SELECTS = "\n    UNION ALL ".join(
 _MINHASH_CTES = (
     _SHINGLE_CTES
     + f""",
+sdf AS (
+    SELECT s, COUNT(*) AS df FROM sh GROUP BY s
+),
+nd AS (
+    SELECT COUNT(DISTINCT doc_id) AS n_docs FROM sh
+),
+capped AS (
+    -- document-frequency cap before the signature pass (skew guard;
+    -- operators/dedup.df_capped_shingles) — verification below still
+    -- scores the UNCAPPED shingle sets
+    SELECT sh.doc_id, sh.s
+    FROM sh JOIN sdf USING (s), nd
+    WHERE sdf.df <= greatest({dedup.DF_CAP_MIN},
+                             CEIL(nd.n_docs * {dedup.DF_CAP_FRAC}))
+),
 hashed AS (
-    SELECT doc_id, {_H30_OF.format(col='s')} AS h FROM sh
+    SELECT doc_id, {_H30_OF.format(col='s')} AS h FROM capped
 ),
 sigs AS (
     SELECT doc_id,

@@ -330,3 +330,40 @@ def test_longest_span_merges_adjacent_grams(spark, tmp_path):
     assert (r.doc_a, r.doc_b) == (0, 1)
     assert r.longest_span_tokens == 12
     assert r.n_spans == 2
+
+
+def test_minhash_df_cap_bounds_band_buckets(spark):
+    """Skew guard: on a corpus where 30/40 documents share a
+    boilerplate sentence, the shared shingles dominate every minhash
+    permutation and collapse those docs into one band bucket (a
+    quadratic candidate join). The document-frequency cap drops the
+    boilerplate shingles before the signature pass and bounds bucket
+    occupancy; docs left with only sub-cap shingles hash apart."""
+    from projet_etl_spark.operators.dedup import (
+        _minhash_band_keys,
+        df_capped_shingles,
+        doc_shingles,
+    )
+
+    boiler = " ".join(f"b{j}" for j in range(12))
+    docs = [(i, f"{boiler} u{i}") for i in range(30)] + [
+        (i, f"d{i}a d{i}b d{i}c d{i}d d{i}e") for i in range(30, 40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sh = doc_shingles(df)
+    unc = (
+        _minhash_band_keys(sh)
+        .groupBy("band", "key")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    cap = (
+        _minhash_band_keys(df_capped_shingles(sh))
+        .groupBy("band", "key")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert unc >= 20, f"fixture lost its skew (max uncapped bucket {unc})"
+    assert cap <= 2, f"df cap failed to bound bucket occupancy ({cap})"
