@@ -195,6 +195,51 @@ def read_orc(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     return spark.read.schema(schema).orc(path)
 
 
+def recover_swap(path: str) -> None:
+    """Recover from a previous interrupted ``swap_publish``: data
+    parked aside with no live directory means the crash hit between
+    the two renames — restore it; a stale aside next to a live table
+    is a finished swap whose cleanup died — just clear it. Call
+    before reading a table that may have a pending swap."""
+    import os
+    import shutil
+
+    base = path.rstrip("/")
+    aside = base + "._precompact"
+    tmp = base + "._compacting"
+    if os.path.exists(aside):
+        if os.path.exists(path):
+            shutil.rmtree(aside)
+        else:
+            os.rename(aside, path)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+
+
+def swap_publish(path: str, write_tmp) -> None:
+    """Atomically replace the table directory at ``path`` with the
+    output of ``write_tmp(tmp_dir)``.
+
+    Publishes via two metadata-only renames so there is never a
+    window where the table is gone and unrecoverable: the old data
+    is parked aside first and only deleted once the new directory is
+    live. Runs ``recover_swap`` first, so an interrupted previous
+    swap can never be double-parked. ``write_tmp`` may lazily read
+    from ``path`` — the source stays live until it returns.
+    """
+    import os
+    import shutil
+
+    base = path.rstrip("/")
+    recover_swap(path)
+    tmp = base + "._compacting"
+    aside = base + "._precompact"
+    write_tmp(tmp)
+    os.rename(path, aside)
+    os.rename(tmp, path)
+    shutil.rmtree(aside)
+
+
 def compact(
     spark: SparkSession,
     path: str,
@@ -208,34 +253,16 @@ def compact(
 
     Returns the number of output files written.
     """
-    import os
-    import shutil
-
-    base = path.rstrip("/")
-    tmp = base + "._compacting"
-    aside = base + "._precompact"
-    # Recover from a previous interrupted swap: data parked aside with
-    # no live directory means the crash hit between the two renames —
-    # restore it. A stale aside next to a live table is a finished
-    # swap whose cleanup died; just clear it.
-    if os.path.exists(aside):
-        if os.path.exists(path):
-            shutil.rmtree(aside)
-        else:
-            os.rename(aside, path)
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-
+    recover_swap(path)
     df = getattr(spark.read, fmt)(path)
     n = df.count()
     n_files = max(1, -(-n // target_rows_per_file))
-    getattr(df.repartition(n_files).write.mode("overwrite"), fmt)(tmp)
-    # Publish via two metadata-only renames so there is never a window
-    # where the table is gone and unrecoverable: the old data is parked
-    # aside first and only deleted once the new directory is live.
-    os.rename(path, aside)
-    os.rename(tmp, path)
-    shutil.rmtree(aside)
+    swap_publish(
+        path,
+        lambda tmp: getattr(df.repartition(n_files).write.mode("overwrite"), fmt)(
+            tmp
+        ),
+    )
     return n_files
 
 

@@ -158,6 +158,57 @@ def stream_near_dedup(
     return writer.start()
 
 
+def compact_store(
+    spark: SparkSession,
+    store_path: str,
+    pairs_path: str | None = None,
+    target_rows_per_file: int = 1_000_000,
+) -> dict[str, int]:
+    """Maintenance hook: collapse the per-micro-batch partitions of
+    the signature/doc stores (and optionally the pairs sink) into ONE
+    merged partition keyed by the highest batch id seen, written as
+    ceil(rows / target) files via the atomic swap discipline of
+    sources.ingest (small-files compaction — a long-lived stream
+    otherwise accretes one partition per micro-batch forever and scan
+    planning drowns in footers).
+
+    Run while the stream is STOPPED (or between triggers): merging
+    history under max(batch) is replay-safe only once the checkpoint
+    has committed every batch it covers — after a restart, Structured
+    Streaming replays batches NEWER than the committed offset, which
+    the merged partition (batch = committed max) correctly predates:
+    the history filter ``batch < current`` still sees all of it, and
+    a replayed newer batch still overwrites only its own partition.
+
+    Returns {table_path: files_written}.
+    """
+    from projet_etl_spark.sources.ingest import recover_swap, swap_publish
+
+    out: dict[str, int] = {}
+    tables = [os.path.join(store_path, "bands"), os.path.join(store_path, "docs")]
+    if pairs_path is not None:
+        tables.append(pairs_path)
+    for path in tables:
+        if not os.path.exists(path):
+            continue
+        recover_swap(path)
+        df = spark.read.parquet(path)
+        maxb = df.agg(F.max("batch")).first()[0]
+        if maxb is None:
+            continue
+        n = df.count()
+        n_files = max(1, -(-n // target_rows_per_file))
+        merged = df.withColumn("batch", F.lit(int(maxb))).repartition(n_files)
+        swap_publish(
+            path,
+            lambda tmp, m=merged: m.write.mode("overwrite")
+            .partitionBy("batch")
+            .parquet(tmp),
+        )
+        out[path] = n_files
+    return out
+
+
 def read_pairs(spark: SparkSession, pairs_path: str) -> DataFrame:
     """All near-dup pairs found so far (union over batches); empty
     frame when no batch has written yet (the path may not exist, or

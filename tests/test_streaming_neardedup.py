@@ -91,3 +91,63 @@ def test_near_dedup_batch_replay_is_idempotent(spark, tmp_path):
     )
     assert again == first
     assert spark.read.parquet(f"{store}/docs").count() == n_store
+
+
+def test_compact_store_collapses_files_and_preserves_results(spark, tmp_path):
+    """The maintenance hook must collapse the one-partition-per-batch
+    store into a single merged partition (small-files fix) without
+    changing any result: pairs identical across the compaction, and a
+    LATER batch still dedups against the merged history."""
+    import glob
+    import os
+
+    from projet_etl_spark.streaming.neardedup import compact_store
+
+    def n_files(path):
+        return len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+
+    rows = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    store = str(tmp_path / "store")
+    pairs = str(tmp_path / "pairs")
+    batches = [
+        [(r.doc_id, r.text) for r in rows if r.doc_id % 4 == b] for b in range(4)
+    ]
+    for b in range(3):
+        near_dedup_batch(
+            spark.createDataFrame(batches[b], DOC_STREAM_SCHEMA), b, store, pairs
+        )
+
+    bands = os.path.join(store, "bands")
+    before_files = n_files(bands)
+    before_pairs = {
+        (r.doc_a, r.doc_b, r.jaccard) for r in read_pairs(spark, pairs).collect()
+    }
+    assert before_files >= 3, "expected one parquet file per batch partition"
+
+    written = compact_store(spark, store, pairs)
+    assert set(written) == {bands, os.path.join(store, "docs"), pairs}
+    assert n_files(bands) == 1
+    assert n_files(os.path.join(store, "docs")) == 1
+    after_pairs = {
+        (r.doc_a, r.doc_b, r.jaccard) for r in read_pairs(spark, pairs).collect()
+    }
+    assert after_pairs == before_pairs
+
+    # incremental behavior preserved: the merged partition (batch=2)
+    # still predates batch 3, so cross-batch pairs keep arriving
+    near_dedup_batch(
+        spark.createDataFrame(batches[3], DOC_STREAM_SCHEMA), 3, store, pairs
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard) for r in read_pairs(spark, pairs).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in q_dedup_minhash_lsh(spark, SF_SMALL).collect()
+    }
+    assert want, "fixture corpus must contain near-dup pairs"
+    assert got == want
