@@ -94,9 +94,18 @@ def q_text_quality_model_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", tokens(F.col("text")).alias("t")
     )
     feats = docs.select("doc_id", F.explode(_feature_array(F.col("t"))).alias("feat"))
-    weighted = feats.select(
-        "doc_id", _weight_milli(h30(F.col("feat")) % F.lit(N_BUCKETS)).alias("w")
+    # the model IS the bucket->weight table: materialize its 4096
+    # rows once and broadcast, instead of re-deriving the weight md5
+    # per feature occurrence (the deployment shape of a real trained
+    # model, whose weights wouldn't be derivable in-row at all)
+    model = F.broadcast(
+        spark.range(N_BUCKETS)
+        .select(F.col("id").alias("bucket"))
+        .select("bucket", _weight_milli(F.col("bucket")).alias("w"))
     )
+    weighted = feats.select(
+        "doc_id", (h30(F.col("feat")) % F.lit(N_BUCKETS)).alias("bucket")
+    ).join(model, "bucket")
     agg = weighted.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_features"),
         F.sum("w").cast("long").alias("logit_milli"),

@@ -27,6 +27,11 @@ BNLJ_ALLOWED = {
     "ann-ivf-topk",
     "ann-quantized-topk",
     "dedup-embedding-cosine",
+    # the 1-row corpus-size aggregate broadcast into the shingle
+    # document-frequency cap (dedup.df_capped_shingles); the
+    # clusters/canonical twins hide the same subtree behind the
+    # persisted candidate cache
+    "dedup-minhash-lsh",
     "resample-by-lang",
     "tfidf-top-terms",
 }
