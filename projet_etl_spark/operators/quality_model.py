@@ -122,6 +122,32 @@ def q_text_quality_model_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_corpus_quality_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-token budget after model filtering: per (lang, keep)
+    stratum, how many documents and whitespace tokens survive the
+    quality model's verdict — the planning table a curation run
+    produces before committing to a training mix.
+
+    Scale shape: the scorer's one aggregation joined back to a
+    map-only token count on doc_id, then a second tiny hash
+    aggregation on (lang, keep); nothing new shuffles besides the
+    doc_id equi-join of two already-reduced sides.
+    """
+    verdict = q_text_quality_model_jvm(spark, sf_dir).select("doc_id", "keep")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(tokens(F.col("text"))).alias("n_tok")
+    )
+    return (
+        docs.join(verdict, "doc_id")
+        .groupBy("lang", "keep")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .orderBy("lang", "keep")
+    )
+
+
 def make_quality_scorer(n_buckets: int, w_span: int):
     """Closure-shipped batch scorer over (doc_id, t) Arrow batches.
 

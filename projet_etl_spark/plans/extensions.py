@@ -34,6 +34,7 @@ from projet_etl_spark.operators import (
     packing,
     quality_model,
     similarity,
+    sketches,
     simple,
     stats,
     textstats,
@@ -1544,6 +1545,125 @@ ORDER BY doc_id
 """
 
 
+# count-min sketch heavy-hitters audit: the sketch cells are built
+# from the portable md5 hash, so the whole sketch is oracle-exact
+_CMS_ROW_VALUES = ", ".join(f"({r})" for r in range(sketches.CMS_ROWS))
+
+
+def _cms_bucket_sql(r: str, tok: str) -> str:
+    return (
+        f"({_H30_OF.format(col=f'(CAST({r} AS VARCHAR) || chr(35) || {tok})')}"
+        f" % {sketches.CMS_WIDTH})"
+    )
+
+
+_CMS_SQL = f"""
+WITH toks AS (
+    SELECT unnest({_TOK}) AS tok FROM documents
+),
+occ AS (
+    SELECT tok, v.r FROM toks, (VALUES {_CMS_ROW_VALUES}) v(r)
+),
+cells AS (
+    SELECT r, {_cms_bucket_sql('r', 'tok')} AS bucket, COUNT(*) AS c
+    FROM occ GROUP BY 1, 2
+),
+exact AS (
+    SELECT tok, COUNT(*) AS exact_n FROM toks GROUP BY tok
+),
+topk AS (
+    SELECT tok, exact_n FROM exact
+    ORDER BY exact_n DESC, tok LIMIT {sketches.CMS_TOP_K}
+),
+probes AS (
+    SELECT tok, exact_n, v.r AS r,
+           {_cms_bucket_sql('v.r', 'tok')} AS bucket
+    FROM topk, (VALUES {_CMS_ROW_VALUES}) v(r)
+),
+est AS (
+    SELECT p.tok, p.exact_n, MIN(c.c) AS cms_n
+    FROM probes p JOIN cells c USING (r, bucket)
+    GROUP BY p.tok, p.exact_n
+)
+SELECT tok,
+       CAST(exact_n AS BIGINT) AS exact_n,
+       CAST(cms_n AS BIGINT) AS cms_n,
+       CAST(cms_n - exact_n AS BIGINT) AS overcount
+FROM est
+ORDER BY exact_n DESC, tok
+"""
+
+# Bloom-filter decontamination: fixed-size filter of the eval grams,
+# per-doc bloom/exact/false-positive accounting
+_BLOOM_HASH_VALUES = ", ".join(f"({i})" for i in range(decontam.BLOOM_HASHES))
+
+
+def _bloom_bit_sql(i: str, s: str) -> str:
+    return (
+        f"({_H30_OF.format(col=f'(CAST({i} AS VARCHAR) || chr(35) || {s})')}"
+        f" % {decontam.BLOOM_BITS})"
+    )
+
+
+_BLOOM_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, {_TOK} AS t FROM documents
+),
+sh AS (
+    SELECT doc_id, unnest({TX.sql_shingles_k("t", decontam.CONTAM_K)}) AS s
+    FROM tok
+),
+ev AS (
+    SELECT DISTINCT s FROM sh WHERE doc_id < {decontam.EVAL_DOCS}
+),
+bits AS (
+    SELECT DISTINCT {_bloom_bit_sql('v.i', 's')} AS bit
+    FROM ev, (VALUES {_BLOOM_HASH_VALUES}) v(i)
+),
+train AS (
+    SELECT doc_id, s FROM sh WHERE doc_id >= {decontam.EVAL_DOCS}
+),
+probes AS (
+    SELECT doc_id, s, {_bloom_bit_sql('v.i', 's')} AS bit
+    FROM train, (VALUES {_BLOOM_HASH_VALUES}) v(i)
+),
+bloom_pos AS (
+    SELECT doc_id, s
+    FROM probes JOIN bits USING (bit)
+    GROUP BY doc_id, s
+    HAVING COUNT(*) = {decontam.BLOOM_HASHES}
+),
+bloom_doc AS (
+    SELECT doc_id, COUNT(*) AS n_bloom_hits FROM bloom_pos GROUP BY doc_id
+),
+exact_doc AS (
+    SELECT doc_id, COUNT(*) AS n_exact_hits
+    FROM train JOIN ev USING (s)
+    GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n_bloom_hits AS BIGINT) AS n_bloom_hits,
+       CAST(COALESCE(e.n_exact_hits, 0) AS BIGINT) AS n_exact_hits,
+       CAST(b.n_bloom_hits - COALESCE(e.n_exact_hits, 0) AS BIGINT)
+           AS n_false_pos
+FROM bloom_doc b LEFT JOIN exact_doc e USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+# token budget per (lang, keep) stratum after the quality model's cut
+_BUDGET_SQL = f"""
+WITH verdict AS (
+{_QMODEL_SQL.replace("ORDER BY doc_id", "")}
+)
+SELECT d.lang, v.keep,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len({_TOK.replace("text", "d.text")})) AS BIGINT) AS n_tokens
+FROM documents d JOIN verdict v ON d.doc_id = v.doc_id
+GROUP BY d.lang, v.keep
+ORDER BY d.lang, v.keep
+"""
+
+
 def _attribution_batch(spark, sf_dir):
     from projet_etl_spark.streaming.joins import (
         q_click_purchase_attribution_batch,
@@ -1770,6 +1890,24 @@ def build():
             star.q_supplier_brand_coverage,
             _DIVISION_SQL,
             ("olap", "join"),
+        ),
+        (
+            "token-freq-cms",
+            sketches.q_token_freq_cms,
+            _CMS_SQL,
+            ("sketch", "text"),
+        ),
+        (
+            "decontaminate-bloom",
+            decontam.q_decontaminate_bloom,
+            _BLOOM_SQL,
+            ("sketch", "curation"),
+        ),
+        (
+            "corpus-quality-budget",
+            quality_model.q_corpus_quality_budget,
+            _BUDGET_SQL,
+            ("curation", "pipeline"),
         ),
         (
             "kmeans-clusters",

@@ -99,6 +99,9 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "dedup-longest-span",
     "text-quality-model",
     "text-quality-model-jvm",
+    "token-freq-cms",
+    "decontaminate-bloom",
+    "corpus-quality-budget",
 )
 
 
