@@ -81,19 +81,23 @@ def _weight_milli(bucket: Column) -> Column:
     return h30(salted) % F.lit(2 * W_SPAN + 1) - F.lit(W_SPAN)
 
 
-def q_text_quality_model_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document fastText-style quality score, all JVM-side.
+def score_documents(docs: DataFrame) -> DataFrame:
+    """Score a (doc_id, text) frame with the JVM-expression model:
+    (doc_id, n_features, logit_milli, score, keep). Shared by the
+    batch query and the streaming budget twin
+    (streaming/quality.py), so the two paths cannot drift.
 
     logit_milli = Σ weight(bucket(feature)) over feature occurrences
     (exact BIGINT); score = logit_milli / (1000 · n_features) — the
     mean feature weight in natural units; keep = logit_milli > 0.
     """
+    spark = docs.sparkSession
     # token array staged in its own projection (regex re-eval trap,
     # see operators/dedup.doc_shingles)
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", tokens(F.col("text")).alias("t")
+    staged = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    feats = staged.select(
+        "doc_id", F.explode(_feature_array(F.col("t"))).alias("feat")
     )
-    feats = docs.select("doc_id", F.explode(_feature_array(F.col("t"))).alias("feat"))
     # the model IS the bucket->weight table: materialize its 4096
     # rows once and broadcast, instead of re-deriving the weight md5
     # per feature occurrence (the deployment shape of a real trained
@@ -119,6 +123,13 @@ def q_text_quality_model_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "logit_milli",
         score.alias("score"),
         (F.col("logit_milli") > 0).alias("keep"),
+    )
+
+
+def q_text_quality_model_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fastText-style quality score, all JVM-side."""
+    return score_documents(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
     ).orderBy("doc_id")
 
 
