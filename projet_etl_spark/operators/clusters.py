@@ -142,6 +142,33 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectors labeled with their SEMANTIC near-dup cluster (min
+    vec_id in the component): connected components over the
+    random-hyperplane-LSH cosine pairs — the embedding-space analogue
+    of the text near-dup clustering above (the SemDeDup-style
+    grouping step a curation pipeline runs before keeping one
+    exemplar per semantic cluster).
+
+    Same O(log diameter) pointer-doubling iteration, same active-
+    subgraph bound: per-round cost scales with the LSH pair count,
+    and the corpus-sized work is one final left join that labels
+    singleton vectors with themselves.
+    """
+    from projet_etl_spark.operators.dedup import q_dedup_embedding_lsh
+
+    pairs = q_dedup_embedding_lsh(spark, sf_dir).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("vertex")
+    )
+    labels = connected_components(pairs, vecs)
+    return labels.select(
+        F.col("vertex").alias("vec_id"), F.col("label").alias("cluster_id")
+    ).orderBy("vec_id")
+
+
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deduplicated corpus: one representative per near-dup
     cluster — the min doc_id, which is exactly the cluster label —

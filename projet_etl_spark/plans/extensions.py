@@ -422,7 +422,7 @@ _RP_BAND_ROWS = "\n    UNION ALL\n    ".join(
     "FROM bits"
     for b in range(dedup.RP_BANDS)
 )
-_EMB_LSH_SQL = (
+_EMB_LSH_CTES = (
     _E_CTE
     + f""",
 bits AS (
@@ -437,13 +437,42 @@ cand AS (
     SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
     FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
     WHERE l.vec_id < r.vec_id
+)"""
 )
+_EMB_LSH_PAIRS = f"""
 SELECT vec_a, vec_b,
        {_sql_cos(VEC.sql_dot('a.v', 'b.v'), 'a.n2', 'b.n2')} AS cos
 FROM cand
 JOIN e a ON vec_a = a.vec_id
 JOIN e b ON vec_b = b.vec_id
 WHERE {_sql_cos(VEC.sql_dot('a.v', 'b.v'), 'a.n2', 'b.n2')} >= {dedup.COSINE_THRESHOLD}
+"""
+_EMB_LSH_SQL = _EMB_LSH_CTES + _EMB_LSH_PAIRS
+
+# semantic connected components over the LSH cosine pairs, stated as
+# the same recursive transitive closure as the text clusters oracle
+_RECURSIVE_EMB_LSH_CTES = _EMB_LSH_CTES.replace("\nWITH ", "\nWITH RECURSIVE ", 1)
+assert "WITH RECURSIVE" in _RECURSIVE_EMB_LSH_CTES, (
+    "semantic clusters oracle: failed to upgrade LSH CTEs to WITH RECURSIVE"
+)
+_SEMANTIC_SQL = (
+    _RECURSIVE_EMB_LSH_CTES
+    + f""",
+vpairs AS ({_EMB_LSH_PAIRS}),
+vedges AS (
+    SELECT vec_a AS src, vec_b AS dst FROM vpairs
+    UNION ALL
+    SELECT vec_b AS src, vec_a AS dst FROM vpairs
+),
+vreach AS (
+    SELECT vec_id AS vertex, vec_id AS label FROM embeddings
+    UNION
+    SELECT ed.src AS vertex, r.label
+    FROM vedges ed JOIN vreach r ON ed.dst = r.vertex
+)
+SELECT vertex AS vec_id, MIN(label) AS cluster_id
+FROM vreach GROUP BY vertex
+ORDER BY vec_id
 """
 )
 
@@ -1761,6 +1790,12 @@ def build():
         # iterative fixpoint on the Spark side; the oracle states the
         # same components as a recursive transitive closure
         ("dedup-clusters", clusters.q_dedup_clusters, _CLUSTERS_SQL, ("dedup",)),
+        (
+            "semantic-clusters",
+            clusters.q_semantic_clusters,
+            _SEMANTIC_SQL,
+            ("dedup", "ann"),
+        ),
         ("dedup-canonical", clusters.q_dedup_canonical, _CANONICAL_SQL, ("dedup",)),
         (
             "decontaminate-ngram",

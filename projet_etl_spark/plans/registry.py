@@ -102,6 +102,7 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "token-freq-cms",
     "decontaminate-bloom",
     "corpus-quality-budget",
+    "semantic-clusters",
 )
 
 
