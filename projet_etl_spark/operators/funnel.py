@@ -84,3 +84,46 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix: for each ordered pair of
+    consecutive events of the SAME user, count (from_type, to_type)
+    and its probability among transitions leaving from_type — the
+    first-order Markov model of user behavior (the sequence-mining
+    counterpart of the funnel above, which pins one fixed path).
+
+    Determinism: consecutive = next event by (ts, event_id) within
+    the user partition, so simultaneous events order identically in
+    both engines; counts are exact BIGINTs and p is one IEEE division
+    of exact longs.
+
+    Scale shape: ONE window pass over user partitions (lead), then a
+    types^2-sized hash aggregation; the per-from totals come from a
+    second tiny aggregation joined back broadcast-sized. No
+    corpus-sized join, no driver state.
+    """
+    from pyspark.sql import Window
+
+    from projet_etl_spark.sources.tables import events
+
+    ev = events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return (
+        counts.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            (F.col("n").cast("double") / F.col("n_from").cast("double")).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )

@@ -804,6 +804,28 @@ SELECT vec_id,
 FROM embeddings
 """
 
+_TRANSITIONS_SQL = """
+WITH steps AS (
+    SELECT event_type AS from_type,
+           LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+    FROM events
+),
+counts AS (
+    SELECT from_type, to_type, COUNT(*) AS n
+    FROM steps WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+),
+totals AS (
+    SELECT from_type, SUM(n) AS n_from FROM counts GROUP BY from_type
+)
+SELECT c.from_type, c.to_type,
+       CAST(c.n AS BIGINT) AS n,
+       CAST(c.n AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS p
+FROM counts c JOIN totals t USING (from_type)
+ORDER BY c.from_type, c.to_type
+"""
+
 _FUNNEL_SQL = """
 WITH per_user AS (
     SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
@@ -1866,6 +1888,7 @@ def build():
         ("embed-score-jvm", inference.q_embed_score_jvm, _INFER_SQL, ("inference",)),
         ("funnel-signup-click-purchase", funnel.q_funnel_signup_click_purchase, _FUNNEL_SQL, ("analytics",)),
         ("retention-cohorts", funnel.q_retention_cohorts, _RETENTION_SQL, ("analytics",)),
+        ("event-transitions", funnel.q_event_transitions, _TRANSITIONS_SQL, ("analytics", "windows")),
         ("resample-by-lang", vocab.q_resample_by_lang, _RESAMPLE_SQL, ("curation",)),
         ("sales-rollup", olap.q_sales_rollup, _ROLLUP_SQL, ("olap",)),
         ("sales-cube", olap.q_sales_cube, _CUBE_SQL, ("olap",)),

@@ -103,6 +103,7 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "decontaminate-bloom",
     "corpus-quality-budget",
     "semantic-clusters",
+    "event-transitions",
 )
 
 
