@@ -97,3 +97,35 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", bucket.alias("bucket")).filter(
         F.col("bucket") < SAMPLE_PCT
     )
+
+
+SAMPLE_N_PER_LANG = 25
+
+
+def q_sample_stratified_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-stratum sample: the SAMPLE_N_PER_LANG documents
+    with the smallest md5(doc_id) per language — a deterministic
+    unbiased fixed-n draw per stratum (the eval-subset/holdout shape;
+    the hash order is uncorrelated with content, and both engines
+    rank the identical md5 strings).
+
+    Scale shape: one window per language partition over (hash,
+    doc_id); at extreme per-stratum cardinality swap the rank for a
+    per-stratum hash threshold (the sample-hash-10pct shape) — the
+    window form is the exactly-n baseline.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).cast("long").alias("draw_rank"),
+        )
+        .filter(F.col("draw_rank") <= SAMPLE_N_PER_LANG)
+        .orderBy("lang", "draw_rank")
+    )

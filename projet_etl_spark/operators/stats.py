@@ -154,3 +154,24 @@ def q_bigrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= BIGRAM_K)
         .orderBy("rank")
     )
+
+
+def q_events_type_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type counts computed through the SALTED two-phase
+    aggregation (sources/warehouse.salted_count) — the skew-resilient
+    plan for low-cardinality hot keys, registered as an oracled query
+    so the hard correctness signal covers the salting path, not just
+    pytest. A handful of event types over millions of events is the
+    canonical pathological GROUP BY: without salting every row of a
+    type funnels to one reducer; with it, partials spread over
+    (type, salt) and a second types-sized aggregation merges them.
+    The result is salt-invariant, so the oracle is the plain GROUP BY."""
+    from projet_etl_spark.sources.tables import events
+    from projet_etl_spark.sources.warehouse import salted_count
+
+    ev = events(spark, sf_dir).select("event_type")
+    return (
+        salted_count(ev, "event_type", n_salts=8)
+        .select("event_type", F.col("n").cast("long").alias("n_events"))
+        .orderBy("event_type")
+    )

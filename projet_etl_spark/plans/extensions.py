@@ -804,6 +804,27 @@ SELECT vec_id,
 FROM embeddings
 """
 
+_SALTED_COUNTS_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+from projet_etl_spark.operators import curation  # noqa: E402
+
+_STRAT_SAMPLE_SQL = f"""
+WITH ranked AS (
+    SELECT doc_id, lang,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+               AS draw_rank
+    FROM documents
+)
+SELECT doc_id, lang, draw_rank FROM ranked
+WHERE draw_rank <= {curation.SAMPLE_N_PER_LANG}
+ORDER BY lang, draw_rank
+"""
+
 _TRANSITIONS_SQL = """
 WITH steps AS (
     SELECT event_type AS from_type,
@@ -1889,6 +1910,18 @@ def build():
         ("funnel-signup-click-purchase", funnel.q_funnel_signup_click_purchase, _FUNNEL_SQL, ("analytics",)),
         ("retention-cohorts", funnel.q_retention_cohorts, _RETENTION_SQL, ("analytics",)),
         ("event-transitions", funnel.q_event_transitions, _TRANSITIONS_SQL, ("analytics", "windows")),
+        (
+            "events-type-counts-salted",
+            stats.q_events_type_counts_salted,
+            _SALTED_COUNTS_SQL,
+            ("stats", "skew"),
+        ),
+        (
+            "sample-stratified-n",
+            curation.q_sample_stratified_n,
+            _STRAT_SAMPLE_SQL,
+            ("curation",),
+        ),
         ("resample-by-lang", vocab.q_resample_by_lang, _RESAMPLE_SQL, ("curation",)),
         ("sales-rollup", olap.q_sales_rollup, _ROLLUP_SQL, ("olap",)),
         ("sales-cube", olap.q_sales_cube, _CUBE_SQL, ("olap",)),

@@ -104,6 +104,8 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "corpus-quality-budget",
     "semantic-clusters",
     "event-transitions",
+    "events-type-counts-salted",
+    "sample-stratified-n",
 )
 
 
