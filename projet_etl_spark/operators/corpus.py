@@ -67,3 +67,59 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline as one composed plan: per-language
+    document/token budget of the corpus that survives
+
+      1. NEAR-dedup — only the canonical representative (min doc_id)
+         of each minhash-LSH connected component survives,
+      2. model quality filtering — quality-model keep (logit > 0),
+      3. benchmark decontamination — any doc sharing an eval 5-gram
+         is dropped, and the eval set itself (doc_id < EVAL_DOCS)
+         never enters the training corpus.
+
+    This is the end-to-end "what do we actually train on" audit that
+    chains the engine's dedup, inference and hygiene surfaces — every
+    stage is the already-oracled operator, composed lazily; the
+    DuckDB oracle replays the identical chain inside one recursive
+    CTE statement.
+
+    Scale shape: nothing new — the component labels (cluster-count
+    sized), keep verdicts (doc-keyed aggregate) and contamination
+    flags (gram equi-join) each reduce before the final doc_id
+    equi-joins; the last aggregation is languages-sized.
+    """
+    from projet_etl_spark.operators.clusters import q_dedup_clusters
+    from projet_etl_spark.operators.decontam import (
+        EVAL_DOCS,
+        q_decontaminate_ngram,
+    )
+    from projet_etl_spark.operators.quality_model import score_documents
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    reps = q_dedup_clusters(spark, sf_dir).filter(
+        F.col("doc_id") == F.col("cluster_id")
+    ).select("doc_id")
+    keep = score_documents(docs.select("doc_id", "text")).filter(
+        F.col("keep")
+    ).select("doc_id")
+    contam = q_decontaminate_ngram(spark, sf_dir).select("doc_id")
+    survivors = (
+        docs.filter(F.col("doc_id") >= EVAL_DOCS)
+        .join(reps, "doc_id", "left_semi")
+        .join(keep, "doc_id", "left_semi")
+        .join(contam, "doc_id", "left_anti")
+        .select("doc_id", "lang", F.size(tokens(F.col("text"))).alias("n_tok"))
+    )
+    return (
+        survivors.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .orderBy("lang")
+    )

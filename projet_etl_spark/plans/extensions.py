@@ -1617,6 +1617,73 @@ ORDER BY doc_id
 """
 
 
+# end-to-end clean-corpus budget: near-dedup canonical reps ∩ model
+# keepers ∖ contaminated, replayed as ONE recursive statement over
+# the shared minhash CTEs (tok is reused by the quality and 5-gram
+# stages — same tokenization by construction)
+_CLEAN_CORPUS_SQL = (
+    _RECURSIVE_MINHASH_CTES
+    + f""",
+cpairs AS (
+    SELECT doc_a, doc_b FROM jac WHERE jaccard >= {dedup.JACCARD_THRESHOLD}
+),
+cedges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM cpairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM cpairs
+),
+creach AS (
+    SELECT doc_id AS vertex, doc_id AS label FROM documents
+    UNION
+    SELECT e.src AS vertex, r.label
+    FROM cedges e JOIN creach r ON e.dst = r.vertex
+),
+reps AS (
+    SELECT vertex AS doc_id FROM creach
+    GROUP BY vertex HAVING vertex = MIN(label)
+),
+qfeats AS (
+    SELECT doc_id,
+           unnest(list_concat(
+               list_transform(t, x -> 'u#' || x),
+               list_transform(range(1, len(t)),
+                              i -> 'b#' || t[i] || ' ' || t[i+1])
+           )) AS feat
+    FROM tok
+),
+qw AS (
+    SELECT doc_id, {_QM_WEIGHT} AS w FROM qfeats
+),
+keepers AS (
+    SELECT doc_id FROM qw GROUP BY doc_id HAVING SUM(w) > 0
+),
+g5 AS (
+    SELECT doc_id, unnest({TX.sql_shingles_k("t", decontam.CONTAM_K)}) AS s5
+    FROM tok
+),
+ev5 AS (
+    SELECT DISTINCT s5 FROM g5 WHERE doc_id < {decontam.EVAL_DOCS}
+),
+contam AS (
+    SELECT DISTINCT doc_id FROM g5
+    WHERE doc_id >= {decontam.EVAL_DOCS}
+      AND s5 IN (SELECT s5 FROM ev5)
+),
+survivors AS (
+    SELECT d.doc_id, d.lang, len({_TOK.replace("text", "d.text")}) AS n_tok
+    FROM documents d
+    JOIN reps USING (doc_id)
+    JOIN keepers USING (doc_id)
+    WHERE d.doc_id >= {decontam.EVAL_DOCS}
+      AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM survivors GROUP BY lang ORDER BY lang
+"""
+)
+
 # count-min sketch heavy-hitters audit: the sketch cells are built
 # from the portable md5 hash, so the whole sketch is oracle-exact
 _CMS_ROW_VALUES = ", ".join(f"({r})" for r in range(sketches.CMS_ROWS))
@@ -1815,6 +1882,12 @@ def build():
             multimodal.q_multimodal_dedup,
             _MM_DEDUP_SQL,
             ("multimodal", "dedup"),
+        ),
+        (
+            "pipeline-clean-corpus",
+            corpus.q_pipeline_clean_corpus,
+            _CLEAN_CORPUS_SQL,
+            ("pipeline", "dedup", "curation", "inference"),
         ),
         (
             "pipeline-corpus-stats",

@@ -106,6 +106,7 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "event-transitions",
     "events-type-counts-salted",
     "sample-stratified-n",
+    "pipeline-clean-corpus",
 )
 
 
