@@ -464,3 +464,25 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cos"))
         .filter(F.col("cos") >= COSINE_THRESHOLD)
     )
+
+
+def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the minhash-LSH candidate path against the
+    exact shingle-join baseline, over the same jaccard threshold: one
+    row (n_true_pairs, n_found, recall). The banding parameters (4x4
+    over 16 permutations) trade candidate volume for recall; this
+    query keeps that trade measured and oracle-checked as the corpus
+    drifts. Both sides are the existing pair queries (already
+    bounded); the comparison join is pair-count sized."""
+    exact = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    lsh = q_dedup_minhash_lsh(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("hit")
+    )
+    return exact.join(lsh, ["doc_a", "doc_b"], "left").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true_pairs"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_found"),
+        (
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("recall"),
+    )

@@ -132,3 +132,32 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "cand_id", "cos", "rank")
     )
+
+
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured accuracy of the IVF approximation: per query, how many
+    of the exact brute-force top-K neighbors the NPROBE-pruned index
+    returns — recall@K as an oracled query, so the cost of cell
+    pruning is a number in the hard correctness signal, not a claim.
+    (The engine's audit convention: every approximation ships with a
+    measured-accuracy twin — CMS has overcount, the bloom filter has
+    n_false_pos, the LSH candidate path has dedup-lsh-recall.)
+
+    Scale shape: both sides are the existing top-K results (N_QUERIES
+    x TOP_K rows each); the comparison is a tiny equi-join.
+    """
+    brute = q_ann_cosine_topk(spark, sf_dir).select("query_id", "cand_id")
+    ivf = q_ann_ivf_topk(spark, sf_dir).select(
+        "query_id", "cand_id", F.lit(1).alias("hit")
+    )
+    return (
+        brute.join(ivf, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.lit(float(TOP_K))).alias("recall"),
+        )
+        .orderBy("query_id")
+    )

@@ -1617,6 +1617,36 @@ ORDER BY doc_id
 """
 
 
+# approximation-audit twins: measured recall of the pruned/banded
+# paths against their exact baselines, stated by nesting the two
+# existing full queries as CTE subqueries (DuckDB scopes their inner
+# WITHs) and joining the results
+_IVF_RECALL_SQL = f"""
+WITH brute AS ({_ANN_BRUTE_SQL}),
+ivf AS ({_ANN_IVF_SQL})
+SELECT b.query_id,
+       CAST(SUM(CASE WHEN i.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hits,
+       CAST(SUM(CASE WHEN i.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / {float(similarity.TOP_K)} AS recall
+FROM brute b
+LEFT JOIN ivf i ON b.query_id = i.query_id AND b.cand_id = i.cand_id
+GROUP BY b.query_id
+ORDER BY b.query_id
+"""
+
+_LSH_RECALL_SQL = f"""
+WITH exact_pairs AS ({_NGRAM_SQL}),
+lsh AS ({_MINHASH_SQL})
+SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+       CAST(SUM(CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_found,
+       CAST(SUM(CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM exact_pairs e
+LEFT JOIN lsh l ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b
+"""
+
 # end-to-end clean-corpus budget: near-dedup canonical reps ∩ model
 # keepers ∖ contaminated, replayed as ONE recursive statement over
 # the shared minhash CTEs (tok is reused by the quality and 5-gram
@@ -1836,6 +1866,18 @@ def build():
         ("ann-cosine-topk", similarity.q_ann_cosine_topk, _ANN_BRUTE_SQL, ("ann",)),
         ("ann-quantized-topk", quantized.q_ann_quantized_topk, _QANN_SQL, ("ann",)),
         ("ann-ivf-topk", similarity.q_ann_ivf_topk, _ANN_IVF_SQL, ("ann",)),
+        (
+            "ann-ivf-recall",
+            similarity.q_ann_ivf_recall,
+            _IVF_RECALL_SQL,
+            ("ann", "audit"),
+        ),
+        (
+            "dedup-lsh-recall",
+            dedup.q_dedup_lsh_recall,
+            _LSH_RECALL_SQL,
+            ("dedup", "audit"),
+        ),
         ("text-token-count", textstats.q_text_token_count, _TOKEN_COUNT_SQL, ("text",)),
         ("text-quality", textstats.q_text_quality, _QUALITY_SQL, ("text",)),
         ("text-lang-id", textstats.q_text_lang_id, _LANG_ID_SQL, ("text",)),

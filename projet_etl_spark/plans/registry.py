@@ -107,6 +107,8 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "events-type-counts-salted",
     "sample-stratified-n",
     "pipeline-clean-corpus",
+    "ann-ivf-recall",
+    "dedup-lsh-recall",
 )
 
 

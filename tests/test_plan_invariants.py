@@ -25,6 +25,9 @@ from tests.conftest import SF_SMALL
 BNLJ_ALLOWED = {
     "ann-cosine-topk",
     "ann-ivf-topk",
+    # the recall audits nest the allowlisted parents' plans verbatim
+    "ann-ivf-recall",
+    "dedup-lsh-recall",
     "ann-quantized-topk",
     "dedup-embedding-cosine",
     # the 1-row corpus-size aggregate broadcast into the shingle
