@@ -262,3 +262,50 @@ def test_anomalies_degenerate_stratum_no_nan(spark, tmp_path):
         assert_matches_oracle(df, con, _ANOMALY_SQL, name="anomalies-degenerate")
     finally:
         con.close()
+
+
+def test_round5_text_ops_match_oracle_on_edge_corpus(spark, tmp_path):
+    """The fixture corpus never exercises degenerate documents; pin
+    cross-engine parity of the round-5 text operators on a corpus of
+    empties, whitespace-only, single tokens, CJK, punctuation runs
+    and heavy repetition (tokenization edge semantics: Spark split or
+    DuckDB regexp_split_to_array of an empty string both yield [''],
+    and every md5 below hashes the same bytes)."""
+    import duckdb
+
+    from projet_etl_spark.plans.registry import REGISTRY
+
+    docs = [
+        (0, "", "en"),
+        (1, "   ", "en"),
+        (2, "one", "en"),
+        (3, "早安 世界 早安 世界 早安", "zh"),
+        (4, "!!! ??? ... !!!", "fr"),
+        (5, "the the the the the the the the", "en"),
+        (6, "a b c d e f g h i j a b c d e f g h i j", "de"),
+        (7, "a b c d e f g h i j k l m n o p", "es"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string, lang string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    # Spark writes a parquet DIRECTORY; DuckDB needs the file glob
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    try:
+        for name in (
+            "text-quality-model-jvm",
+            "text-quality-model",
+            "corpus-quality-budget",
+            "dedup-longest-span",
+            "token-freq-cms",
+            "sample-stratified-n",
+        ):
+            spec = REGISTRY[name]
+            assert_matches_oracle(
+                spec.fn(spark, str(tmp_path)), con, spec.oracle, f"{name}-edge"
+            )
+    finally:
+        con.close()
