@@ -68,22 +68,17 @@ def _centroids(base: DataFrame) -> DataFrame:
     )
 
 
-def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-10: assign vectors to nearest medoid cell, probe the
-    NPROBE nearest cells per query, exact re-rank inside them."""
-    base = _emb_with_norm(spark, sf_dir)
-    cents = F.broadcast(lazy_persist(_centroids(base)))
-
-    # coarse assignment: nearest cell per vector — argmax via max_by
-    # over a (similarity, -cell) struct (deterministic tiebreak on
-    # the lower cell id), one hash aggregate instead of a sort window
+def coarse_assign(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, v, n2, cell): nearest-medoid coarse assignment — the
+    IVF index build. Argmax via max_by over a (similarity, -cell)
+    struct (deterministic tiebreak on the lower cell id), one hash
+    aggregate instead of a sort window. Shared by the batch query and
+    the streaming index-maintenance twin (streaming/ivf.py), so the
+    two paths cannot drift."""
     sim_to_cent = F.round(
         cosine(spark_dot("v", "centv"), F.col("n2"), F.col("centn")), 6
     )
-    # the assignment IS the IVF index — a built artifact feeding three
-    # subtrees (query set, probe ranking, candidate lookup); persist
-    # eagerly exactly as a real deployment materializes the index
-    assigned = eager_persist(
+    return (
         base.crossJoin(cents)
         .withColumn("simc", sim_to_cent)
         .groupBy("vec_id")
@@ -95,6 +90,18 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cell"),
         )
     )
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10: assign vectors to nearest medoid cell, probe the
+    NPROBE nearest cells per query, exact re-rank inside them."""
+    base = _emb_with_norm(spark, sf_dir)
+    cents = F.broadcast(lazy_persist(_centroids(base)))
+
+    # the assignment IS the IVF index — a built artifact feeding three
+    # subtrees (query set, probe ranking, candidate lookup); persist
+    # eagerly exactly as a real deployment materializes the index
+    assigned = eager_persist(coarse_assign(base, cents))
 
     # queries probe their NPROBE nearest cells
     queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
