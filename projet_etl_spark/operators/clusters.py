@@ -179,3 +179,17 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy(F.col("cluster_id").alias("doc_id")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+def q_semantic_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-per-semantic-cluster: the exemplar (min vec_id — the
+    cluster label itself) with the number of vectors it stands for —
+    the vector-space twin of ``q_dedup_canonical``, i.e. the corpus
+    view a SemDeDup-style curation run materializes after semantic
+    clustering. n_vectors = 1 rows are the singletons."""
+    labels = q_semantic_clusters(spark, sf_dir)
+    return (
+        labels.groupBy(F.col("cluster_id").alias("vec_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+        .orderBy("vec_id")
+    )

@@ -455,7 +455,7 @@ _RECURSIVE_EMB_LSH_CTES = _EMB_LSH_CTES.replace("\nWITH ", "\nWITH RECURSIVE ", 
 assert "WITH RECURSIVE" in _RECURSIVE_EMB_LSH_CTES, (
     "semantic clusters oracle: failed to upgrade LSH CTEs to WITH RECURSIVE"
 )
-_SEMANTIC_SQL = (
+_SEMANTIC_CLOSURE = (
     _RECURSIVE_EMB_LSH_CTES
     + f""",
 vpairs AS ({_EMB_LSH_PAIRS}),
@@ -469,10 +469,23 @@ vreach AS (
     UNION
     SELECT ed.src AS vertex, r.label
     FROM vedges ed JOIN vreach r ON ed.dst = r.vertex
+),
+labels AS (
+    SELECT vertex AS vec_id, MIN(label) AS cluster_id
+    FROM vreach GROUP BY vertex
+)"""
 )
-SELECT vertex AS vec_id, MIN(label) AS cluster_id
-FROM vreach GROUP BY vertex
-ORDER BY vec_id
+_SEMANTIC_SQL = (
+    _SEMANTIC_CLOSURE
+    + """
+SELECT vec_id, cluster_id FROM labels ORDER BY vec_id
+"""
+)
+_SEMANTIC_EXEMPLARS_SQL = (
+    _SEMANTIC_CLOSURE
+    + """
+SELECT cluster_id AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM labels GROUP BY cluster_id ORDER BY vec_id
 """
 )
 
@@ -1952,6 +1965,12 @@ def build():
             "semantic-clusters",
             clusters.q_semantic_clusters,
             _SEMANTIC_SQL,
+            ("dedup", "ann"),
+        ),
+        (
+            "semantic-exemplars",
+            clusters.q_semantic_exemplars,
+            _SEMANTIC_EXEMPLARS_SQL,
             ("dedup", "ann"),
         ),
         ("dedup-canonical", clusters.q_dedup_canonical, _CANONICAL_SQL, ("dedup",)),

@@ -109,6 +109,7 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "pipeline-clean-corpus",
     "ann-ivf-recall",
     "dedup-lsh-recall",
+    "semantic-exemplars",
 )
 
 
