@@ -167,18 +167,23 @@ def df_capped_shingles(sh: DataFrame) -> DataFrame:
 
     ``sh`` is (doc_id, s) with per-doc-distinct shingles, so one
     hash groupBy on the shingle yields exact document frequencies;
-    the corpus size rides a 1-row broadcast and the filter returns
-    via a shuffle semi-join on the shingle key.
+    the corpus size rides a 1-row broadcast. The filter applies as a
+    broadcast ANTI join against the DROP set, which is provably
+    tiny at any corpus size: shingles with df > DF_CAP_FRAC·n number
+    at most (Σ per-doc shingles)/(DF_CAP_FRAC·n) ≤ L/DF_CAP_FRAC
+    where L is the max shingle count per document — independent of
+    corpus size, always broadcastable (the keep set, by contrast, is
+    vocabulary-sized and would force a second full shuffle of sh).
     """
     freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     nd = sh.agg(F.countDistinct("doc_id").alias("n_docs"))
     cap = F.greatest(
         F.lit(DF_CAP_MIN), F.ceil(F.col("n_docs") * F.lit(DF_CAP_FRAC))
     )
-    keep = (
-        freq.crossJoin(F.broadcast(nd)).filter(F.col("df") <= cap).select("s")
+    drop = (
+        freq.crossJoin(F.broadcast(nd)).filter(F.col("df") > cap).select("s")
     )
-    return sh.join(keep, "s", "left_semi")
+    return sh.join(F.broadcast(drop), "s", "left_anti")
 
 
 def _minhash_band_keys(sh: DataFrame) -> DataFrame:
