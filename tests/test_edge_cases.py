@@ -309,3 +309,57 @@ def test_round5_text_ops_match_oracle_on_edge_corpus(spark, tmp_path):
             )
     finally:
         con.close()
+
+
+def test_event_transitions_tiebreak_on_simultaneous_events(spark, tmp_path):
+    """The fixture rarely has same-microsecond events per user; pin
+    the (ts, event_id) successor tie-break on a crafted corpus where
+    one user fires three simultaneous events (order must come from
+    event_id in BOTH engines) and another has no successor at all."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from projet_etl_spark.operators.funnel import q_event_transitions
+    from projet_etl_spark.plans.extensions import _TRANSITIONS_SQL
+
+    t0 = 1_700_000_000_000_000  # us
+    rows = [
+        # user 1: three events at the SAME instant + one later
+        (10, t0, 1, "signup"),
+        (11, t0, 1, "click"),
+        (12, t0, 1, "view"),
+        (13, t0 + 5_000_000, 1, "purchase"),
+        # user 2: a single event — contributes no transition
+        (20, t0, 2, "error"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+                "value": pa.array([0.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    df = q_event_transitions(spark, str(tmp_path))
+    got = {(r.from_type, r.to_type): r.n for r in df.collect()}
+    # event_id order: signup(10) -> click(11) -> view(12) -> purchase(13)
+    assert got == {
+        ("signup", "click"): 1,
+        ("click", "view"): 1,
+        ("view", "purchase"): 1,
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    try:
+        assert_matches_oracle(df, con, _TRANSITIONS_SQL, "transitions-edge")
+    finally:
+        con.close()
