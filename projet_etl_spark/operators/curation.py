@@ -129,3 +129,44 @@ def q_sample_stratified_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("draw_rank") <= SAMPLE_N_PER_LANG)
         .orderBy("lang", "draw_rank")
     )
+
+
+# --- importance-weighted sampling (Efraimidis–Spirakis A-ES) --------
+
+SAMPLE_W_N = 50
+
+
+def q_sample_weighted_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement: the SAMPLE_W_N documents
+    with the smallest A-ES key ``-ln(u)/w`` (Efraimidis & Spirakis,
+    "Weighted random sampling with a reservoir", IPL 2006), with
+    weight = document length in chars and ``u`` a deterministic
+    uniform derived from the portable content hash — docs are drawn
+    with probability proportional to length, reproducibly across
+    engines, runs, and cluster sizes.
+
+    Scale shape: the key is a per-row expression (hash → uniform →
+    one ln + one divide); selection is ORDER BY + LIMIT, which Spark
+    plans as TakeOrderedAndProject — per-partition top-n heaps merged
+    on the driver, never a global sort. The exp-key trick is exactly
+    what makes weighted sampling distribute: per-row independent
+    keys + a global top-n, no sequential reservoir.
+    """
+    from projet_etl_spark.functions.text import H30_MOD
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        (portable_hash60(F.col("text")) % F.lit(H30_MOD) + F.lit(1)).cast("double")
+        / F.lit(float(H30_MOD))
+    )
+    w = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    key = F.round(-F.log(u) / w, 9)
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("weight"),
+            key.alias("skey"),
+        )
+        .orderBy(F.asc("skey"), F.asc("doc_id"))
+        .limit(SAMPLE_W_N)
+    )

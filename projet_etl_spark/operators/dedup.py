@@ -491,3 +491,69 @@ def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("recall"),
     )
+
+
+# --- incremental dedup: new batch vs an existing fingerprint store --
+
+# partition-of-corpus device: docs whose portable content hash lands
+# in the first INCREMENTAL_PCT buckets of 100 play the "incoming
+# batch"; the rest play the already-ingested corpus whose fingerprint
+# store the batch is checked against.
+INCREMENTAL_PCT = 10
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: flag each incoming-batch document as
+    a duplicate of the existing corpus, a duplicate within its own
+    batch (first doc_id wins), or a keeper.
+
+    This is the batch form of the streaming near-dedup contract
+    (streaming/neardedup.py): ingestion never re-scans history — it
+    joins the new batch against the corpus's *fingerprint store*,
+    which is already reduced to one row per distinct content.
+
+    Scale shape: the corpus side is pre-aggregated to distinct
+    fingerprints (one hash aggregate, map-side combined); the batch ⋈
+    store join is an equi-join on the high-entropy md5 key — at
+    100 TB the store is bucketed by fp so each incremental batch
+    shuffles only itself (the store side is co-located, and AQE
+    broadcasts the batch when it is small). The in-batch window
+    partitions by fp, so its sort is per-duplicate-group, never
+    global.
+    """
+    from pyspark.sql import Window
+
+    from projet_etl_spark.functions.text import portable_hash60
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fp"),
+        (portable_hash60(F.col("text")) % F.lit(100)).alias("bucket"),
+    )
+    incoming = docs.filter(F.col("bucket") < INCREMENTAL_PCT).select("doc_id", "fp")
+    store = (
+        docs.filter(F.col("bucket") >= INCREMENTAL_PCT).select("fp").distinct()
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    flagged = (
+        incoming.join(store.withColumn("in_store", F.lit(1)), "fp", "left")
+        .withColumn(
+            "dup_of_corpus",
+            F.when(F.col("in_store").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .withColumn(
+            "dup_in_batch",
+            F.when(F.row_number().over(w) > 1, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+        )
+    )
+    return flagged.select(
+        "doc_id",
+        "fp",
+        "dup_of_corpus",
+        "dup_in_batch",
+        (
+            (F.col("dup_of_corpus") == 0) & (F.col("dup_in_batch") == 0)
+        ).cast("long").alias("keep"),
+    )

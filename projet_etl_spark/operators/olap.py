@@ -76,3 +76,29 @@ def q_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("catid", "fabid", "n_ventes", "gid")
     )
+
+
+def q_sales_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjoint dimension totals — per-category AND per-fabricant —
+    in ONE pass via GROUPING SETS ((catid), (fabid)); completes the
+    grouping-sets family next to ROLLUP (hierarchy) and CUBE (full
+    lattice). ROLLUP/CUBE can't express this set list: it is the
+    "two independent dashboard breakdowns, one fact scan" shape.
+
+    Goes through the SQL surface (spark.sql with a DataFrame
+    argument) because the DataFrame API exposes only rollup/cube;
+    Catalyst plans it as the same single Expand + hash aggregate —
+    each input row is replicated once per grouping set and aggregated
+    map-side, so the fact table is still scanned exactly once.
+    """
+    return spark.sql(
+        """
+        SELECT catid, fabid,
+               COUNT(*) AS n_ventes,
+               CAST(COUNT(DISTINCT prodid) AS BIGINT) AS n_produits,
+               CAST(grouping_id(catid, fabid) AS BIGINT) AS gid
+        FROM {pv}
+        GROUP BY GROUPING SETS ((catid), (fabid))
+        """,
+        pv=points_de_vente(spark, sf_dir),
+    )

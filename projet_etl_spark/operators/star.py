@@ -391,3 +391,109 @@ def q_supplier_brand_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_suppkey")
     )
+
+
+# --- large-order audit (TPC-H Q18 shape) ----------------------------
+
+LARGE_ORDER_QTY = 300.0
+LARGE_ORDER_TOPN = 100
+
+
+def q_top_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers who placed the largest-volume orders: orders whose
+    total lineitem quantity exceeds LARGE_ORDER_QTY, joined back to
+    orders + customer, top-100 by order value (TPC-H Q18 shape —
+    the HAVING-filter-then-enrich pattern).
+
+    Scale shape: lineitem reduces to (orderkey, sum_qty) FIRST — one
+    map-side-combined aggregate — and the HAVING filter cuts that to
+    a tiny survivor set BEFORE any join, so AQE broadcasts the
+    survivors into orders and the orders⋈customer join carries only
+    enriched survivors. Quantities are small integers in doubles, so
+    the sums are exact. Final selection is ORDER BY + LIMIT =
+    TakeOrderedAndProject, never a global sort.
+    """
+    big = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > LARGE_ORDER_QTY)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(LARGE_ORDER_TOPN)
+    )
+
+
+# --- customer spend deciles -----------------------------------------
+
+_DECILE_QS = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+def q_customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of customer lifetime spend across deciles:
+    per-decile customer count and min/max/total spend.
+
+    The distributed-ntile pattern: a global NTILE window would funnel
+    every customer through ONE partition's sort — instead the nine
+    decile boundaries are computed as one order-statistics aggregate,
+    broadcast (9 values), and each customer's decile is the count of
+    boundaries strictly below its spend. Boundaries are rounded to
+    4 decimals before comparing so the bucket edges are identical
+    across engines (spends are exact 2-dp decimals; interpolated
+    midpoints are exact at 4 dp).
+
+    Scale shape: spend-per-customer is one map-side-combined DECIMAL
+    aggregate (decimal addition is associative — bit-identical at any
+    parallelism); the percentile aggregate is the only
+    order-statistics step and returns a model-sized row; bucket
+    assignment is a per-row expression against the broadcast
+    boundaries; the final rollup groups nine rows.
+    """
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("p").alias("spend"))
+        .select("o_custkey", F.col("spend").cast("double").alias("spend_d"), "spend")
+    )
+    qs = ", ".join(str(q) for q in _DECILE_QS)
+    bounds = spend.agg(
+        F.expr(f"transform(percentile(spend_d, array({qs})), b -> round(b, 4))").alias(
+            "bs"
+        )
+    )
+    bucketed = spend.crossJoin(F.broadcast(bounds)).select(
+        "spend",
+        F.size(F.filter("bs", lambda b: F.col("spend_d") > b))
+        .cast("long")
+        .alias("decile"),
+    )
+    return (
+        bucketed.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.min("spend").alias("min_spend"),
+            F.max("spend").alias("max_spend"),
+            F.sum("spend").cast("decimal(18,2)").alias("total_spend"),
+        )
+        .orderBy("decile")
+    )

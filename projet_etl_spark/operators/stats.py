@@ -175,3 +175,45 @@ def q_events_type_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", F.col("n").cast("long").alias("n_events"))
         .orderBy("event_type")
     )
+
+
+def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily series per event type: a dense day spine with
+    zero-filled counts and the last observed daily mean value carried
+    forward across gaps (the timeseries-database gap-fill/locf shape).
+
+    Scale shape: the fact table reduces to (type, day) grain FIRST
+    (one map-side-combined aggregate); the spine is distinct types ×
+    a date sequence exploded from a one-row min/max broadcast, so the
+    only non-reduced input the plan touches is the raw scan feeding
+    the aggregate. The carry-forward window partitions by type over
+    days×types rows — trivially small forever. The spine join is an
+    equi-join on (type, day) against the reduced side.
+    """
+    ev = events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.round(F.avg("value"), 6).alias("avg_val"),
+    )
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type", F.explode(F.sequence("d0", "d1")).alias("d")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = spine.join(daily, ["event_type", "d"], "left")
+    return joined.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n"),
+        F.isnull("n_obs").cast("long").alias("is_gap"),
+        F.last("avg_val", ignorenulls=True).over(w).alias("filled_avg"),
+    ).orderBy("event_type", "day")

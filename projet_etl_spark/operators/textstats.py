@@ -516,3 +516,55 @@ def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- unigram LM quality proxy (CCNet-style, capped vocabulary) ------
+
+# 31 distinct tokens exist in the synthetic corpus; capping the LM
+# vocabulary below that keeps a real OOV path in the fixture.
+LM_VOCAB_K = 24
+
+
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log-probability under a corpus-fit
+    capped-vocabulary LM — the CCNet-style language-model quality
+    proxy (docs of improbable token mix score low), reduced to a
+    unigram model so the whole path is column expressions and the
+    score is oracle-able.
+
+    Model fit and scoring are one lazy plan: token frequencies (one
+    hash aggregate), the top-``LM_VOCAB_K`` vocabulary (global top-k
+    = TakeOrderedAndProject, model-sized), corpus token total (1-row
+    broadcast); scoring left-joins tokens to the broadcast vocabulary
+    and averages ln(tf/N) with ln(1/N) as the OOV floor.
+
+    Scale shape: the explode→aggregate is map-side combined on the
+    token key; the vocabulary is capped at a constant K so its
+    broadcast never grows with the corpus; the per-doc average is one
+    hash aggregate on doc_id. No global sorts, no driver state.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    )
+    terms = docs.select("doc_id", F.explode("t").alias("token"))
+    freq = terms.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = freq.orderBy(F.desc("tf"), F.asc("token")).limit(LM_VOCAB_K)
+    total = terms.agg(F.count(F.lit(1)).alias("n_total"))
+    scored = (
+        terms.join(F.broadcast(vocab), "token", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.log(F.col("tf").cast("double") / F.col("n_total").cast("double")),
+                F.log(F.lit(1.0) / F.col("n_total").cast("double")),
+            ).alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        )
+    )

@@ -1846,6 +1846,160 @@ ORDER BY d.lang, v.keep
 """
 
 
+# --- round-5b additions ---------------------------------------------
+
+# incremental dedup: raw-content hash partitions the corpus into an
+# "incoming batch" (first INCREMENTAL_PCT buckets) and the existing
+# store; dedup flags come from the NORMALIZED fingerprint.
+_INCR_BUCKET = "(('0x' || substr(md5(text), 1, 15))::BIGINT % 100)"
+_INCREMENTAL_SQL = f"""
+WITH fps AS (
+    SELECT doc_id, md5({_NORM}) AS fp, {_INCR_BUCKET} AS bucket FROM documents
+),
+incoming AS (
+    SELECT doc_id, fp FROM fps WHERE bucket < {dedup.INCREMENTAL_PCT}
+),
+store AS (
+    SELECT DISTINCT fp FROM fps WHERE bucket >= {dedup.INCREMENTAL_PCT}
+),
+flagged AS (
+    SELECT i.doc_id, i.fp,
+           CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END AS dup_of_corpus,
+           CASE WHEN row_number() OVER (PARTITION BY i.fp ORDER BY i.doc_id) > 1
+                THEN 1 ELSE 0 END AS dup_in_batch
+    FROM incoming i LEFT JOIN store s ON i.fp = s.fp
+)
+SELECT doc_id, fp,
+       CAST(dup_of_corpus AS BIGINT) AS dup_of_corpus,
+       CAST(dup_in_batch AS BIGINT) AS dup_in_batch,
+       CAST(CASE WHEN dup_of_corpus = 0 AND dup_in_batch = 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS keep
+FROM flagged
+"""
+
+# Efraimidis–Spirakis A-ES weighted sample: same hash → uniform →
+# -ln(u)/w key as curation.q_sample_weighted_n.
+_WSAMPLE_U = (
+    f"(((('0x' || substr(md5(text), 1, 15))::BIGINT % {TX.H30_MOD}) + 1)"
+    f" / {float(TX.H30_MOD)})"
+)
+_WSAMPLE_SQL = f"""
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS weight,
+       round(-ln({_WSAMPLE_U}) / greatest(n_chars, 1), 9) AS skey
+FROM documents
+ORDER BY skey ASC, doc_id ASC
+LIMIT {curation.SAMPLE_W_N}
+"""
+
+# capped-vocabulary unigram LM score (ln(tf/N), OOV floor ln(1/N))
+_LM_SQL = f"""
+WITH terms AS (
+    SELECT doc_id, unnest({_TOK}) AS token FROM documents
+),
+freq AS (SELECT token, COUNT(*) AS tf FROM terms GROUP BY token),
+vocab AS (
+    SELECT token, tf FROM freq ORDER BY tf DESC, token ASC
+    LIMIT {textstats.LM_VOCAB_K}
+),
+total AS (SELECT COUNT(*) AS n_total FROM terms),
+scored AS (
+    SELECT t.doc_id,
+           coalesce(ln(v.tf / tot.n_total), ln(1.0 / tot.n_total)) AS lp
+    FROM terms t
+    LEFT JOIN vocab v ON t.token = v.token
+    CROSS JOIN total tot
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       round(avg(lp), 6) AS avg_logprob
+FROM scored
+GROUP BY doc_id
+"""
+
+# dense day spine, zero-filled counts, last-observation carried forward
+_GAPFILL_SQL = """
+WITH daily AS (
+    SELECT event_type, ts::DATE AS d,
+           COUNT(*) AS n_obs,
+           round(avg(value), 6) AS avg_val
+    FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(ts::DATE) AS d0, max(ts::DATE) AS d1 FROM events),
+spine AS (
+    SELECT t.event_type,
+           unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY))::DATE AS d
+    FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN bounds b
+)
+SELECT s.event_type,
+       strftime(s.d, '%Y-%m-%d') AS day,
+       CAST(coalesce(dd.n_obs, 0) AS BIGINT) AS n,
+       CAST(CASE WHEN dd.n_obs IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap,
+       last_value(dd.avg_val IGNORE NULLS) OVER (
+           PARTITION BY s.event_type ORDER BY s.d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_avg
+FROM spine s LEFT JOIN daily dd ON s.event_type = dd.event_type AND s.d = dd.d
+ORDER BY 1, 2
+"""
+
+_Q18_SQL = f"""
+WITH big AS (
+    SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING SUM(l_quantity) > {star.LARGE_ORDER_QTY}
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       o.o_totalprice, b.sum_qty
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+LIMIT {star.LARGE_ORDER_TOPN}
+"""
+
+_DECILE_LIST = ", ".join(str(q) for q in star._DECILE_QS)
+_DECILES_SQL = f"""
+WITH spend AS (
+    SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+    FROM orders GROUP BY o_custkey
+),
+spend2 AS (
+    SELECT o_custkey, spend, CAST(spend AS DOUBLE) AS spend_d FROM spend
+),
+bounds AS (
+    SELECT list_transform(quantile_cont(spend_d, [{_DECILE_LIST}]),
+                          b -> round(b, 4)) AS bs
+    FROM spend2
+),
+bucketed AS (
+    SELECT spend,
+           CAST(len(list_filter(bs, b -> spend_d > b)) AS BIGINT) AS decile
+    FROM spend2 CROSS JOIN bounds
+)
+SELECT decile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       MIN(spend) AS min_spend,
+       MAX(spend) AS max_spend,
+       CAST(SUM(spend) AS DECIMAL(18,2)) AS total_spend
+FROM bucketed
+GROUP BY decile
+ORDER BY decile
+"""
+
+_GSETS_SQL = (
+    _VIEWS
+    + """
+SELECT catid, fabid,
+       COUNT(*) AS n_ventes,
+       CAST(COUNT(DISTINCT prodid) AS BIGINT) AS n_produits,
+       CAST(GROUPING(catid, fabid) AS BIGINT) AS gid
+FROM points_de_vente
+GROUP BY GROUPING SETS ((catid), (fabid))
+"""
+)
+
+
 def _attribution_batch(spark, sf_dir):
     from projet_etl_spark.streaming.joins import (
         q_click_purchase_attribution_batch,
@@ -2157,6 +2311,48 @@ def build():
             quality_model.q_text_quality_model_jvm,
             _QMODEL_SQL,
             ("curation", "text", "inference"),
+        ),
+        (
+            "dedup-incremental",
+            dedup.q_dedup_incremental,
+            _INCREMENTAL_SQL,
+            ("dedup",),
+        ),
+        (
+            "sample-weighted-n",
+            curation.q_sample_weighted_n,
+            _WSAMPLE_SQL,
+            ("curation",),
+        ),
+        (
+            "text-unigram-logprob",
+            textstats.q_text_unigram_logprob,
+            _LM_SQL,
+            ("text", "curation", "inference"),
+        ),
+        (
+            "events-gap-fill",
+            stats.q_events_gap_fill,
+            _GAPFILL_SQL,
+            ("stats", "windows"),
+        ),
+        (
+            "top-large-orders",
+            star.q_top_large_orders,
+            _Q18_SQL,
+            ("olap", "join"),
+        ),
+        (
+            "customer-spend-deciles",
+            star.q_customer_spend_deciles,
+            _DECILES_SQL,
+            ("olap", "stats"),
+        ),
+        (
+            "sales-grouping-sets",
+            olap.q_sales_grouping_sets,
+            _GSETS_SQL,
+            ("olap",),
         ),
     ]
     return {

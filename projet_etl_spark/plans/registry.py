@@ -110,6 +110,14 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "ann-ivf-recall",
     "dedup-lsh-recall",
     "semantic-exemplars",
+    # round-5b additions
+    "dedup-incremental",
+    "sample-weighted-n",
+    "text-unigram-logprob",
+    "events-gap-fill",
+    "top-large-orders",
+    "customer-spend-deciles",
+    "sales-grouping-sets",
 )
 
 

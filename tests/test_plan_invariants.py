@@ -37,6 +37,11 @@ BNLJ_ALLOWED = {
     "dedup-minhash-lsh",
     "resample-by-lang",
     "tfidf-top-terms",
+    # 1-row broadcast cross joins: corpus token total (OOV floor),
+    # min/max day bounds, decile boundary array
+    "text-unigram-logprob",
+    "events-gap-fill",
+    "customer-spend-deciles",
 }
 
 

@@ -1,0 +1,217 @@
+"""Targeted semantics tests for the round-5b operators, beyond the
+registry-wide oracle sweep (test_parity.py): gap-fill on a crafted
+sparse series, incremental-dedup flag algebra, A-ES weighted-sample
+determinism and key math, decile partition laws, unigram-LM score
+bounds, and the Q18 / grouping-sets invariants.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from projet_etl_spark.operators import curation, dedup, olap, star, stats, textstats
+from tests.conftest import SF_SMALL
+
+
+# --- events-gap-fill on a crafted sparse series ---------------------
+
+
+def _write_micro_events(spark, root):
+    """Two types over a 4-day span: type A observed on days 1, 2, 4
+    (gap on day 3); type B observed on days 2, 3 only (leading gap on
+    day 1, trailing gap on day 4)."""
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 9), 1, "A", 10.0, "{}"),
+        (2, datetime.datetime(2024, 1, 2, 9), 1, "A", 20.0, "{}"),
+        (3, datetime.datetime(2024, 1, 4, 9), 1, "A", 40.0, "{}"),
+        (4, datetime.datetime(2024, 1, 2, 9), 2, "B", 5.0, "{}"),
+        (5, datetime.datetime(2024, 1, 3, 9), 2, "B", 7.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{root}/events.parquet")
+
+
+def test_gap_fill_zero_fill_and_locf(spark, tmp_path):
+    _write_micro_events(spark, str(tmp_path))
+    out = {
+        (r["event_type"], r["day"]): r
+        for r in stats.q_events_gap_fill(spark, str(tmp_path)).collect()
+    }
+    # dense spine: 2 types x 4 days
+    assert len(out) == 8
+    gap_a3 = out[("A", "2024-01-03")]
+    assert (gap_a3["n"], gap_a3["is_gap"]) == (0, 1)
+    # locf carries day-2 mean across the day-3 gap
+    assert gap_a3["filled_avg"] == pytest.approx(20.0)
+    # trailing gap for B carries day-3 mean
+    gap_b4 = out[("B", "2024-01-04")]
+    assert (gap_b4["n"], gap_b4["is_gap"]) == (0, 1)
+    assert gap_b4["filled_avg"] == pytest.approx(7.0)
+    # leading gap for B has nothing to carry -> NULL
+    gap_b1 = out[("B", "2024-01-01")]
+    assert (gap_b1["n"], gap_b1["is_gap"], gap_b1["filled_avg"]) == (0, 1, None)
+    # observed days pass through untouched
+    assert out[("A", "2024-01-04")]["filled_avg"] == pytest.approx(40.0)
+    assert out[("A", "2024-01-04")]["is_gap"] == 0
+
+
+# --- dedup-incremental flag algebra ---------------------------------
+
+
+@pytest.fixture(scope="module")
+def incremental(spark):
+    return dedup.q_dedup_incremental(spark, SF_SMALL).collect()
+
+
+def test_incremental_keep_iff_unflagged(incremental):
+    for r in incremental:
+        assert r["keep"] == int(r["dup_of_corpus"] == 0 and r["dup_in_batch"] == 0)
+
+
+def test_incremental_one_winner_per_batch_fp(incremental):
+    by_fp: dict[str, list] = {}
+    for r in incremental:
+        by_fp.setdefault(r["fp"], []).append(r)
+    for rows in by_fp.values():
+        winners = [r for r in rows if r["dup_in_batch"] == 0]
+        assert len(winners) == 1
+        assert winners[0]["doc_id"] == min(r["doc_id"] for r in rows)
+
+
+def test_incremental_corpus_flag_matches_store(spark, incremental):
+    docs = dedup.load_table(spark, SF_SMALL, "documents")
+    from projet_etl_spark.functions.text import fingerprint, portable_hash60
+
+    staged = docs.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fp"),
+        (portable_hash60(F.col("text")) % F.lit(100)).alias("bucket"),
+    ).collect()
+    store = {r["fp"] for r in staged if r["bucket"] >= dedup.INCREMENTAL_PCT}
+    incoming_ids = {r["doc_id"] for r in staged if r["bucket"] < dedup.INCREMENTAL_PCT}
+    assert {r["doc_id"] for r in incremental} == incoming_ids
+    for r in incremental:
+        assert r["dup_of_corpus"] == int(r["fp"] in store)
+
+
+# --- sample-weighted-n ----------------------------------------------
+
+
+def test_weighted_sample_deterministic_and_key_math(spark):
+    a = curation.q_sample_weighted_n(spark, SF_SMALL).collect()
+    b = curation.q_sample_weighted_n(spark, SF_SMALL).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    assert len(a) == curation.SAMPLE_W_N
+    # recompute the A-ES key for the selected docs from first principles
+    from projet_etl_spark.functions.text import H30_MOD
+
+    docs = {
+        r["doc_id"]: r
+        for r in dedup.load_table(spark, SF_SMALL, "documents")
+        .withColumn(
+            "h30",
+            (
+                F.conv(F.substring(F.md5(F.encode(F.col("text"), "UTF-8")), 1, 15), 16, 10)
+                .cast("long")
+                % F.lit(H30_MOD)
+            ),
+        )
+        .select("doc_id", "n_chars", "h30")
+        .collect()
+    }
+    for r in a[:10]:
+        d = docs[r["doc_id"]]
+        u = (d["h30"] + 1) / float(H30_MOD)
+        expect = round(-math.log(u) / max(d["n_chars"], 1), 9)
+        assert r["skey"] == pytest.approx(expect, abs=1e-9)
+
+
+def test_weighted_sample_biases_toward_long_docs(spark):
+    sample = curation.q_sample_weighted_n(spark, SF_SMALL)
+    mean_sampled = sample.agg(F.avg("weight")).first()[0]
+    mean_all = (
+        dedup.load_table(spark, SF_SMALL, "documents").agg(F.avg("n_chars")).first()[0]
+    )
+    # length-proportional sampling must pull the sampled mean above
+    # the corpus mean (48..553-char docs, 50/500 draw: the gap is
+    # large; this is a sanity check, not a statistical test)
+    assert mean_sampled > mean_all
+
+
+# --- customer-spend-deciles -----------------------------------------
+
+
+def test_deciles_partition_and_order(spark):
+    rows = star.q_customer_spend_deciles(spark, SF_SMALL).collect()
+    n_customers = (
+        dedup.load_table(spark, SF_SMALL, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_customers"] for r in rows) == n_customers
+    assert [r["decile"] for r in rows] == sorted(r["decile"] for r in rows)
+    # buckets are totally ordered: every decile's max is below the
+    # next decile's min (strict boundary comparison)
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo["max_spend"] <= hi["min_spend"]
+        assert lo["min_spend"] <= lo["max_spend"]
+
+
+# --- text-unigram-logprob -------------------------------------------
+
+
+def test_unigram_logprob_bounds(spark):
+    out = textstats.q_text_unigram_logprob(spark, SF_SMALL)
+    rows = out.collect()
+    assert len(rows) == 500
+    total = sum(r["n_tokens"] for r in rows)
+    floor = math.log(1.0 / total)
+    for r in rows:
+        # every per-token logprob lies in [ln(1/N), 0), so the mean does too
+        assert floor - 1e-6 <= r["avg_logprob"] < 0
+
+
+def test_unigram_token_grain_matches_token_count(spark):
+    lm = textstats.q_text_unigram_logprob(spark, SF_SMALL).select(
+        "doc_id", F.col("n_tokens").alias("lm_n")
+    )
+    tc = textstats.q_text_token_count(spark, SF_SMALL).select(
+        "doc_id", F.col("n_tokens").alias("tc_n")
+    )
+    diff = lm.join(tc, "doc_id").filter(F.col("lm_n") != F.col("tc_n")).count()
+    assert diff == 0
+
+
+# --- top-large-orders / sales-grouping-sets -------------------------
+
+
+def test_top_large_orders_invariants(spark):
+    rows = star.q_top_large_orders(spark, SF_SMALL).collect()
+    assert 0 < len(rows) <= star.LARGE_ORDER_TOPN
+    assert len({r["o_orderkey"] for r in rows}) == len(rows)
+    for r in rows:
+        assert r["sum_qty"] > star.LARGE_ORDER_QTY
+    prices = [r["o_totalprice"] for r in rows]
+    assert prices == sorted(prices, reverse=True)
+
+
+def test_grouping_sets_covers_both_dimensions(spark):
+    from projet_etl_spark.sources.tables import points_de_vente
+
+    rows = olap.q_sales_grouping_sets(spark, SF_SMALL).collect()
+    pv = points_de_vente(spark, SF_SMALL)
+    n_rows = pv.count()
+    n_cats = pv.select("catid").distinct().count()
+    n_fabs = pv.select("fabid").distinct().count()
+    assert len(rows) == n_cats + n_fabs
+    assert {r["gid"] for r in rows} == {1, 2}
+    # each grouping set independently partitions the fact table
+    assert sum(r["n_ventes"] for r in rows if r["gid"] == 1) == n_rows
+    assert sum(r["n_ventes"] for r in rows if r["gid"] == 2) == n_rows
