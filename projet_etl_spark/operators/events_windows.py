@@ -175,3 +175,41 @@ def q_rolling_active_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("day")
     )
+
+
+def q_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build from the event
+    stream: each user's event_type acts as their current state; runs
+    of the same state collapse, and each state CHANGE opens a
+    versioned validity interval [valid_from, valid_to) closed by the
+    next change (NULL valid_to = current version) — the standard
+    warehouse history-table shape, built distributively.
+
+    Scale shape: both window passes partition by user_id with the
+    same (ts, event_id) order, so the change-detection lag and the
+    interval-closing lead share ONE shuffle + sort (the filter
+    between them preserves distribution and order — Catalyst plans a
+    single Exchange). Output is O(state changes), the SCD2 contract.
+    """
+    ev = events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.withColumn(
+        "prev_state", F.lag("event_type").over(by_user)
+    ).filter(
+        F.col("prev_state").isNull() | (F.col("prev_state") != F.col("event_type"))
+    )
+    versioned = changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.row_number().over(by_user).cast("long").alias("version_no"),
+        F.col("ts").alias("from_ts"),
+        F.lead("ts").over(by_user).alias("to_ts"),
+    )
+    return versioned.select(
+        "user_id",
+        "state",
+        "version_no",
+        F.date_format("from_ts", TS_FMT).alias("valid_from"),
+        F.date_format("to_ts", TS_FMT).alias("valid_to"),
+        F.isnull("to_ts").cast("long").alias("is_current"),
+    ).orderBy("user_id", "version_no")

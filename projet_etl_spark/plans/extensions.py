@@ -1987,6 +1987,79 @@ GROUP BY decile
 ORDER BY decile
 """
 
+def _typed_session_ctes(tag: str, event_type: str, sess_alias: str) -> str:
+    """CTE chain reconstructing rangejoin._typed_sessions for one
+    event type: lag-flag, running-sum numbering, per-session
+    microsecond bounds."""
+    gap_us = rangejoin.OVERLAP_GAP_MIN * 60 * 1000000
+    return f"""
+{tag}_flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN epoch_us(ts)
+                     - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id)
+                     > {gap_us}
+                THEN 1 ELSE 0 END AS new_session
+    FROM events WHERE event_type = '{event_type}'
+),
+{tag}_numbered AS (
+    SELECT user_id,
+           CAST(SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS {sess_alias},
+           epoch_us(ts) AS us
+    FROM {tag}_flagged
+),
+{tag}_agg AS (
+    SELECT user_id, {sess_alias},
+           MIN(us) AS {tag}_start, MAX(us) AS {tag}_end
+    FROM {tag}_numbered GROUP BY user_id, {sess_alias}
+)"""
+
+
+_OVERLAP_SQL = f"""
+WITH {_typed_session_ctes("a", rangejoin.OVERLAP_TYPE_A, "err_session")},
+{_typed_session_ctes("b", rangejoin.OVERLAP_TYPE_B, "view_session")}
+SELECT a.user_id, a.err_session, b.view_session,
+       strftime(make_timestamp(a_start), '%Y-%m-%d %H:%M:%S') AS err_start,
+       strftime(make_timestamp(a_end), '%Y-%m-%d %H:%M:%S') AS err_end,
+       strftime(make_timestamp(b_start), '%Y-%m-%d %H:%M:%S') AS view_start,
+       strftime(make_timestamp(b_end), '%Y-%m-%d %H:%M:%S') AS view_end,
+       least(a_end, b_end) - greatest(a_start, b_start) AS overlap_us
+FROM a_agg a
+JOIN b_agg b ON a.user_id = b.user_id
+            AND a_start <= b_end AND b_start <= a_end
+ORDER BY a.user_id, a.err_session, b.view_session
+"""
+
+_SCD2_SQL = """
+WITH changes AS (
+    SELECT user_id, ts, event_id, event_type
+    FROM (
+        SELECT user_id, ts, event_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
+        FROM events)
+    WHERE prev_state IS NULL OR prev_state <> event_type
+),
+versioned AS (
+    SELECT user_id, event_type AS state,
+           CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+               AS version_no,
+           ts AS from_ts,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_ts
+    FROM changes
+)
+SELECT user_id, state, version_no,
+       strftime(from_ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(to_ts, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       CAST(CASE WHEN to_ts IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+FROM versioned
+ORDER BY user_id, version_no
+"""
+
 _GSETS_SQL = (
     _VIEWS
     + """
@@ -2353,6 +2426,18 @@ def build():
             olap.q_sales_grouping_sets,
             _GSETS_SQL,
             ("olap",),
+        ),
+        (
+            "events-session-overlap",
+            rangejoin.q_events_session_overlap,
+            _OVERLAP_SQL,
+            ("join", "windows"),
+        ),
+        (
+            "user-state-history",
+            events_windows.q_user_state_history,
+            _SCD2_SQL,
+            ("windows", "analytics"),
         ),
     ]
     return {

@@ -215,3 +215,90 @@ def test_grouping_sets_covers_both_dimensions(spark):
     # each grouping set independently partitions the fact table
     assert sum(r["n_ventes"] for r in rows if r["gid"] == 1) == n_rows
     assert sum(r["n_ventes"] for r in rows if r["gid"] == 2) == n_rows
+
+
+# --- events-session-overlap / user-state-history --------------------
+
+
+def _write_overlap_events(spark, root):
+    """user 1: one error burst 10:00-10:30; views at 10:15+10:20 (one
+    session, overlaps the burst by 5 min) and 23:30 (separate session
+    past the 12 h gap, no overlap). user 2: error and view hours
+    apart -> point intervals, no overlap."""
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 10, 0), 1, "error", 1.0, "{}"),
+        (2, datetime.datetime(2024, 1, 1, 10, 30), 1, "error", 1.0, "{}"),
+        (3, datetime.datetime(2024, 1, 1, 10, 15), 1, "view", 1.0, "{}"),
+        (4, datetime.datetime(2024, 1, 1, 10, 20), 1, "view", 1.0, "{}"),
+        (5, datetime.datetime(2024, 1, 2, 23, 30), 1, "view", 1.0, "{}"),
+        (6, datetime.datetime(2024, 1, 1, 9, 0), 2, "error", 1.0, "{}"),
+        (7, datetime.datetime(2024, 1, 1, 12, 0), 2, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{root}/events.parquet")
+
+
+def test_session_overlap_micro(spark, tmp_path):
+    from projet_etl_spark.operators import rangejoin
+
+    _write_overlap_events(spark, str(tmp_path))
+    rows = rangejoin.q_events_session_overlap(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["user_id"] == 1
+    assert (r["err_start"], r["err_end"]) == ("2024-01-01 10:00:00", "2024-01-01 10:30:00")
+    assert (r["view_start"], r["view_end"]) == ("2024-01-01 10:15:00", "2024-01-01 10:20:00")
+    assert r["overlap_us"] == 5 * 60 * 1_000_000
+
+
+def test_session_overlap_plan_is_equi_join(spark):
+    from projet_etl_spark.operators import rangejoin
+
+    plan = (
+        rangejoin.q_events_session_overlap(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the interval predicates must ride an equi-join on user_id, not
+    # a nested-loop plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_user_state_history_micro(spark, tmp_path):
+    from projet_etl_spark.operators import events_windows
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 9), 1, "view", 1.0, "{}"),
+        (2, datetime.datetime(2024, 1, 1, 10), 1, "view", 1.0, "{}"),
+        (3, datetime.datetime(2024, 1, 1, 11), 1, "click", 1.0, "{}"),
+        (4, datetime.datetime(2024, 1, 1, 12), 1, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = events_windows.q_user_state_history(spark, str(tmp_path)).collect()
+    # runs collapse: view(9-11), click(11-12), view(12-open)
+    assert [(r["state"], r["version_no"], r["valid_from"], r["valid_to"], r["is_current"]) for r in out] == [
+        ("view", 1, "2024-01-01 09:00:00", "2024-01-01 11:00:00", 0),
+        ("click", 2, "2024-01-01 11:00:00", "2024-01-01 12:00:00", 0),
+        ("view", 3, "2024-01-01 12:00:00", None, 1),
+    ]
+
+
+def test_user_state_history_single_shuffle(spark):
+    from projet_etl_spark.operators import events_windows
+
+    plan = (
+        events_windows.q_user_state_history(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the lag pass and the lead/row_number pass share one hash
+    # exchange on user_id (the final orderBy adds a range exchange)
+    assert plan.count("Exchange hashpartitioning") == 1
