@@ -213,3 +213,88 @@ def q_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("to_ts", TS_FMT).alias("valid_to"),
         F.isnull("to_ts").cast("long").alias("is_current"),
     ).orderBy("user_id", "version_no")
+
+
+def q_events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of ``value``: each observation
+    weighs by its holding time (microseconds until the user's next
+    event; the last observation carries no weight) — the TSDB
+    time_weight/locf-integral shape, where a plain AVG would let
+    burst sampling dominate the mean.
+
+    Scale shape: one per-user window (lead) and one hash aggregate,
+    both on user_id — the weight integral never materializes beyond
+    a per-row dt column. Microsecond arithmetic is integer-exact;
+    the single sum/sum division rounds once for presentation.
+    """
+    ev = events(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+        "value",
+    )
+    by_user = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    dted = ev.withColumn("dt_us", F.lead("ts_us").over(by_user) - F.col("ts_us"))
+    return (
+        dted.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            F.coalesce(F.sum("dt_us"), F.lit(0)).cast("long").alias("span_us"),
+            F.round(
+                F.sum(F.col("value") * F.col("dt_us").cast("double"))
+                / F.sum("dt_us").cast("double"),
+                6,
+            ).alias("twa"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour per-type OHLC bars: open/close are the first/last
+    values in (ts, event_id) order — deterministic even under
+    same-timestamp events, unlike min_by/max_by tie behavior — plus
+    high/low/volume/count (the candlestick rollup).
+
+    Scale shape: both row_number windows partition on the SAME
+    (hour, type) key the final aggregate groups by, so the plan is
+    one exchange + two partition-local sorts + one hash aggregate;
+    window input is event rows but every partition is one bucket's
+    worth of one type — bounded by the bucket, not the stream.
+    """
+    ev = events(spark, sf_dir).select(
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+        "value",
+    )
+    w_asc = Window.partitionBy("h", "event_type").orderBy("ts_us", "event_id")
+    w_desc = Window.partitionBy("h", "event_type").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    ranked = ev.withColumn("rn_a", F.row_number().over(w_asc)).withColumn(
+        "rn_d", F.row_number().over(w_desc)
+    )
+    return (
+        ranked.groupBy("h", "event_type")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.round(F.sum("value"), 6).alias("volume"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .select(
+            F.date_format("h", TS_FMT).alias("hour"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "n_events",
+        )
+        .orderBy("hour", "event_type")
+    )

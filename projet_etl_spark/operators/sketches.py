@@ -80,3 +80,67 @@ def q_token_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cms_n").cast("long").alias("cms_n"),
         (F.col("cms_n") - F.col("exact_n")).cast("long").alias("overcount"),
     ).orderBy(F.desc("exact_n"), F.asc("tok"))
+
+
+# --- KMV (k-minimum-values) distinct sketch -------------------------
+
+KMV_K = 64
+
+
+def q_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user estimate from a K-minimum-values
+    sketch, audited against the exact count: (event_type, n_exact,
+    n_est, rel_err).
+
+    The KMV estimator — est = (K-1)/u_(K), with u_(K) the K-th
+    smallest normalized hash of the key — is the oracle-able
+    counterpart of the engine's HLL helpers: built on the portable
+    md5 hash, the sketch CONTENTS (the K minima) are bit-identical
+    across engines, so unlike HLL the estimate itself passes a hard
+    value gate. When a group holds fewer than K distinct hashes the
+    sketch is exact by the standard small-set rule.
+
+    Scale shape: the sketch state is K hashes per group (mergeable:
+    union then re-take K minima — the map-side partial IS a partial
+    sketch); here the K-th minimum comes from one per-group window
+    over pre-deduped (type, hash) rows, both shuffles on the group
+    key. The exact side exists to audit the estimate; production
+    keeps only the sketch.
+    """
+    from pyspark.sql import Window
+
+    from projet_etl_spark.functions.text import portable_hash60
+    from projet_etl_spark.sources.tables import events
+
+    ev = events(spark, sf_dir).select("event_type", "user_id")
+    hashes = ev.select(
+        "event_type",
+        portable_hash60(F.col("user_id").cast("string")).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    ranked = hashes.withColumn("rn", F.row_number().over(w))
+    per_type = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hashes"),
+        F.max(F.when(F.col("rn") == KMV_K, F.col("h"))).alias("h_k"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    u_k = F.col("h_k").cast("double") / F.lit(float(1 << 60))
+    est = F.when(
+        F.col("n_hashes") < KMV_K, F.col("n_hashes").cast("double")
+    ).otherwise(F.lit(float(KMV_K - 1)) / u_k)
+    return (
+        per_type.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            F.round(est, 6).alias("n_est"),
+            F.round(
+                F.abs(est - F.col("n_exact").cast("double"))
+                / F.col("n_exact").cast("double"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )

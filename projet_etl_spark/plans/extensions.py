@@ -2060,6 +2060,89 @@ FROM versioned
 ORDER BY user_id, version_no
 """
 
+# KMV distinct sketch: estimate = (K-1)/u_(K) on portable md5 hashes
+_KMV_POW60 = float(1 << 60)
+_KMV_SQL = f"""
+WITH hashes AS (
+    SELECT DISTINCT event_type,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+    FROM events
+),
+ranked AS (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM hashes
+),
+per_type AS (
+    SELECT event_type, COUNT(*) AS n_hashes,
+           MAX(CASE WHEN rn = {sketches.KMV_K} THEN h END) AS h_k
+    FROM ranked GROUP BY event_type
+),
+exact AS (
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+    FROM events GROUP BY event_type
+),
+est AS (
+    SELECT p.event_type, e.n_exact,
+           CASE WHEN p.n_hashes < {sketches.KMV_K}
+                THEN CAST(p.n_hashes AS DOUBLE)
+                ELSE CAST({sketches.KMV_K - 1} AS DOUBLE)
+                     / (CAST(p.h_k AS DOUBLE) / CAST({_KMV_POW60} AS DOUBLE))
+           END AS raw_est
+    FROM per_type p JOIN exact e ON p.event_type = e.event_type
+)
+SELECT event_type,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       round(raw_est, 6) AS n_est,
+       round(abs(raw_est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 6)
+           AS rel_err
+FROM est
+ORDER BY event_type
+"""
+
+_TWA_SQL = """
+WITH dted AS (
+    SELECT user_id, value,
+           lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               - epoch_us(ts) AS dt_us
+    FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       CAST(coalesce(SUM(dt_us), 0) AS BIGINT) AS span_us,
+       round(SUM(value * CAST(dt_us AS DOUBLE)) / CAST(SUM(dt_us) AS DOUBLE), 6)
+           AS twa
+FROM dted
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+_OHLC_SQL = """
+WITH ev AS (
+    SELECT date_trunc('hour', ts) AS h, event_type,
+           epoch_us(ts) AS us, event_id, value
+    FROM events
+),
+ranked AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY h, event_type
+                              ORDER BY us, event_id) AS rn_a,
+           row_number() OVER (PARTITION BY h, event_type
+                              ORDER BY us DESC, event_id DESC) AS rn_d
+    FROM ev
+)
+SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       round(SUM(value), 6) AS volume,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM ranked
+GROUP BY h, event_type
+ORDER BY 1, 2
+"""
+
 _GSETS_SQL = (
     _VIEWS
     + """
@@ -2438,6 +2521,24 @@ def build():
             events_windows.q_user_state_history,
             _SCD2_SQL,
             ("windows", "analytics"),
+        ),
+        (
+            "distinct-kmv",
+            sketches.q_distinct_kmv,
+            _KMV_SQL,
+            ("sketch", "stats"),
+        ),
+        (
+            "events-time-weighted-avg",
+            events_windows.q_events_time_weighted_avg,
+            _TWA_SQL,
+            ("windows", "stats"),
+        ),
+        (
+            "events-ohlc-hourly",
+            events_windows.q_events_ohlc_hourly,
+            _OHLC_SQL,
+            ("windows", "olap"),
         ),
     ]
     return {

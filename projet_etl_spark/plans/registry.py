@@ -110,7 +110,11 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "ann-ivf-recall",
     "dedup-lsh-recall",
     "semantic-exemplars",
-    # round-5b additions
+    # round-5b additions (the prefix is FULL at 50 — the six queries
+    # added after it this round (events-session-overlap,
+    # user-state-history, distinct-kmv, events-time-weighted-avg,
+    # events-ohlc-hourly, and any later ones) have never had a driver
+    # CORRECTNESS row; rotate THEM to the front in round 6)
     "dedup-incremental",
     "sample-weighted-n",
     "text-unigram-logprob",

@@ -302,3 +302,85 @@ def test_user_state_history_single_shuffle(spark):
     # the lag pass and the lead/row_number pass share one hash
     # exchange on user_id (the final orderBy adds a range exchange)
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# --- distinct-kmv / time-weighted avg / OHLC ------------------------
+
+
+def test_kmv_small_set_rule_and_tolerance(spark):
+    from projet_etl_spark.operators import sketches
+
+    rows = sketches.q_distinct_kmv(spark, SF_SMALL).collect()
+    assert len(rows) == 5
+    for r in rows:
+        if r["n_exact"] < sketches.KMV_K:
+            # below K distinct hashes the sketch is exact by rule
+            assert r["n_est"] == pytest.approx(float(r["n_exact"]))
+            assert r["rel_err"] == pytest.approx(0.0)
+        else:
+            # K=64 -> stderr ~ 1/sqrt(K-2) ~ 13%; generous 3-sigma cap
+            assert r["rel_err"] < 0.4
+
+
+def test_kmv_minima_merge_like_a_sketch():
+    """Mergeability (the property that makes KMV a sketch): the K
+    minima of a union equal the K minima of the parts' K-minima
+    union."""
+    import hashlib
+
+    K = 16
+    ids = [f"u{i}" for i in range(500)]
+    h = sorted(int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in ids)
+    half_a = sorted(
+        int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in ids[:250]
+    )[:K]
+    half_b = sorted(
+        int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in ids[250:]
+    )[:K]
+    assert sorted(set(half_a) | set(half_b))[:K] == h[:K]
+
+
+def test_time_weighted_avg_micro(spark, tmp_path):
+    from projet_etl_spark.operators import events_windows
+
+    rows = [
+        # user 1: value 10 held 1h, then 30 held 3h, last obs unweighted
+        (1, datetime.datetime(2024, 1, 1, 0), 1, "view", 10.0, "{}"),
+        (2, datetime.datetime(2024, 1, 1, 1), 1, "view", 30.0, "{}"),
+        (3, datetime.datetime(2024, 1, 1, 4), 1, "view", 99.0, "{}"),
+        # user 2: single observation -> zero span, NULL twa
+        (4, datetime.datetime(2024, 1, 1, 2), 2, "view", 7.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {r["user_id"]: r for r in
+           events_windows.q_events_time_weighted_avg(spark, str(tmp_path)).collect()}
+    hour_us = 3600 * 1_000_000
+    assert out[1]["span_us"] == 4 * hour_us
+    # (10*1h + 30*3h) / 4h = 25
+    assert out[1]["twa"] == pytest.approx(25.0)
+    assert (out[2]["n_obs"], out[2]["span_us"], out[2]["twa"]) == (1, 0, None)
+
+
+def test_ohlc_open_close_tie_break(spark, tmp_path):
+    from projet_etl_spark.operators import events_windows
+
+    t = datetime.datetime(2024, 1, 1, 9, 0)
+    rows = [
+        # same timestamp: event_id must decide open (id 1) and close (id 3)
+        (1, t, 1, "view", 5.0, "{}"),
+        (2, t, 1, "view", 50.0, "{}"),
+        (3, t, 1, "view", 8.0, "{}"),
+        (4, datetime.datetime(2024, 1, 1, 9, 30), 1, "view", 2.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = events_windows.q_events_ohlc_hourly(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    bar = out[0]
+    assert (bar["open"], bar["high"], bar["low"], bar["close"]) == (5.0, 50.0, 2.0, 2.0)
+    assert bar["n_events"] == 4 and bar["volume"] == pytest.approx(65.0)
