@@ -217,3 +217,33 @@ def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.isnull("n_obs").cast("long").alias("is_gap"),
         F.last("avg_val", ignorenulls=True).over(w).alias("filled_avg"),
     ).orderBy("event_type", "day")
+
+
+def q_events_props_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from the semi-structured ``props`` JSON
+    column (from_json with an explicit schema — not string
+    get_json_object), aggregated per event type: the
+    JSON-functions family every log pipeline needs.
+
+    Scale shape: parsing is a per-row JVM expression inside the scan
+    projection (no Python, no second pass); the aggregate is
+    map-side combined on the 5-value type key. Malformed JSON yields
+    NULL (PERMISSIVE), counted separately rather than dropped
+    silently. The k sum is an exact BIGINT; the mean divides once.
+    """
+    ev = events(spark, sf_dir).select(
+        "event_type",
+        F.from_json(F.col("props"), "k INT").getField("k").alias("k"),
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count(F.when(F.col("k").isNull(), 1)).cast("long").alias("n_bad"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )

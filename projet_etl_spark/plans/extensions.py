@@ -2143,6 +2143,29 @@ GROUP BY h, event_type
 ORDER BY 1, 2
 """
 
+# typed JSON extraction; DuckDB's json_extract ERRORS on malformed
+# input where Spark's PERMISSIVE from_json yields NULL, so the oracle
+# guards with json_valid to state the same NULL-on-bad semantics
+_PROPS_SQL = """
+WITH parsed AS (
+    SELECT event_type,
+           CASE WHEN json_valid(props)
+                THEN CAST(json_extract(props, '$.k') AS INTEGER)
+           END AS k
+    FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(CASE WHEN k IS NULL THEN 1 END) AS BIGINT) AS n_bad,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       round(avg(k), 6) AS avg_k
+FROM parsed
+GROUP BY event_type
+ORDER BY event_type
+"""
+
 _GSETS_SQL = (
     _VIEWS
     + """
@@ -2539,6 +2562,12 @@ def build():
             events_windows.q_events_ohlc_hourly,
             _OHLC_SQL,
             ("windows", "olap"),
+        ),
+        (
+            "events-props-parse",
+            stats.q_events_props_parse,
+            _PROPS_SQL,
+            ("stats", "json"),
         ),
     ]
     return {

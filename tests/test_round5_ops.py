@@ -384,3 +384,34 @@ def test_ohlc_open_close_tie_break(spark, tmp_path):
     bar = out[0]
     assert (bar["open"], bar["high"], bar["low"], bar["close"]) == (5.0, 50.0, 2.0, 2.0)
     assert bar["n_events"] == 4 and bar["volume"] == pytest.approx(65.0)
+
+
+def test_props_parse_malformed_json_counts_not_drops(spark, tmp_path):
+    """Spark's PERMISSIVE from_json and the json_valid-guarded oracle
+    agree on malformed rows: NULL k, counted in n_bad."""
+    import duckdb
+
+    from projet_etl_spark.plans.registry import REGISTRY
+
+    t = datetime.datetime(2024, 1, 1, 9)
+    rows = [
+        (1, t, 1, "view", 1.0, '{"k": 7}'),
+        (2, t, 1, "view", 1.0, "not json"),
+        (3, t, 1, "view", 1.0, '{"other": 1}'),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = stats.q_events_props_parse(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n"], r["n_bad"], r["min_k"], r["max_k"], r["sum_k"]) == (3, 2, 7, 7, 7)
+    # same numbers from the oracle on the same file
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    got = con.execute(REGISTRY["events-props-parse"].oracle).fetchall()
+    assert got == [("view", 3, 2, 7, 7, 7, 7.0)]
