@@ -69,6 +69,79 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def survivor_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, n_tok) of the documents that survive the full
+    hygiene chain: near-dedup canonical ∩ quality-model keep ∖
+    contaminated, eval docs excluded — the shared front half of the
+    clean-corpus audit and the training-export manifest."""
+    from projet_etl_spark.operators.clusters import q_dedup_clusters
+    from projet_etl_spark.operators.decontam import (
+        EVAL_DOCS,
+        q_decontaminate_ngram,
+    )
+    from projet_etl_spark.operators.quality_model import score_documents
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    reps = q_dedup_clusters(spark, sf_dir).filter(
+        F.col("doc_id") == F.col("cluster_id")
+    ).select("doc_id")
+    keep = score_documents(docs.select("doc_id", "text")).filter(
+        F.col("keep")
+    ).select("doc_id")
+    contam = q_decontaminate_ngram(spark, sf_dir).select("doc_id")
+    return (
+        docs.filter(F.col("doc_id") >= EVAL_DOCS)
+        .join(reps, "doc_id", "left_semi")
+        .join(keep, "doc_id", "left_semi")
+        .join(contam, "doc_id", "left_anti")
+        .select("doc_id", "lang", F.size(tokens(F.col("text"))).alias("n_tok"))
+    )
+
+
+def q_pipeline_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shard manifest of the curated training corpus: survivors
+    of the full hygiene chain (``survivor_docs``) assigned to
+    hash-sharded concat-then-chunk packs (the pack-sequences layout),
+    rolled up to one row per (shard, pack) with doc/token counts —
+    the artifact a dataloader actually consumes.
+
+    Scale shape: the hygiene chain reuses the already-oracled
+    operators (each stage reduces before its doc_id equi-join); the
+    packing window is partition-local per shard (shard count scales
+    with the cluster); the manifest aggregate is packs-sized. This is
+    the nightly "what lands on the trainer" job as one lazy plan.
+    """
+    from projet_etl_spark.functions.text import portable_hash60
+    from projet_etl_spark.operators.packing import N_SHARDS, PACK_BUDGET
+
+    survivors = survivor_docs(spark, sf_dir)
+    sharded = survivors.select(
+        "doc_id",
+        "n_tok",
+        (portable_hash60(F.col("doc_id").cast("string")) % F.lit(N_SHARDS)).alias(
+            "shard"
+        ),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    started = sharded.withColumn(
+        "start_tok", F.sum("n_tok").over(w) - F.col("n_tok")
+    ).withColumn("pack_id", F.expr(f"start_tok div {PACK_BUDGET}"))
+    return (
+        started.groupBy("shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .orderBy("shard", "pack_id")
+    )
+
+
 def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full curation pipeline as one composed plan: per-language
     document/token budget of the corpus that survives
@@ -91,30 +164,7 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags (gram equi-join) each reduce before the final doc_id
     equi-joins; the last aggregation is languages-sized.
     """
-    from projet_etl_spark.operators.clusters import q_dedup_clusters
-    from projet_etl_spark.operators.decontam import (
-        EVAL_DOCS,
-        q_decontaminate_ngram,
-    )
-    from projet_etl_spark.operators.quality_model import score_documents
-
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "text"
-    )
-    reps = q_dedup_clusters(spark, sf_dir).filter(
-        F.col("doc_id") == F.col("cluster_id")
-    ).select("doc_id")
-    keep = score_documents(docs.select("doc_id", "text")).filter(
-        F.col("keep")
-    ).select("doc_id")
-    contam = q_decontaminate_ngram(spark, sf_dir).select("doc_id")
-    survivors = (
-        docs.filter(F.col("doc_id") >= EVAL_DOCS)
-        .join(reps, "doc_id", "left_semi")
-        .join(keep, "doc_id", "left_semi")
-        .join(contam, "doc_id", "left_anti")
-        .select("doc_id", "lang", F.size(tokens(F.col("text"))).alias("n_tok"))
-    )
+    survivors = survivor_docs(spark, sf_dir)
     return (
         survivors.groupBy("lang")
         .agg(

@@ -1664,7 +1664,9 @@ LEFT JOIN lsh l ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b
 # keepers ∖ contaminated, replayed as ONE recursive statement over
 # the shared minhash CTEs (tok is reused by the quality and 5-gram
 # stages — same tokenization by construction)
-_CLEAN_CORPUS_SQL = (
+# shared hygiene-chain CTE prefix: near-dedup canonical ∩ model keep
+# ∖ contaminated, eval docs excluded → survivors(doc_id, lang, n_tok)
+_SURVIVOR_CTES = (
     _RECURSIVE_MINHASH_CTES
     + f""",
 cpairs AS (
@@ -1719,11 +1721,44 @@ survivors AS (
     JOIN keepers USING (doc_id)
     WHERE d.doc_id >= {decontam.EVAL_DOCS}
       AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+)"""
 )
+
+_CLEAN_CORPUS_SQL = (
+    _SURVIVOR_CTES
+    + """
 SELECT lang,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_tok) AS BIGINT) AS n_tokens
 FROM survivors GROUP BY lang ORDER BY lang
+"""
+)
+
+# survivors → pack-sequences layout → (shard, pack) manifest
+_EXPORT_SQL = (
+    _SURVIVOR_CTES
+    + f""",
+sharded AS (
+    SELECT doc_id, n_tok,
+           ({TX.SQL_HASH60.format(col="CAST(doc_id AS VARCHAR)")}
+            % {packing.N_SHARDS}) AS shard
+    FROM survivors
+),
+started AS (
+    SELECT shard, doc_id, n_tok,
+           CAST(SUM(n_tok) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - n_tok AS BIGINT) AS start_tok
+    FROM sharded
+)
+SELECT shard,
+       start_tok // {packing.PACK_BUDGET} AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM started
+GROUP BY shard, pack_id
+ORDER BY shard, pack_id
 """
 )
 
@@ -2568,6 +2603,12 @@ def build():
             stats.q_events_props_parse,
             _PROPS_SQL,
             ("stats", "json"),
+        ),
+        (
+            "pipeline-training-export",
+            corpus.q_pipeline_training_export,
+            _EXPORT_SQL,
+            ("pipeline", "curation", "dedup"),
         ),
     ]
     return {

@@ -415,3 +415,20 @@ def test_props_parse_malformed_json_counts_not_drops(spark, tmp_path):
     )
     got = con.execute(REGISTRY["events-props-parse"].oracle).fetchall()
     assert got == [("view", 3, 2, 7, 7, 7, 7.0)]
+
+
+def test_training_export_conserves_the_clean_corpus(spark):
+    """The shard manifest and the per-language audit are two rollups
+    of the SAME survivor set — totals must agree exactly."""
+    from projet_etl_spark.operators import corpus
+
+    manifest = corpus.q_pipeline_training_export(spark, SF_SMALL).collect()
+    audit = corpus.q_pipeline_clean_corpus(spark, SF_SMALL).collect()
+    assert sum(r["n_docs"] for r in manifest) == sum(r["n_docs"] for r in audit)
+    assert sum(r["n_tokens"] for r in manifest) == sum(r["n_tokens"] for r in audit)
+    # packs are dense per shard: ids start at 0 with no holes
+    by_shard = {}
+    for r in manifest:
+        by_shard.setdefault(r["shard"], []).append(r["pack_id"])
+    for ids in by_shard.values():
+        assert sorted(ids) == list(range(len(ids)))
