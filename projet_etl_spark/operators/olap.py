@@ -102,3 +102,17 @@ def q_sales_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         pv=points_de_vente(spark, sf_dir),
     )
+
+
+CAT_B = "Brand#5"
+
+
+def q_stores_in_both_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stores with sales in BOTH the default category and CAT_B —
+    INTERSECT semantics, completing the set-operation family next to
+    the EXCEPT query (intersect plans as a left-semi hash join over
+    the distinct sets; at scale both sides reduce before the join)."""
+    pv = points_de_vente(spark, sf_dir)
+    a = pv.filter(F.col("catid") == F.lit(DEFAULTS["cat_id"])).select("magid")
+    b = pv.filter(F.col("catid") == F.lit(CAT_B)).select("magid")
+    return a.intersect(b).orderBy("magid")

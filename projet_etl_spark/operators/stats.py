@@ -247,3 +247,36 @@ def q_events_props_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+RANGE_WINDOW_DAYS = 7
+
+
+def q_daily_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-CALENDAR-day event counts per type via a RANGE
+    window frame over epoch-day numbers — the frame mechanic a ROWS
+    frame cannot express: on a sparse series, ROWS(-6, 0) spans the
+    last 7 OBSERVED days while RANGE(-6, 0) spans the last 7 calendar
+    days, counting absent days as zero contribution
+    (q_daily_moving_avg is the ROWS-frame counterpart).
+
+    Scale shape: identical to the moving average — the window runs
+    AFTER reduction to (type, day) grain, so its input is days×types
+    rows; the range frame needs no gap-filled spine.
+    """
+    ev = events(spark, sf_dir).select(
+        "event_type", F.to_date("ts").alias("d")
+    )
+    daily = ev.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_date(F.col("d")))
+        .rangeBetween(-(RANGE_WINDOW_DAYS - 1), 0)
+    )
+    return daily.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("long").alias("n"),
+        F.sum("n").over(w).cast("long").alias("sum_7d"),
+        F.count(F.lit(1)).over(w).cast("long").alias("days_present_7d"),
+    ).orderBy("event_type", "day")

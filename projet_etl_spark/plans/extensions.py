@@ -2178,6 +2178,37 @@ GROUP BY h, event_type
 ORDER BY 1, 2
 """
 
+_INTERSECT_SQL = (
+    _VIEWS
+    + f"""
+SELECT DISTINCT magid FROM points_de_vente WHERE catid = '{_DEFAULTS["cat_id"]}'
+INTERSECT
+SELECT DISTINCT magid FROM points_de_vente WHERE catid = '{olap.CAT_B}'
+ORDER BY magid
+"""
+)
+
+# RANGE frame over epoch-day numbers (calendar window, not row window)
+_RANGE_FRAME_SQL = f"""
+WITH daily AS (
+    SELECT event_type, ts::DATE AS d, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       strftime(d, '%Y-%m-%d') AS day,
+       CAST(n AS BIGINT) AS n,
+       CAST(SUM(n) OVER (
+           PARTITION BY event_type ORDER BY epoch(d) // 86400
+           RANGE BETWEEN {stats.RANGE_WINDOW_DAYS - 1} PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS sum_7d,
+       CAST(COUNT(*) OVER (
+           PARTITION BY event_type ORDER BY epoch(d) // 86400
+           RANGE BETWEEN {stats.RANGE_WINDOW_DAYS - 1} PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS days_present_7d
+FROM daily
+ORDER BY event_type, day
+"""
+
 # typed JSON extraction; DuckDB's json_extract ERRORS on malformed
 # input where Spark's PERMISSIVE from_json yields NULL, so the oracle
 # guards with json_valid to state the same NULL-on-bad semantics
@@ -2609,6 +2640,18 @@ def build():
             corpus.q_pipeline_training_export,
             _EXPORT_SQL,
             ("pipeline", "curation", "dedup"),
+        ),
+        (
+            "stores-in-both-categories",
+            olap.q_stores_in_both_categories,
+            _INTERSECT_SQL,
+            ("olap",),
+        ),
+        (
+            "daily-trailing-range",
+            stats.q_daily_trailing_range,
+            _RANGE_FRAME_SQL,
+            ("stats", "windows"),
         ),
     ]
     return {

@@ -432,3 +432,34 @@ def test_training_export_conserves_the_clean_corpus(spark):
         by_shard.setdefault(r["shard"], []).append(r["pack_id"])
     for ids in by_shard.values():
         assert sorted(ids) == list(range(len(ids)))
+
+
+def test_range_frame_is_calendar_not_rows(spark, tmp_path):
+    """On a sparse series the RANGE frame must exclude observations
+    older than 7 calendar days even when they are adjacent rows."""
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 9), 1, "A", 1.0, "{}"),
+        (2, datetime.datetime(2024, 1, 10, 9), 1, "A", 1.0, "{}"),
+        (3, datetime.datetime(2024, 1, 12, 9), 1, "A", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {r["day"]: r for r in stats.q_daily_trailing_range(spark, str(tmp_path)).collect()}
+    # day 10: Jan 1 is 9 days back -> outside the 7-day range frame
+    assert (out["2024-01-10"]["sum_7d"], out["2024-01-10"]["days_present_7d"]) == (1, 1)
+    # day 12: Jan 10 is inside, Jan 1 outside
+    assert (out["2024-01-12"]["sum_7d"], out["2024-01-12"]["days_present_7d"]) == (2, 2)
+
+
+def test_intersect_is_subset_of_both_categories(spark):
+    from projet_etl_spark.params import DEFAULTS
+    from projet_etl_spark.sources.tables import points_de_vente
+
+    both = {r["magid"] for r in olap.q_stores_in_both_categories(spark, SF_SMALL).collect()}
+    pv = points_de_vente(spark, SF_SMALL)
+    a = {r["magid"] for r in pv.filter(F.col("catid") == DEFAULTS["cat_id"]).select("magid").distinct().collect()}
+    b = {r["magid"] for r in pv.filter(F.col("catid") == olap.CAT_B).select("magid").distinct().collect()}
+    assert both == (a & b)
+    assert both  # non-degenerate fixture
