@@ -233,20 +233,71 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole shingle pipeline (measured: 9 redundant 33-task jobs).
     """
     sh = eager_persist(_doc_shingles(spark, sf_dir))
+    cands = minhash_candidates(sh)
+    return _jaccard_pairs(sh, pairs=cands).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+
+
+def minhash_candidates(sh: DataFrame) -> DataFrame:
+    """Banded LSH candidate pairs (doc_a < doc_b) from a shingle
+    frame — the shared front half of every minhash-verified dedup
+    variant. The candidate set is tiny but feeds several subtrees
+    (both sides of the doc filter + the verification join); persist
+    so the band self-join runs once."""
     bands = _minhash_band_keys(df_capped_shingles(sh))
     left = bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
     right = bands.select(F.col("doc_id").alias("doc_b"), "band", "key")
-    # the candidate set is tiny but feeds three subtrees (both sides
-    # of the doc filter + the verification join); persist so the
-    # band self-join runs once
-    cands = eager_persist(
+    return eager_persist(
         left.join(right, ["band", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return _jaccard_pairs(sh, pairs=cands).filter(
-        F.col("jaccard") >= JACCARD_THRESHOLD
+
+
+# relative edit-distance threshold for the levenshtein-verified twin
+EDIT_REL_THRESHOLD = 0.3
+
+
+def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs verified by RELATIVE EDIT DISTANCE over the
+    minhash-LSH candidates: levenshtein(normalized texts) divided by
+    the longer length, kept under EDIT_REL_THRESHOLD — the
+    character-level verification metric (catches small in-place
+    edits that shift every word 3-gram, where jaccard over-penalizes;
+    standard fuzzy-matching discipline).
+
+    Scale shape: identical to the jaccard variant up to the candidate
+    set (banded equi-join, df-capped); the O(len²) DP runs ONLY on
+    candidate pairs — never all pairs — and each evaluation is one
+    JVM expression over the two joined texts. Both engines implement
+    the classic unit-cost Levenshtein, so the integer distance is
+    oracle-exact.
+    """
+    from projet_etl_spark.functions.text import normalized
+
+    sh = eager_persist(_doc_shingles(spark, sf_dir))
+    cands = minhash_candidates(sh)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", normalized(F.col("text")).alias("nt")
+    )
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("nt").alias("nt_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("nt").alias("nt_b"))
+    dist = F.levenshtein(F.col("nt_a"), F.col("nt_b"))
+    rel = dist.cast("double") / F.greatest(
+        F.length("nt_a"), F.length("nt_b")
+    ).cast("double")
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            dist.cast("long").alias("edit_dist"),
+            F.round(rel, 6).alias("rel_dist"),
+        )
+        .filter(F.col("rel_dist") <= EDIT_REL_THRESHOLD)
     )
 
 

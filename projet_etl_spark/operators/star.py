@@ -33,9 +33,10 @@ from projet_etl_spark.sources.tables import load_table
 REGION = "EUROPE"
 
 
-def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-nation revenue where customer and supplier are co-national
-    (TPC-H Q5 shape), region + order-date filtered."""
+def _nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_name, revenue_dec, n_items): the Q5 join tree with the
+    exact DECIMAL revenue kept (shared by the revenue query and the
+    percent-of-total twin)."""
     lineitem = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
@@ -79,8 +80,45 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            F.sum(rev).cast("double").alias("revenue"),
+            F.sum(rev).alias("revenue_dec"),
             F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue where customer and supplier are co-national
+    (TPC-H Q5 shape), region + order-date filtered."""
+    return (
+        _nation_revenue(spark, sf_dir)
+        .select(
+            "n_name",
+            F.col("revenue_dec").cast("double").alias("revenue"),
+            "n_items",
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+def q_revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue SHARE of the region total — percent-of-total
+    via a one-row broadcast of the exact DECIMAL grand total, not a
+    global window (a partition-all window would funnel the whole
+    result through one task; the broadcast form scales to any group
+    count). The share divides two doubles derived from associative
+    decimal sums, so it is identical at any parallelism."""
+    rev = _nation_revenue(spark, sf_dir)
+    total = rev.agg(F.sum("revenue_dec").alias("total_dec"))
+    return (
+        rev.crossJoin(F.broadcast(total))
+        .select(
+            "n_name",
+            F.col("revenue_dec").cast("double").alias("revenue"),
+            F.round(
+                F.col("revenue_dec").cast("double")
+                / F.col("total_dec").cast("double"),
+                6,
+            ).alias("share"),
         )
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )

@@ -95,7 +95,9 @@ _BAND_SELECTS = "\n    UNION ALL ".join(
 # the CTE chain up to `jac` (minhash candidates + exact-jaccard
 # verification) is shared between the pair query and the clusters
 # oracle, which extends it with a recursive connected-components CTE
-_MINHASH_CTES = (
+# CTEs up to the banded candidate set (shared by the jaccard-verified
+# minhash query and the edit-distance-verified twin)
+_CAND_CTES = (
     _SHINGLE_CTES
     + f""",
 sdf AS (
@@ -128,8 +130,12 @@ cands AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-),
-"""
+)"""
+)
+
+_MINHASH_CTES = (
+    _CAND_CTES
+    + ",\n"
     + _JACCARD_FROM_CANDS.format(
         extra_join="JOIN cands c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b"
     )
@@ -2178,6 +2184,57 @@ GROUP BY h, event_type
 ORDER BY 1, 2
 """
 
+# edit-distance verification of the LSH candidates (filter applies
+# to the ROUNDED relative distance on both sides)
+_EDIT_SQL = (
+    _CAND_CTES
+    + f""",
+nrm AS (
+    SELECT doc_id, {_NORM} AS nt FROM documents
+),
+escored AS (
+    SELECT c.doc_a, c.doc_b,
+           CAST(levenshtein(na.nt, nb.nt) AS BIGINT) AS edit_dist,
+           round(CAST(levenshtein(na.nt, nb.nt) AS DOUBLE)
+                 / CAST(greatest(len(na.nt), len(nb.nt)) AS DOUBLE), 6)
+               AS rel_dist
+    FROM cands c
+    JOIN nrm na ON c.doc_a = na.doc_id
+    JOIN nrm nb ON c.doc_b = nb.doc_id
+)
+SELECT doc_a, doc_b, edit_dist, rel_dist
+FROM escored
+WHERE rel_dist <= {dedup.EDIT_REL_THRESHOLD}
+"""
+)
+
+# percent-of-total over the Q5 revenue tree: share of the exact
+# decimal grand total (the window form in SQL; the Spark side uses a
+# one-row broadcast — same numbers, order-independent)
+_SHARE_SQL = f"""
+WITH rev AS (
+    SELECT n_name,
+           SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                    AS DECIMAL(18,4))) AS revenue_dec
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = '{star.REGION}'
+      AND CAST(o_orderdate AS DATE)
+          BETWEEN DATE '{_P2["debut"]}' AND DATE '{_P2["fin"]}'
+    GROUP BY n_name
+)
+SELECT n_name,
+       CAST(revenue_dec AS DOUBLE) AS revenue,
+       round(CAST(revenue_dec AS DOUBLE)
+             / CAST(SUM(revenue_dec) OVER () AS DOUBLE), 6) AS share
+FROM rev
+ORDER BY revenue DESC, n_name
+"""
+
 _INTERSECT_SQL = (
     _VIEWS
     + f"""
@@ -2652,6 +2709,18 @@ def build():
             stats.q_daily_trailing_range,
             _RANGE_FRAME_SQL,
             ("stats", "windows"),
+        ),
+        (
+            "dedup-edit-distance",
+            dedup.q_dedup_edit_distance,
+            _EDIT_SQL,
+            ("dedup",),
+        ),
+        (
+            "revenue-share-by-nation",
+            star.q_revenue_share_by_nation,
+            _SHARE_SQL,
+            ("olap", "join"),
         ),
     ]
     return {

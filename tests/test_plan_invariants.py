@@ -35,6 +35,9 @@ BNLJ_ALLOWED = {
     # clusters/canonical twins hide the same subtree behind the
     # persisted candidate cache
     "dedup-minhash-lsh",
+    # inherits the minhash candidate subtree (df-cap corpus-size
+    # 1-row broadcast) verbatim
+    "dedup-edit-distance",
     "resample-by-lang",
     "tfidf-top-terms",
     # 1-row broadcast cross joins: corpus token total (OOV floor),
@@ -42,6 +45,8 @@ BNLJ_ALLOWED = {
     "text-unigram-logprob",
     "events-gap-fill",
     "customer-spend-deciles",
+    # 1-row broadcast of the exact decimal grand total
+    "revenue-share-by-nation",
 }
 
 

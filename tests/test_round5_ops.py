@@ -463,3 +463,30 @@ def test_intersect_is_subset_of_both_categories(spark):
     b = {r["magid"] for r in pv.filter(F.col("catid") == olap.CAT_B).select("magid").distinct().collect()}
     assert both == (a & b)
     assert both  # non-degenerate fixture
+
+
+def test_edit_distance_verifies_candidates(spark):
+    rows = dedup.q_dedup_edit_distance(spark, SF_SMALL).collect()
+    assert rows, "fixture has near-dup pairs"
+    # near-dup candidates are genuinely close at the character level
+    # (fixture near-dups are small in-place edits: rel_dist << cap)
+    assert min(r["rel_dist"] for r in rows) < 0.05
+    for r in rows:
+        assert r["rel_dist"] <= dedup.EDIT_REL_THRESHOLD
+        assert r["doc_a"] < r["doc_b"]
+    # the levenshtein pass only ever scores LSH candidates
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_candidates(
+            dedup._doc_shingles(spark, SF_SMALL)
+        ).collect()
+    }
+    assert {(r["doc_a"], r["doc_b"]) for r in rows} <= cands
+
+
+def test_revenue_share_sums_to_one(spark):
+    rows = star.q_revenue_share_by_nation(spark, SF_SMALL).collect()
+    assert rows
+    assert sum(r["share"] for r in rows) == pytest.approx(1.0, abs=1e-5)
+    for r in rows:
+        assert 0.0 < r["share"] <= 1.0
