@@ -45,8 +45,6 @@ from projet_etl_spark.functions.vectors import (
     cosine,
     fold_dot,
     fold_norm2,
-    spark_dot,
-    spark_norm2,
 )
 from projet_etl_spark.sources.tables import load_table
 
@@ -389,8 +387,9 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_scale_patterns.py::test_lsh_pairs_within_block_are_in_cosine_audit);
     LSH pairs outside the block are invisible here by design.
 
-    Bit-exact across engines: the dot/norm sums are explicit
-    left-associated 64-term expressions (functions/vectors.py).
+    Bit-exact across engines: the fold dot/norm sums add terms in
+    the same left-associated order as the oracle's generated 64-term
+    sum (functions/vectors.py: 0.0 + x == x, then identical order).
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").alias("v")
@@ -399,7 +398,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(AUDIT_BLOCK)
     )
-    withn = block.withColumn("n2", spark_norm2("v"))
+    withn = block.withColumn("n2", fold_norm2("v"))
     # TakeOrderedAndProject emits ONE partition; left as-is the whole
     # block x block scan would run as a single task (measured 23 s at
     # sf0.1). Spreading the STREAMED copy across the cluster makes the
@@ -413,7 +412,12 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("n2").alias("nb")
     )
     pairs = a.crossJoin(F.broadcast(b)).filter(F.col("vec_a") < F.col("vec_b"))
-    cos = cosine(spark_dot("va", "vb"), F.col("na"), F.col("nb"))
+    # fold (zip_with + aggregate) dot, NOT the generated 64-term sum:
+    # inside this nested-loop pair scan the giant generated expression
+    # drops out of whole-stage codegen and evaluates interpreted —
+    # measured 11.2 s vs 0.98 s for the fold at sf0.1 (identical 920
+    # pairs; the fold is bit-for-bit equal, see functions/vectors.py)
+    cos = cosine(fold_dot("va", "vb"), F.col("na"), F.col("nb"))
     return pairs.select(
         "vec_a", "vec_b", F.round(cos, 6).alias("cos")
     ).filter(F.col("cos") >= COSINE_THRESHOLD)
