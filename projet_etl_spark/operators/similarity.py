@@ -1,8 +1,10 @@
 """Similarity search over the embeddings table (dim-64 floats).
 
 - ``ann-cosine-topk``: brute-force exact top-k per query vector —
-  the correctness baseline. A cross join + fused 64-term cosine
-  expression + per-query top-k window. At 100 TB the cross join is
+  the correctness baseline. A cross join + fold cosine (zip_with +
+  aggregate — codegen cannot compile 64-term generated sums inside
+  join projections and falls back to interpreted, measured 4-11x
+  slower) + per-query top-k window. At 100 TB the cross join is
   the bottleneck by design; it exists to validate the pruned path.
 - ``ann-ivf-topk``: the scale path — an IVF-style index built from
   deterministic medoid centroids (the lowest-vec_id vector of each
@@ -19,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from projet_etl_spark.cache import eager_persist, lazy_persist
-from projet_etl_spark.functions.vectors import cosine, spark_dot, spark_norm2
+from projet_etl_spark.functions.vectors import cosine, fold_dot, fold_norm2
 from projet_etl_spark.sources.tables import load_table
 
 N_QUERIES = 10  # vectors with vec_id < 10 act as the query set
@@ -31,7 +33,7 @@ def _emb_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").alias("v")
     )
-    return emb.withColumn("n2", spark_norm2("v"))
+    return emb.withColumn("n2", fold_norm2("v"))
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -44,7 +46,7 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"), F.col("n2").alias("cn")
     )
     pairs = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("cand_id"))
-    cos = F.round(cosine(spark_dot("qv", "cv"), F.col("qn"), F.col("cn")), 6)
+    cos = F.round(cosine(fold_dot("qv", "cv"), F.col("qn"), F.col("cn")), 6)
     scored = pairs.select("query_id", "cand_id", cos.alias("cos"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (
@@ -76,7 +78,7 @@ def coarse_assign(base: DataFrame, cents: DataFrame) -> DataFrame:
     the streaming index-maintenance twin (streaming/ivf.py), so the
     two paths cannot drift."""
     sim_to_cent = F.round(
-        cosine(spark_dot("v", "centv"), F.col("n2"), F.col("centn")), 6
+        cosine(fold_dot("v", "centv"), F.col("n2"), F.col("centn")), 6
     )
     return (
         base.crossJoin(cents)
@@ -112,7 +114,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries.crossJoin(cents)
         .withColumn(
             "simq",
-            F.round(cosine(spark_dot("qv", "centv"), F.col("qn"), F.col("centn")), 6),
+            F.round(cosine(fold_dot("qv", "centv"), F.col("qn"), F.col("centn")), 6),
         )
         .withColumn("prn", F.row_number().over(w_probe))
         .filter(F.col("prn") <= NPROBE)
@@ -129,7 +131,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "cell",
     ).filter(F.col("query_id") != F.col("cand_id"))
-    cos = F.round(cosine(spark_dot("qv", "cv"), F.col("qn"), F.col("cn")), 6)
+    cos = F.round(cosine(fold_dot("qv", "cv"), F.col("qn"), F.col("cn")), 6)
     # no distinct needed: each vector lives in exactly one cell, so a
     # (query, candidate) pair can't repeat across probed cells
     scored = cands.select("query_id", "cand_id", cos.alias("cos"))
