@@ -217,3 +217,51 @@ def test_scorer_matches_decimal_reference_random_weights(weights, bias):
         raw = float(acc + np.float64(bias))
         want = float(Decimal(repr(raw)).quantize(q, rounding=ROUND_HALF_UP))
         assert got == want, (row_vals, raw, got, want)
+
+
+spends_strategy = st.lists(
+    st.tuples(
+        st.integers(1, 30),  # custkey
+        st.integers(100, 2_000_000),  # order price in cents
+    ),
+    min_size=10,
+    max_size=80,
+)
+
+
+@given(rows=spends_strategy)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_spend_deciles_match_bruteforce(spark, rows, tmp_path_factory):
+    """The broadcast-boundary decile assignment must agree with a
+    driver-side recomputation of the same type-7 percentile + strict
+    boundary-count rule on random 2-dp spends."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from projet_etl_spark.operators.star import _DECILE_QS, q_customer_spend_deciles
+
+    root = str(tmp_path_factory.mktemp("deciles"))
+    df = spark.createDataFrame(
+        [(c, cents / 100.0, "O", datetime.datetime(1996, 1, 1), "x", 1)
+         for c, cents in rows],
+        "o_custkey long, o_totalprice double, o_orderstatus string, "
+        "o_orderdate timestamp, o_orderpriority string, o_orderkey long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{root}/orders.parquet")
+    got = {
+        r["decile"]: (r["n_customers"], float(r["min_spend"]), float(r["max_spend"]))
+        for r in q_customer_spend_deciles(spark, root).collect()
+    }
+    # brute force: exact cent sums per customer -> doubles
+    cents_by_cust: dict[int, int] = {}
+    for c, cents in rows:
+        cents_by_cust[c] = cents_by_cust.get(c, 0) + cents
+    spends = sorted(v / 100.0 for v in cents_by_cust.values())
+    bounds = [round(float(b), 4) for b in np.percentile(spends, [q * 100 for q in _DECILE_QS])]
+    want: dict[int, list[float]] = {}
+    for s in spends:
+        d = sum(s > b for b in bounds)
+        want.setdefault(d, []).append(s)
+    assert got == {
+        d: (len(v), min(v), max(v)) for d, v in want.items()
+    }
