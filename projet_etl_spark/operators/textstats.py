@@ -568,3 +568,65 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("lp"), 6).alias("avg_logprob"),
         )
     )
+
+
+# --- per-source distribution drift (PSI) ----------------------------
+
+PSI_BUCKETS = 8
+PSI_BUCKET_WIDTH = 75  # n_chars buckets: [0,75), ..., [525, inf)
+
+
+def q_docs_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index of each source's document-length
+    distribution against the rest of the corpus — the standard
+    data-quality drift monitor (a source whose length profile shifts
+    away from the corpus gets a high PSI and a human look) over
+    fixed-width n_chars buckets with Laplace smoothing (+0.5 per
+    cell, so empty buckets stay finite).
+
+    Scale shape: one (source, bucket) hash aggregate over the scan —
+    everything after is arithmetic on source×bucket rows (the dense
+    grid comes from exploding a constant bucket array per source, no
+    join); the corpus total rides a 1-row broadcast. At any corpus
+    size the post-aggregate work is |sources| × PSI_BUCKETS rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    b = F.floor(
+        F.least(F.col("n_chars"), F.lit(PSI_BUCKETS * PSI_BUCKET_WIDTH - 1))
+        / F.lit(PSI_BUCKET_WIDTH)
+    ).cast("long")
+    cnt = docs.select("source", b.alias("b")).groupBy("source", "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    grid = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            F.explode(F.array(*[F.lit(i) for i in range(PSI_BUCKETS)])).alias("b"),
+        )
+        .join(cnt, ["source", "b"], "left")
+        .select("source", "b", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    tot_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    tot_bucket = grid.groupBy("b").agg(F.sum("c").alias("cb"))
+    total = docs.agg(F.count(F.lit(1)).alias("n"))
+    half_b = float(0.5 * PSI_BUCKETS)
+    joined = (
+        grid.join(tot_src, "source")
+        .join(tot_bucket, "b")
+        .crossJoin(F.broadcast(total))
+    )
+    p = (F.col("c") + F.lit(0.5)) / (F.col("n_s") + F.lit(half_b))
+    q = (F.col("cb") - F.col("c") + F.lit(0.5)) / (
+        F.col("n") - F.col("n_s") + F.lit(half_b)
+    )
+    term = (p - q) * F.log(p / q)
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.max("n_s").cast("long").alias("n_docs"),
+            F.round(F.sum(term), 6).alias("psi"),
+        )
+        .orderBy("source")
+    )

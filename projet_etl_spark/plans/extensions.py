@@ -2184,6 +2184,46 @@ GROUP BY h, event_type
 ORDER BY 1, 2
 """
 
+# population-stability-index drift of each source's length profile
+_PSI_EDGE = textstats.PSI_BUCKETS * textstats.PSI_BUCKET_WIDTH - 1
+_PSI_HALF_B = 0.5 * textstats.PSI_BUCKETS
+_PSI_SQL = f"""
+WITH cnt AS (
+    SELECT source,
+           CAST(floor(least(n_chars, {_PSI_EDGE})
+                      / {textstats.PSI_BUCKET_WIDTH}) AS BIGINT) AS b,
+           COUNT(*) AS c
+    FROM documents GROUP BY 1, 2
+),
+grid AS (
+    SELECT s.source, v.b, coalesce(cnt.c, 0) AS c
+    FROM (SELECT DISTINCT source FROM documents) s
+    CROSS JOIN (SELECT unnest(range({textstats.PSI_BUCKETS})) AS b) v
+    LEFT JOIN cnt ON cnt.source = s.source AND cnt.b = v.b
+),
+tot_src AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+tot_bucket AS (SELECT b, SUM(c) AS cb FROM grid GROUP BY b),
+total AS (SELECT COUNT(*) AS n FROM documents),
+terms AS (
+    SELECT g.source, ts.n_s,
+           ((g.c + 0.5) / (ts.n_s + {_PSI_HALF_B})
+            - (tb.cb - g.c + 0.5) / (t.n - ts.n_s + {_PSI_HALF_B}))
+           * ln(((g.c + 0.5) / (ts.n_s + {_PSI_HALF_B}))
+                / ((tb.cb - g.c + 0.5) / (t.n - ts.n_s + {_PSI_HALF_B})))
+               AS term
+    FROM grid g
+    JOIN tot_src ts ON g.source = ts.source
+    JOIN tot_bucket tb ON g.b = tb.b
+    CROSS JOIN total t
+)
+SELECT source,
+       CAST(MAX(n_s) AS BIGINT) AS n_docs,
+       round(SUM(term), 6) AS psi
+FROM terms
+GROUP BY source
+ORDER BY source
+"""
+
 # edit-distance verification of the LSH candidates (filter applies
 # to the ROUNDED relative distance on both sides)
 _EDIT_SQL = (
@@ -2721,6 +2761,12 @@ def build():
             star.q_revenue_share_by_nation,
             _SHARE_SQL,
             ("olap", "join"),
+        ),
+        (
+            "docs-length-drift",
+            textstats.q_docs_length_drift,
+            _PSI_SQL,
+            ("stats", "curation", "quality"),
         ),
     ]
     return {

@@ -47,6 +47,8 @@ BNLJ_ALLOWED = {
     "customer-spend-deciles",
     # 1-row broadcast of the exact decimal grand total
     "revenue-share-by-nation",
+    # 1-row broadcast of the corpus size (PSI smoothing denominators)
+    "docs-length-drift",
 }
 
 

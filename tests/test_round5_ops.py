@@ -490,3 +490,28 @@ def test_revenue_share_sums_to_one(spark):
     assert sum(r["share"] for r in rows) == pytest.approx(1.0, abs=1e-5)
     for r in rows:
         assert 0.0 < r["share"] <= 1.0
+
+
+def test_psi_flags_the_drifted_source(spark, tmp_path):
+    """A source whose length profile diverges from the corpus must
+    score a strictly higher PSI than in-distribution sources; PSI is
+    non-negative by construction (sum of (p-q)ln(p/q) terms)."""
+    rows = []
+    did = 0
+    # two well-behaved sources: lengths spread across low buckets
+    for src in ("a", "b"):
+        for n in (60, 120, 180, 240, 300, 60, 120, 180, 240, 300):
+            did += 1
+            rows.append((did, "x" * 10, "en", src, n))
+    # drifted source: everything in the top bucket
+    for _ in range(10):
+        did += 1
+        rows.append((did, "x" * 10, "en", "c", 590))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {r["source"]: r["psi"] for r in
+           textstats.q_docs_length_drift(spark, str(tmp_path)).collect()}
+    assert out["c"] > out["a"] and out["c"] > out["b"]
+    assert all(v >= 0 for v in out.values())
