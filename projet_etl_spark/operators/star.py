@@ -535,3 +535,66 @@ def q_customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation for every pair of lineitem numeric
+    measures (quantity, price, discount, tax) — the feature-audit
+    correlation matrix, from ONE scan: all 4 first moments, 4 second
+    moments, and 6 cross moments are exact decimal sums in a single
+    hash aggregate (associative — identical at any parallelism, the
+    corr-qty-price discipline), and the 6 closed-form combinations
+    run on the one-row result. Adding measures grows the moment
+    count quadratically but the scan count stays 1.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = _CORR_COLS
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).cast("decimal(18,4)")).cast("double").alias(f"s_{c}"))
+        aggs.append(
+            F.sum((F.col(c) * F.col(c)).cast("decimal(18,4)"))
+            .cast("double")
+            .alias(f"s_{c}_{c}")
+        )
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            aggs.append(
+                F.sum((F.col(a) * F.col(b)).cast("decimal(18,4)"))
+                .cast("double")
+                .alias(f"s_{a}_{b}")
+            )
+    m = li.agg(*aggs)
+
+    def corr(a: str, b: str):
+        n, sa, sb = F.col("n"), F.col(f"s_{a}"), F.col(f"s_{b}")
+        sab = F.col(f"s_{a}_{b}")
+        saa, sbb = F.col(f"s_{a}_{a}"), F.col(f"s_{b}_{b}")
+        return (n * sab - sa * sb) / F.sqrt(
+            (n * saa - sa * sa) * (n * sbb - sb * sb)
+        )
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("var_a"),
+                F.lit(b).alias("var_b"),
+                F.round(corr(a, b), 6).alias("corr"),
+            )
+            for i, a in enumerate(cols)
+            for b in cols[i + 1 :]
+        ]
+    )
+    return (
+        m.select(F.col("n").cast("long").alias("n_rows"), F.explode(pairs).alias("p"))
+        .select(
+            F.col("p.var_a").alias("var_a"),
+            F.col("p.var_b").alias("var_b"),
+            F.col("p.corr").alias("corr"),
+            "n_rows",
+        )
+        .orderBy("var_a", "var_b")
+    )

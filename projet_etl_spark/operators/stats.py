@@ -280,3 +280,72 @@ def q_daily_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").over(w).cast("long").alias("sum_7d"),
         F.count(F.lit(1)).over(w).cast("long").alias("days_present_7d"),
     ).orderBy("event_type", "day")
+
+
+MAD_SCALE = 1.4826  # consistency constant: MAD -> sigma under normality
+ROBUST_Z = 3.5
+
+
+def q_events_anomalies_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD outliers per event type: |value - median| >
+    ROBUST_Z × 1.4826 × MAD — the robust twin of q_events_anomalies.
+    Moment-based z-scores move with the outliers they hunt (one whale
+    inflates sigma and hides the rest); the median and the median
+    absolute deviation have a 50% breakdown point, the standard
+    robust alternative.
+
+    Two order-statistics aggregates (median, then MAD of residuals
+    against the broadcast medians — MAD needs the median first, so
+    two passes is the honest cost), each reducing to one row per
+    event type; the flag itself is a per-row expression against the
+    broadcast (type, med, mad) table. The robust z is rounded before
+    thresholding so both engines cut the identical event set.
+    """
+    ev = events(spark, sf_dir).select("event_id", "event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("med").alias("med"),
+            F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+        )
+    )
+    j = ev.join(F.broadcast(mad), "event_type")
+    rz = F.round(
+        (F.col("value") - F.col("med")) / (F.lit(MAD_SCALE) * F.col("mad")), 6
+    )
+    return (
+        j.select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            rz.alias("robust_z"),
+        )
+        .filter((F.col("mad") > 0) & (F.abs(F.col("robust_z")) > ROBUST_Z))
+    )
+
+
+def q_daily_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-resolved p50/p95 of event value per (type, day) — the
+    dashboard latency-percentile shape. The exact percentile
+    aggregates at (type, day) grain: each group holds one bucket's
+    events, so the order-statistics state is bucket-bounded (swap for
+    approx_percentile when buckets stop fitting; the grain and the
+    output contract are unchanged)."""
+    ev = events(spark, sf_dir).select(
+        "event_type", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"), "value"
+    )
+    return (
+        ev.groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        )
+        .orderBy("event_type", "day")
+    )

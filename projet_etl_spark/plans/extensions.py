@@ -2184,6 +2184,77 @@ GROUP BY h, event_type
 ORDER BY 1, 2
 """
 
+# median/MAD robust outliers (rounded robust-z thresholded identically)
+_ROBUST_SQL = f"""
+WITH med AS (
+    SELECT event_type, quantile_cont(value, 0.5) AS med
+    FROM events GROUP BY event_type
+),
+mad AS (
+    SELECT e.event_type, MIN(m.med) AS med,
+           quantile_cont(abs(e.value - m.med), 0.5) AS mad
+    FROM events e JOIN med m USING (event_type)
+    GROUP BY e.event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       round(t.med, 6) AS med,
+       round(t.mad, 6) AS mad,
+       round((e.value - t.med)
+             / (CAST({stats.MAD_SCALE} AS DOUBLE) * t.mad), 6) AS robust_z
+FROM events e JOIN mad t USING (event_type)
+WHERE t.mad > 0
+  AND abs(round((e.value - t.med)
+                / (CAST({stats.MAD_SCALE} AS DOUBLE) * t.mad), 6))
+      > CAST({stats.ROBUST_Z} AS DOUBLE)
+"""
+
+_DAILY_PCTL_SQL = """
+SELECT event_type,
+       strftime(ts, '%Y-%m-%d') AS day,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def _corrmat_sql() -> str:
+    cols = star._CORR_COLS
+    sums = ["CAST(COUNT(*) AS DOUBLE) AS n"]
+    for c in cols:
+        sums.append(f"CAST(SUM(CAST({c} AS DECIMAL(18,4))) AS DOUBLE) AS s_{c}")
+        sums.append(
+            f"CAST(SUM(CAST({c} * {c} AS DECIMAL(18,4))) AS DOUBLE) AS s_{c}_{c}"
+        )
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            sums.append(
+                f"CAST(SUM(CAST({a} * {b} AS DECIMAL(18,4))) AS DOUBLE) AS s_{a}_{b}"
+            )
+    selects = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            selects.append(
+                f"SELECT '{a}' AS var_a, '{b}' AS var_b,\n"
+                f"       round((n * s_{a}_{b} - s_{a} * s_{b})\n"
+                f"             / sqrt((n * s_{a}_{a} - s_{a} * s_{a})\n"
+                f"                    * (n * s_{b}_{b} - s_{b} * s_{b})), 6)"
+                f" AS corr,\n"
+                f"       CAST(n AS BIGINT) AS n_rows FROM m"
+            )
+    body = "\nUNION ALL\n".join(selects)
+    return (
+        "WITH m AS (\n    SELECT " + ",\n           ".join(sums)
+        + "\n    FROM lineitem\n)\n"
+        + body
+        + "\nORDER BY var_a, var_b"
+    )
+
+
+_CORRMAT_SQL = _corrmat_sql()
+
 # population-stability-index drift of each source's length profile
 _PSI_EDGE = textstats.PSI_BUCKETS * textstats.PSI_BUCKET_WIDTH - 1
 _PSI_HALF_B = 0.5 * textstats.PSI_BUCKETS
@@ -2767,6 +2838,24 @@ def build():
             textstats.q_docs_length_drift,
             _PSI_SQL,
             ("stats", "curation", "quality"),
+        ),
+        (
+            "events-anomalies-robust",
+            stats.q_events_anomalies_robust,
+            _ROBUST_SQL,
+            ("stats",),
+        ),
+        (
+            "daily-value-percentiles",
+            stats.q_daily_value_percentiles,
+            _DAILY_PCTL_SQL,
+            ("stats", "windows"),
+        ),
+        (
+            "lineitem-corr-matrix",
+            star.q_lineitem_corr_matrix,
+            _CORRMAT_SQL,
+            ("stats", "olap"),
         ),
     ]
     return {

@@ -515,3 +515,48 @@ def test_psi_flags_the_drifted_source(spark, tmp_path):
            textstats.q_docs_length_drift(spark, str(tmp_path)).collect()}
     assert out["c"] > out["a"] and out["c"] > out["b"]
     assert all(v >= 0 for v in out.values())
+
+
+def test_robust_anomalies_flag_whale_not_constant_stratum(spark, tmp_path):
+    rows = [
+        # type A: tight cluster + one whale
+        *[(i, datetime.datetime(2024, 1, 1, 9, i), 1, "A", 10.0 + (i % 3), "{}")
+          for i in range(1, 21)],
+        (99, datetime.datetime(2024, 1, 1, 12), 1, "A", 500.0, "{}"),
+        # type B: constant -> MAD 0 -> no anomalies by guard
+        *[(200 + i, datetime.datetime(2024, 1, 1, 9, i), 2, "B", 7.0, "{}")
+          for i in range(1, 11)],
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = stats.q_events_anomalies_robust(spark, str(tmp_path)).collect()
+    assert {r["event_id"] for r in out} == {99}
+    assert all(r["event_type"] == "A" for r in out)
+
+
+def test_corr_matrix_matches_numpy(spark):
+    import numpy as np
+
+    from projet_etl_spark.operators.star import _CORR_COLS, q_lineitem_corr_matrix
+
+    got = {
+        (r["var_a"], r["var_b"]): r["corr"]
+        for r in q_lineitem_corr_matrix(spark, SF_SMALL).collect()
+    }
+    li = dedup.load_table(spark, SF_SMALL, "lineitem").select(*_CORR_COLS).collect()
+    mat = np.corrcoef(np.array([[getattr(r, c) for c in _CORR_COLS] for r in li]).T)
+    for i, a in enumerate(_CORR_COLS):
+        for j, b in enumerate(_CORR_COLS):
+            if i < j:
+                assert got[(a, b)] == pytest.approx(mat[i, j], abs=1e-5)
+
+
+def test_daily_percentiles_cover_all_events(spark):
+    rows = stats.q_daily_value_percentiles(spark, SF_SMALL).collect()
+    from projet_etl_spark.sources.tables import events as events_table
+
+    assert sum(r["n"] for r in rows) == events_table(spark, SF_SMALL).count()
+    for r in rows:
+        assert r["p50"] <= r["p95"]
