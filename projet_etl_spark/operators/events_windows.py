@@ -298,3 +298,27 @@ def q_events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour", "event_type")
     )
+
+
+def q_users_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day — "users acquired to date"
+    without a windowed COUNT(DISTINCT): reduce each user to their
+    FIRST-SEEN day (one hash aggregate), count first-appearances per
+    day, then one cumulative-sum window over the days-sized series.
+    The windowed-distinct anti-pattern would sort user sets per
+    frame; this form's window input is |days| rows at any event
+    volume.
+    """
+    ev = events(spark, sf_dir).select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("d").alias("d0"))
+    per_day = first_seen.groupBy("d0").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("d0").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_day.select(
+        F.date_format("d0", "yyyy-MM-dd").alias("day"),
+        F.col("new_users").cast("long").alias("new_users"),
+        F.sum("new_users").over(w).cast("long").alias("users_to_date"),
+    ).orderBy("day")

@@ -598,3 +598,74 @@ def q_lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("var_a", "var_b")
     )
+
+
+Q6_DISCOUNT_LO = 0.05
+Q6_DISCOUNT_HI = 0.07
+Q6_MAX_QTY = 24.0
+
+
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue increase from eliminating small discounts on low-
+    quantity orders in a date window (TPC-H Q6 shape) — the canonical
+    selective scan + ungrouped aggregate: three conjunctive
+    predicates that all PUSH DOWN to the parquet scan, one exact
+    DECIMAL sum, one row out. At 100 TB this query is pure pruned
+    scan throughput — no shuffle beyond the final 1-row merge.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate").between(DEFAULTS["debut"], DEFAULTS["fin"])
+        & F.col("l_discount").between(Q6_DISCOUNT_LO, Q6_DISCOUNT_HI)
+        & (F.col("l_quantity") < Q6_MAX_QTY)
+    )
+    rev = (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)")
+    return li.agg(
+        F.sum(rev).cast("double").alias("revenue_effect"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
+RETURNED_TOPN = 20
+
+
+def q_top_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers who returned the most revenue in the date window
+    (TPC-H Q10 shape): returned-lineitem revenue aggregated per
+    customer, enriched with customer attributes, top-20.
+
+    Scale shape: the returnflag filter prunes lineitem at the scan;
+    orders' date filter prunes before the fact-fact join (shuffles
+    on orderkey — bucket both sides at warehouse scale); the
+    per-customer aggregate reduces BEFORE the customer-attribute
+    join, so enrichment touches survivors only; TakeOrdered finish.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.to_date("o_orderdate").between(DEFAULTS["debut"], DEFAULTS["fin"]))
+        .select("o_orderkey", "o_custkey")
+    )
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(rev).cast("double").alias("returned_revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    return (
+        per_cust.join(customer, per_cust.o_custkey == customer.c_custkey)
+        .select("c_custkey", "c_name", "c_mktsegment", "returned_revenue", "n_items")
+        .orderBy(F.desc("returned_revenue"), F.asc("c_custkey"))
+        .limit(RETURNED_TOPN)
+    )

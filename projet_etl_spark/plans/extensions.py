@@ -2184,6 +2184,54 @@ GROUP BY h, event_type
 ORDER BY 1, 2
 """
 
+_Q6_ORACLE_SQL = f"""
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue_effect,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE)
+      BETWEEN DATE '{_P2["debut"]}' AND DATE '{_P2["fin"]}'
+  AND l_discount BETWEEN {star.Q6_DISCOUNT_LO} AND {star.Q6_DISCOUNT_HI}
+  AND l_quantity < {star.Q6_MAX_QTY}
+"""
+
+_Q10_SQL = f"""
+WITH per_cust AS (
+    SELECT o_custkey,
+           SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+               AS rev_dec,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+      AND CAST(o_orderdate AS DATE)
+          BETWEEN DATE '{_P2["debut"]}' AND DATE '{_P2["fin"]}'
+    GROUP BY o_custkey
+)
+SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+       CAST(p.rev_dec AS DOUBLE) AS returned_revenue,
+       CAST(p.n_items AS BIGINT) AS n_items
+FROM per_cust p JOIN customer c ON p.o_custkey = c.c_custkey
+ORDER BY returned_revenue DESC, c.c_custkey ASC
+LIMIT {star.RETURNED_TOPN}
+"""
+
+_CUMUSERS_SQL = """
+WITH first_seen AS (
+    SELECT user_id, MIN(ts::DATE) AS d0 FROM events GROUP BY user_id
+),
+per_day AS (
+    SELECT d0, COUNT(*) AS new_users FROM first_seen GROUP BY d0
+)
+SELECT strftime(d0, '%Y-%m-%d') AS day,
+       CAST(new_users AS BIGINT) AS new_users,
+       CAST(SUM(new_users) OVER (
+           ORDER BY d0 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS users_to_date
+FROM per_day
+ORDER BY day
+"""
+
 # median/MAD robust outliers (rounded robust-z thresholded identically)
 _ROBUST_SQL = f"""
 WITH med AS (
@@ -2856,6 +2904,24 @@ def build():
             star.q_lineitem_corr_matrix,
             _CORRMAT_SQL,
             ("stats", "olap"),
+        ),
+        (
+            "forecast-revenue-change",
+            star.q_forecast_revenue_change,
+            _Q6_ORACLE_SQL,
+            ("olap",),
+        ),
+        (
+            "top-returned-customers",
+            star.q_top_returned_customers,
+            _Q10_SQL,
+            ("olap", "join"),
+        ),
+        (
+            "users-cumulative",
+            events_windows.q_users_cumulative,
+            _CUMUSERS_SQL,
+            ("windows", "analytics"),
         ),
     ]
     return {

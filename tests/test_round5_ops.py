@@ -560,3 +560,48 @@ def test_daily_percentiles_cover_all_events(spark):
     assert sum(r["n"] for r in rows) == events_table(spark, SF_SMALL).count()
     for r in rows:
         assert r["p50"] <= r["p95"]
+
+
+def test_users_cumulative_staggered_arrivals(spark, tmp_path):
+    from projet_etl_spark.operators import events_windows
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 9), 1, "view", 1.0, "{}"),
+        (2, datetime.datetime(2024, 1, 2, 9), 1, "view", 1.0, "{}"),  # not new
+        (3, datetime.datetime(2024, 1, 2, 9), 2, "view", 1.0, "{}"),
+        (4, datetime.datetime(2024, 1, 4, 9), 3, "view", 1.0, "{}"),
+        (5, datetime.datetime(2024, 1, 4, 9), 1, "view", 1.0, "{}"),  # not new
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = [(r["day"], r["new_users"], r["users_to_date"]) for r in
+           events_windows.q_users_cumulative(spark, str(tmp_path)).collect()]
+    assert out == [
+        ("2024-01-01", 1, 1),
+        ("2024-01-02", 1, 2),
+        ("2024-01-04", 1, 3),
+    ]
+
+
+def test_q6_filters_reach_the_scan(spark):
+    plan = (
+        star.q_forecast_revenue_change(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .explainString(
+            star.q_forecast_revenue_change(spark, SF_SMALL)
+            .sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+    )
+    assert "PushedFilters" in plan
+    # the quantity and discount predicates must appear among pushed filters
+    assert "l_quantity" in plan.split("PushedFilters")[1][:400]
+
+
+def test_top_returned_customers_invariants(spark):
+    rows = star.q_top_returned_customers(spark, SF_SMALL).collect()
+    assert 0 < len(rows) <= star.RETURNED_TOPN
+    revs = [r["returned_revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    assert len({r["c_custkey"] for r in rows}) == len(rows)
