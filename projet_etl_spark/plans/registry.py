@@ -110,14 +110,11 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "ann-ivf-recall",
     "dedup-lsh-recall",
     "semantic-exemplars",
-    # round-5b additions (the prefix is FULL at 50 — the 12 queries
-    # added after it this round (events-session-overlap,
-    # user-state-history, distinct-kmv, events-time-weighted-avg,
-    # events-ohlc-hourly, events-props-parse, pipeline-training-export,
-    # stores-in-both-categories, daily-trailing-range,
-    # dedup-edit-distance, revenue-share-by-nation, docs-length-drift)
-    # have never had a driver CORRECTNESS row; rotate THEM to the
-    # front in round 6)
+    # round-5b additions. The prefix is FULL at 50: every registry
+    # entry AFTER position 50 (all later round-5 additions — compare
+    # list(REGISTRY)[50:] against past CORRECTNESS artifacts) has
+    # never had a driver CORRECTNESS row; rotate THOSE to the front
+    # in round 6.
     "dedup-incremental",
     "sample-weighted-n",
     "text-unigram-logprob",
