@@ -669,3 +669,101 @@ def q_top_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("returned_revenue"), F.asc("c_custkey"))
         .limit(RETURNED_TOPN)
     )
+
+
+PROMO_TYPE = "PROMO"
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of revenue from promotional parts in the date window
+    (TPC-H Q14 shape): conditional aggregation over the
+    lineitem⋈part join — promo and total revenue in ONE pass, the
+    share derived from the two exact decimal sums with one double
+    division.
+
+    Scale shape: the date filter prunes lineitem at the scan; the
+    partkey join shuffles (or broadcasts under AQE at small SF);
+    there is no second pass for the denominator — the CASE moves the
+    split into the aggregate.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.to_date("l_shipdate").between(DEFAULTS["debut"], DEFAULTS["fin"]))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type") == PROMO_TYPE, rev).otherwise(F.lit(0).cast("decimal(18,4)"))).alias("promo_dec"),
+        F.sum(rev).alias("total_dec"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+    return agg.select(
+        F.col("promo_dec").cast("double").alias("promo_revenue"),
+        F.col("total_dec").cast("double").alias("total_revenue"),
+        F.round(
+            F.lit(100.0) * F.col("promo_dec").cast("double")
+            / F.col("total_dec").cast("double"),
+            6,
+        ).alias("promo_share"),
+        "n_items",
+    )
+
+
+# OR-blocks for the disjunctive-predicate join (TPC-H Q19 shape,
+# adapted to the fixture's columns: brand + size + quantity ranges)
+Q19_BLOCKS: list[tuple[str, int, int, float, float]] = [
+    ("Brand#1", 1, 15, 1.0, 11.0),
+    ("Brand#2", 10, 30, 10.0, 20.0),
+    ("Brand#3", 20, 50, 20.0, 30.0),
+]
+
+
+def q_disjunctive_parts_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from lineitems matching ANY of three (brand, size
+    range, quantity range) blocks (TPC-H Q19 shape) — the
+    disjunctive-predicate join: an equi-join on partkey with the OR
+    of the blocks as the residual condition.
+
+    Scale shape: the superset predicates are factored OUT of the OR
+    and pushed to both scans (part: brand IN the block brands;
+    lineitem: quantity within the union range) so the join carries
+    only plausible rows; the exact OR evaluates post-join. This is
+    the standard decomposition for OR-of-ANDs the optimizer cannot
+    push whole.
+    """
+    brands = [b for b, *_ in Q19_BLOCKS]
+    qty_lo = min(lo for *_, lo, _hi in Q19_BLOCKS)
+    qty_hi = max(hi for *_, hi in [(b[3], b[4]) for b in Q19_BLOCKS])
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity").between(qty_lo, qty_hi))
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand").isin(brands))
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    blocks = None
+    for brand, slo, shi, qlo, qhi in Q19_BLOCKS:
+        c = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(slo, shi)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+        blocks = c if blocks is None else (blocks | c)
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(blocks)
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )

@@ -2216,6 +2216,43 @@ ORDER BY returned_revenue DESC, c.c_custkey ASC
 LIMIT {star.RETURNED_TOPN}
 """
 
+_Q14_SQL = f"""
+WITH j AS (
+    SELECT p.p_type,
+           CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,4))
+               AS rev
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE CAST(l.l_shipdate AS DATE)
+          BETWEEN DATE '{_P2["debut"]}' AND DATE '{_P2["fin"]}'
+),
+m AS (
+    SELECT SUM(CASE WHEN p_type = '{star.PROMO_TYPE}' THEN rev
+                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS promo_dec,
+           SUM(rev) AS total_dec,
+           COUNT(*) AS n_items
+    FROM j
+)
+SELECT CAST(promo_dec AS DOUBLE) AS promo_revenue,
+       CAST(total_dec AS DOUBLE) AS total_revenue,
+       round(CAST(100.0 AS DOUBLE) * CAST(promo_dec AS DOUBLE)
+             / CAST(total_dec AS DOUBLE), 6) AS promo_share,
+       CAST(n_items AS BIGINT) AS n_items
+FROM m
+"""
+
+_Q19_OR = " OR ".join(
+    f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi}"
+    f" AND l.l_quantity BETWEEN {qlo} AND {qhi})"
+    for b, slo, shi, qlo, qhi in star.Q19_BLOCKS
+)
+_Q19_SQL = f"""
+SELECT CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE {_Q19_OR}
+"""
+
 _CUMUSERS_SQL = """
 WITH first_seen AS (
     SELECT user_id, MIN(ts::DATE) AS d0 FROM events GROUP BY user_id
@@ -2922,6 +2959,18 @@ def build():
             events_windows.q_users_cumulative,
             _CUMUSERS_SQL,
             ("windows", "analytics"),
+        ),
+        (
+            "promo-revenue-share",
+            star.q_promo_revenue_share,
+            _Q14_SQL,
+            ("olap", "join"),
+        ),
+        (
+            "disjunctive-parts-revenue",
+            star.q_disjunctive_parts_revenue,
+            _Q19_SQL,
+            ("olap", "join"),
         ),
     ]
     return {

@@ -605,3 +605,42 @@ def test_top_returned_customers_invariants(spark):
     revs = [r["returned_revenue"] for r in rows]
     assert revs == sorted(revs, reverse=True)
     assert len({r["c_custkey"] for r in rows}) == len(rows)
+
+
+def test_q19_superset_prefilters_change_nothing(spark):
+    """The factored-out brand/quantity pushdown predicates are pure
+    optimizations: the result must equal the unoptimized OR-join."""
+    from projet_etl_spark.operators.star import Q19_BLOCKS, q_disjunctive_parts_revenue
+    from projet_etl_spark.sources.tables import load_table
+
+    got = q_disjunctive_parts_revenue(spark, SF_SMALL).first()
+    li = load_table(spark, SF_SMALL, "lineitem")
+    part = load_table(spark, SF_SMALL, "part")
+    blocks = None
+    for brand, slo, shi, qlo, qhi in Q19_BLOCKS:
+        c = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(slo, shi)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+        blocks = c if blocks is None else (blocks | c)
+    want = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(blocks)
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+        .first()
+    )
+    assert (got["revenue"], got["n_items"]) == (want["revenue"], want["n_items"])
+
+
+def test_promo_share_is_a_percentage(spark):
+    r = star.q_promo_revenue_share(spark, SF_SMALL).first()
+    assert 0.0 < r["promo_share"] < 100.0
+    assert r["promo_revenue"] < r["total_revenue"]
