@@ -363,3 +363,82 @@ def test_event_transitions_tiebreak_on_simultaneous_events(spark, tmp_path):
         assert_matches_oracle(df, con, _TRANSITIONS_SQL, "transitions-edge")
     finally:
         con.close()
+
+
+# --- empty-input robustness -----------------------------------------
+
+_EMPTY_EVENT_QUERIES = [
+    "events-tumbling-1h",
+    "events-sliding-1h-30m",
+    "events-session",
+    "events-gap-fill",
+    "events-time-weighted-avg",
+    "events-ohlc-hourly",
+    "events-props-parse",
+    "user-state-history",
+    "users-cumulative",
+    "daily-trailing-range",
+    "daily-moving-avg",
+    "events-anomalies",
+    "events-anomalies-robust",
+    "value-percentiles",
+    "daily-value-percentiles",
+    "rolling-active-users",
+    "event-transitions",
+    "events-session-overlap",
+    "distinct-kmv",
+    "funnel-signup-click-purchase",
+    "retention-cohorts",
+]
+
+_EMPTY_DOC_QUERIES = [
+    "dedup-exact",
+    "dedup-minhash-lsh",
+    "dedup-incremental",
+    "sample-weighted-n",
+    "sample-hash-10pct",
+    "text-token-count",
+    "text-unigram-logprob",
+    "text-quality",
+    "docs-length-drift",
+    "text-chunks",
+    "bigrams-top50",
+    "pack-sequences",
+]
+
+
+def _write_empty(spark, root):
+    ev = spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    ev.coalesce(1).write.mode("overwrite").parquet(f"{root}/events.parquet")
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{root}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def empty_root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("empty_tables"))
+    _write_empty(spark, root)
+    return root
+
+
+@pytest.mark.parametrize("name", _EMPTY_EVENT_QUERIES + _EMPTY_DOC_QUERIES)
+def test_queries_survive_empty_inputs(spark, empty_root, name):
+    """An empty source table must yield an empty (or funnel-zero)
+    result, never a crash — the contract a scheduled production job
+    relies on when an upstream partition lands late.
+
+    Excluded by design: the ANN/kmeans family (their probe/seed sets
+    are part of the operator contract and an empty index is a
+    configuration error worth failing loudly on)."""
+    rows = REGISTRY[name].fn(spark, empty_root).collect()
+    if name == "funnel-signup-click-purchase":
+        # the funnel emits its stage rows with zero counts
+        assert all(r[-1] == 0 for r in rows)
+    else:
+        assert rows == []
