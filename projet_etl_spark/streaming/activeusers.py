@@ -43,3 +43,27 @@ def daily_active_users(events: DataFrame, watermark: str = "2 days") -> DataFram
         .agg(F.count(F.lit(1)).alias("dau"))
         .select(F.date_format("w.start", "yyyy-MM-dd").alias("day"), "dau")
     )
+
+
+def cumulative_new_users(events: DataFrame) -> DataFrame:
+    """Streaming twin of operators/events_windows.q_users_cumulative:
+    per-day NEW-user counts from an at-least-once feed. A user's
+    first-ever event survives `dropDuplicates(["user_id"])`; every
+    later event (and every redelivery) hits existing state and drops,
+    so counting the survivors per day counts first appearances — the
+    downstream cumulative sum is a days-sized batch step over the
+    sink.
+
+    State is keyed on user_id alone with NO watermark, deliberately:
+    "have we ever seen this user" is dimension-sized state (bound =
+    |users|, exactly the SCD2/history.py argument), and evicting it
+    would re-count returning users as new.
+    """
+    day = F.date_trunc("day", F.col("ts"))
+    return (
+        events.select("user_id", day.alias("day_ts"))
+        .dropDuplicates(["user_id"])
+        .groupBy(F.window("day_ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("new_users"))
+        .select(F.date_format("w.start", "yyyy-MM-dd").alias("day"), "new_users")
+    )

@@ -28,3 +28,30 @@ def test_stream_dau_equals_batch_despite_duplicates(spark, tmp_path):
         for r in q_rolling_active_users(spark, SF_SMALL).collect()
     )
     assert got == want
+
+
+def test_stream_new_users_equals_batch_despite_duplicates(spark, tmp_path):
+    """cumulative_new_users over a time-ordered, twice-delivered feed
+    equals q_users_cumulative's per-day new_users; the cumulative sum
+    is the documented days-sized batch step over the sink."""
+    from projet_etl_spark.operators.events_windows import q_users_cumulative
+    from projet_etl_spark.streaming.activeusers import cumulative_new_users
+    from tests.test_streaming_history import _stage_ordered_chunks
+
+    root = str(tmp_path / "newusers_stream")
+    _stage_ordered_chunks(spark, SF_SMALL, root, replay=True)
+    ev = read_events_stream(spark, root, max_files_per_trigger=1)
+    run_available_now(cumulative_new_users(ev), "t_newusers", "complete")
+    got = sorted(
+        (r.day, r.new_users)
+        for r in spark.sql("SELECT * FROM t_newusers").collect()
+    )
+    want_rows = q_users_cumulative(spark, SF_SMALL).collect()
+    want = sorted((r.day, r.new_users) for r in want_rows)
+    assert got == want
+    # the cumulative step over the sink reproduces users_to_date
+    acc, cum = 0, {}
+    for d, n in got:
+        acc += n
+        cum[d] = acc
+    assert cum == {r.day: r.users_to_date for r in want_rows}
