@@ -124,3 +124,39 @@ def run_available_now(stream_df: DataFrame, query_name: str, output_mode: str):
     )
     q.awaitTermination()
     return q
+
+
+def hourly_ohlc(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming candlestick bars: per-hour per-type open/high/low/
+    close/volume (streaming form of
+    operators/events_windows.q_events_ohlc_hourly). The batch query
+    picks open/close by row_number over (ts, event_id); the streaming
+    aggregate states the same choice as min_by/max_by over the
+    (unix_micros(ts), event_id) struct — the composite key makes the
+    tie-break deterministic where a bare min_by(value, ts) would not
+    be, and struct ordering is supported inside watermarked streaming
+    aggregations (no sort state, just a running extremum per window).
+    """
+    key = F.struct(F.unix_micros(F.col("ts")).alias("us"), F.col("event_id").alias("eid"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.round(F.sum("value"), 6).alias("volume"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "n_events",
+        )
+    )

@@ -94,3 +94,17 @@ def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
     # the watermark; with availableNow draining everything in one go,
     # all matched pairs are emitted
     assert _canon(got) == _canon(want)
+
+
+def test_stream_ohlc_equals_batch(spark, tmp_path):
+    from projet_etl_spark.operators.events_windows import q_events_ohlc_hourly
+    from projet_etl_spark.streaming.windows import hourly_ohlc
+
+    ev = read_events_stream(spark, _events_dir(tmp_path))
+    run_available_now(hourly_ohlc(ev), "t_ohlc", "complete")
+    got = spark.sql("SELECT * FROM t_ohlc").collect()
+    want = q_events_ohlc_hourly(spark, SF_SMALL).collect()
+    # schema parity modulo count type (streaming count stays long in
+    # both); values must agree bar-for-bar including tie-broken
+    # open/close
+    assert _canon([tuple(r) for r in got]) == _canon([tuple(r) for r in want])
