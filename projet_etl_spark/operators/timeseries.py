@@ -74,3 +74,34 @@ def q_score_evolution(
         )
         .orderBy("mois")
     )
+
+
+def q_orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: exact decimal monthly sums,
+    then one lag window over the months-sized series — the KPI
+    growth-rate shape. The growth divides two doubles derived from
+    associative decimal sums (first month: NULL growth, kept).
+
+    Scale shape: the fact table reduces to (month, revenue) BEFORE
+    the window; the lag runs over ~tens of rows at any fact volume.
+    """
+    from pyspark.sql import Window
+
+    from projet_etl_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.date_format(F.to_date("o_orderdate"), "yyyy-MM").alias("month"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    monthly = orders.groupBy("month").agg(
+        F.sum("p").alias("rev_dec"), F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    w = Window.orderBy("month")
+    rev = F.col("rev_dec").cast("double")
+    prev = F.lag(rev).over(w)
+    return monthly.select(
+        "month",
+        rev.alias("revenue"),
+        "n_orders",
+        F.round((rev - prev) / prev, 6).alias("mom_growth"),
+    ).orderBy("month")

@@ -38,6 +38,7 @@ from projet_etl_spark.operators import (
     simple,
     stats,
     textstats,
+    timeseries,
 )
 from projet_etl_spark.plans.oracles import PARITY_ORACLES
 
@@ -2253,6 +2254,24 @@ FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE {_Q19_OR}
 """
 
+_MOM_GROWTH_SQL = """
+WITH monthly AS (
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY 1
+)
+SELECT month,
+       CAST(rev_dec AS DOUBLE) AS revenue,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       round((CAST(rev_dec AS DOUBLE)
+              - lag(CAST(rev_dec AS DOUBLE)) OVER (ORDER BY month))
+             / lag(CAST(rev_dec AS DOUBLE)) OVER (ORDER BY month), 6)
+           AS mom_growth
+FROM monthly
+ORDER BY month
+"""
+
 _CUMUSERS_SQL = """
 WITH first_seen AS (
     SELECT user_id, MIN(ts::DATE) AS d0 FROM events GROUP BY user_id
@@ -2971,6 +2990,12 @@ def build():
             star.q_disjunctive_parts_revenue,
             _Q19_SQL,
             ("olap", "join"),
+        ),
+        (
+            "orders-monthly-growth",
+            timeseries.q_orders_monthly_growth,
+            _MOM_GROWTH_SQL,
+            ("olap", "windows"),
         ),
     ]
     return {
