@@ -127,3 +127,81 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel depth WITHIN each user session: per 15-minute-gap
+    session, the deepest ordered stage reached (signup → click after
+    it → purchase after that), aggregated to session counts per
+    depth — the global funnel asks "did the user ever convert";
+    this asks "does a single session convert", the
+    product-analytics variant.
+
+    Scale shape: the gaps-and-islands numbering and the three staged
+    minima are all windows over the SAME (user_id) — then
+    (user_id, session_no) — partitioning, so the whole pipeline is
+    one shuffle + partition-local sorts; no joins. The final
+    aggregate reduces sessions to at most four depth rows.
+    """
+    from pyspark.sql import Window
+
+    from projet_etl_spark.operators.events_windows import SESSION_GAP_MIN
+
+    ev = events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.unix_micros(F.col("ts"))
+            - F.lag(F.unix_micros(F.col("ts"))).over(by_user)
+            > SESSION_GAP_MIN * 60 * 1_000_000,
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_no",
+        F.sum("new_session")
+        .over(by_user.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    w = Window.partitionBy("user_id", "session_no")
+    t1 = numbered.withColumn(
+        "t1",
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w),
+    )
+    t2 = t1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    t3 = t2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    sessions = t3.groupBy("user_id", "session_no").agg(
+        F.max(F.col("t3").isNotNull().cast("int")).alias("s3"),
+        F.max(F.col("t2").isNotNull().cast("int")).alias("s2"),
+        F.max(F.col("t1").isNotNull().cast("int")).alias("s1"),
+    )
+    depth = (
+        F.when(F.col("s3") == 1, 3)
+        .when(F.col("s2") == 1, 2)
+        .when(F.col("s1") == 1, 1)
+        .otherwise(0)
+        .cast("long")
+    )
+    return (
+        sessions.select(depth.alias("depth"))
+        .groupBy("depth")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy("depth")
+    )

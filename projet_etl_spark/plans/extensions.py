@@ -2254,6 +2254,54 @@ FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE {_Q19_OR}
 """
 
+_SESSION_FUNNEL_GAP_US = events_windows.SESSION_GAP_MIN * 60 * 1000000
+_SESSION_FUNNEL_SQL = f"""
+WITH flagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN epoch_us(ts)
+                     - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id)
+                     > {_SESSION_FUNNEL_GAP_US}
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+),
+numbered AS (
+    SELECT *, CAST(SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_no
+    FROM flagged
+),
+t1s AS (
+    SELECT *, MIN(CASE WHEN event_type = 'signup' THEN ts END)
+                  OVER (PARTITION BY user_id, session_no) AS t1
+    FROM numbered
+),
+t2s AS (
+    SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                  OVER (PARTITION BY user_id, session_no) AS t2
+    FROM t1s
+),
+t3s AS (
+    SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                  OVER (PARTITION BY user_id, session_no) AS t3
+    FROM t2s
+),
+sessions AS (
+    SELECT user_id, session_no,
+           MAX(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS s3,
+           MAX(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS s2,
+           MAX(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS s1
+    FROM t3s GROUP BY user_id, session_no
+)
+SELECT CAST(CASE WHEN s3 = 1 THEN 3 WHEN s2 = 1 THEN 2
+                 WHEN s1 = 1 THEN 1 ELSE 0 END AS BIGINT) AS depth,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM sessions
+GROUP BY 1
+ORDER BY depth
+"""
+
 _MOM_GROWTH_SQL = """
 WITH monthly AS (
     SELECT strftime(o_orderdate, '%Y-%m') AS month,
@@ -2996,6 +3044,12 @@ def build():
             timeseries.q_orders_monthly_growth,
             _MOM_GROWTH_SQL,
             ("olap", "windows"),
+        ),
+        (
+            "session-funnel",
+            funnel.q_session_funnel,
+            _SESSION_FUNNEL_SQL,
+            ("analytics", "windows"),
         ),
     ]
     return {

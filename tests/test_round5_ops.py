@@ -644,3 +644,32 @@ def test_promo_share_is_a_percentage(spark):
     r = star.q_promo_revenue_share(spark, SF_SMALL).first()
     assert 0.0 < r["promo_share"] < 100.0
     assert r["promo_revenue"] < r["total_revenue"]
+
+
+def test_session_funnel_orders_stages_within_session(spark, tmp_path):
+    from projet_etl_spark.operators import funnel
+
+    t0 = datetime.datetime(2024, 1, 1, 9, 0)
+    m = datetime.timedelta(minutes=1)
+    rows = [
+        # user 1 session: full ordered funnel -> depth 3
+        (1, t0, 1, "signup", 1.0, "{}"),
+        (2, t0 + m, 1, "click", 1.0, "{}"),
+        (3, t0 + 2 * m, 1, "purchase", 1.0, "{}"),
+        # user 2 session: purchase BEFORE click -> depth 2 only
+        (4, t0, 2, "signup", 1.0, "{}"),
+        (5, t0 + m, 2, "purchase", 1.0, "{}"),
+        (6, t0 + 2 * m, 2, "click", 1.0, "{}"),
+        # user 3 session: no signup -> depth 0 even with click+purchase
+        (7, t0, 3, "click", 1.0, "{}"),
+        (8, t0 + m, 3, "purchase", 1.0, "{}"),
+        # user 1 second session (>15 min later): signup only -> depth 1
+        (9, t0 + datetime.timedelta(hours=2), 1, "signup", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {r["depth"]: r["n_sessions"] for r in
+           funnel.q_session_funnel(spark, str(tmp_path)).collect()}
+    assert out == {0: 1, 1: 1, 2: 1, 3: 1}
