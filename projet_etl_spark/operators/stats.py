@@ -349,3 +349,54 @@ def q_daily_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+CUSUM_K = 0.5  # slack in sigma units
+CUSUM_H = 4.0  # decision threshold in sigma units
+
+
+def q_events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection on each type's daily count
+    series: s_t = max(0, s_{t-1} + z_t - k), flagged where s_t > h —
+    the classic sequential change-point monitor for "this metric has
+    drifted upward", with z the daily count standardized by the
+    series' own mean/stddev.
+
+    The recursion is NOT window-expressible directly, but has the
+    closed form s_t = c_t - min(0, min_{j<=t} c_j) with
+    c_t = Σ(z_i - k): ONE cumulative-sum window plus ONE running-min
+    window over the (type, day) reduced series — so the sequential
+    algorithm runs as two partition-local frames over days×types
+    rows, never a driver loop. Moments are exact integer sums; z and
+    the CUSUM are rounded before thresholding so both engines flag
+    identical days.
+    """
+    ev = events(spark, sf_dir).select(
+        "event_type", F.to_date("ts").alias("d")
+    )
+    daily = ev.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("n"))
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("days"),
+        F.sum("n").cast("double").alias("sn"),
+        F.sum(F.col("n") * F.col("n")).cast("double").alias("snn"),
+    )
+    j = daily.join(F.broadcast(m), "event_type")
+    mean = F.col("sn") / F.col("days")
+    var = F.greatest(F.col("snn") / F.col("days") - mean * mean, F.lit(0.0))
+    z = (F.col("n") - mean) / F.sqrt(var)
+    w = Window.partitionBy("event_type").orderBy("d")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = F.sum(F.round(z - F.lit(CUSUM_K), 6)).over(frame)
+    running_min = F.min(c).over(frame)
+    s = F.round(c - F.least(F.lit(0.0), running_min), 6)
+    return (
+        j.filter(var > F.lit(0.0))
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("n").cast("long").alias("n"),
+            s.alias("cusum"),
+            (s > CUSUM_H).cast("long").alias("drifted"),
+        )
+        .orderBy("event_type", "day")
+    )

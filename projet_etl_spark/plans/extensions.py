@@ -2302,6 +2302,51 @@ GROUP BY 1
 ORDER BY depth
 """
 
+_CUSUM_SQL = f"""
+WITH daily AS (
+    SELECT event_type, ts::DATE AS d, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+),
+m AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS DOUBLE) AS days,
+           CAST(SUM(n) AS DOUBLE) AS sn,
+           CAST(SUM(n * n) AS DOUBLE) AS snn
+    FROM daily GROUP BY event_type
+),
+j AS (
+    SELECT d.event_type, d.d, d.n,
+           greatest(m.snn / m.days - (m.sn / m.days) * (m.sn / m.days),
+                    CAST(0.0 AS DOUBLE)) AS var,
+           (d.n - m.sn / m.days)
+               / sqrt(greatest(m.snn / m.days
+                               - (m.sn / m.days) * (m.sn / m.days),
+                               CAST(0.0 AS DOUBLE))) AS z
+    FROM daily d JOIN m USING (event_type)
+),
+c AS (
+    SELECT *, SUM(round(z - CAST({stats.CUSUM_K} AS DOUBLE), 6)) OVER (
+               PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM j WHERE var > 0
+),
+s AS (
+    SELECT *, round(cum - least(CAST(0.0 AS DOUBLE),
+               MIN(cum) OVER (PARTITION BY event_type ORDER BY d
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW)), 6) AS cusum
+    FROM c
+)
+SELECT event_type,
+       strftime(d, '%Y-%m-%d') AS day,
+       CAST(n AS BIGINT) AS n,
+       cusum,
+       CAST(CASE WHEN cusum > CAST({stats.CUSUM_H} AS DOUBLE)
+                 THEN 1 ELSE 0 END AS BIGINT) AS drifted
+FROM s
+ORDER BY 1, 2
+"""
+
 _MOM_GROWTH_SQL = """
 WITH monthly AS (
     SELECT strftime(o_orderdate, '%Y-%m') AS month,
@@ -3050,6 +3095,12 @@ def build():
             funnel.q_session_funnel,
             _SESSION_FUNNEL_SQL,
             ("analytics", "windows"),
+        ),
+        (
+            "events-cusum-drift",
+            stats.q_events_cusum_drift,
+            _CUSUM_SQL,
+            ("stats", "windows", "quality"),
         ),
     ]
     return {

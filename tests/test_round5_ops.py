@@ -673,3 +673,41 @@ def test_session_funnel_orders_stages_within_session(spark, tmp_path):
     out = {r["depth"]: r["n_sessions"] for r in
            funnel.q_session_funnel(spark, str(tmp_path)).collect()}
     assert out == {0: 1, 1: 1, 2: 1, 3: 1}
+
+
+def test_cusum_closed_form_equals_recursion_and_flags_shift(spark, tmp_path):
+    """A level shift must push the CUSUM over the threshold, and the
+    window-based closed form must equal the textbook recursion
+    s_t = max(0, s_{t-1} + z_t - k) recomputed in Python."""
+    import math
+
+    rows = []
+    eid = 0
+    # 14 days at ~10 events/day, then 7 days at 30/day (the shift)
+    for day in range(1, 22):
+        n = 10 if day <= 14 else 30
+        for i in range(n):
+            eid += 1
+            rows.append(
+                (eid, datetime.datetime(2024, 1, day, 9, 0, i), 1, "A", 1.0, "{}")
+            )
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = stats.q_events_cusum_drift(spark, str(tmp_path)).collect()
+    assert [r["day"] for r in out] == sorted(r["day"] for r in out)
+    # recursion from first principles on the same daily counts
+    counts = [r["n"] for r in out]
+    days = len(counts)
+    mean = sum(counts) / days
+    var = sum(c * c for c in counts) / days - mean * mean
+    sd = math.sqrt(var)
+    s = 0.0
+    for r, c in zip(out, counts):
+        z = (c - mean) / sd
+        s = max(0.0, s + round(z - stats.CUSUM_K, 6))
+        assert r["cusum"] == pytest.approx(round(s, 6), abs=2e-6)
+    # pre-shift days calm, post-shift drift flagged
+    assert all(r["drifted"] == 0 for r in out[:14])
+    assert any(r["drifted"] == 1 for r in out[14:])
