@@ -400,3 +400,48 @@ def q_events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+BOLLINGER_WINDOW = 7
+BOLLINGER_K = 2.0
+
+
+def q_daily_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands on each type's daily count series: trailing
+    7-day rolling mean ± 2 rolling population stddevs, with an
+    outside-band flag — the rolling-moments window mechanic
+    (moving average exists; this adds second moments per frame).
+
+    The rolling variance derives from exact integer frame sums
+    (Σn, Σn² over the ROWS frame — deterministic, no streaming
+    variance state), clamped at zero against cancellation exactly
+    like the global-moment anomaly queries; bands and the flag use
+    rounded values so both engines cut identically. Window input is
+    the (type, day) reduced series.
+    """
+    ev = events(spark, sf_dir).select("event_type", F.to_date("ts").alias("d"))
+    daily = ev.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-(BOLLINGER_WINDOW - 1), 0)
+    )
+    cnt = F.count(F.lit(1)).over(w).cast("double")
+    sn = F.sum("n").over(w).cast("double")
+    snn = F.sum(F.col("n") * F.col("n")).over(w).cast("double")
+    mean = sn / cnt
+    var = F.greatest(snn / cnt - mean * mean, F.lit(0.0))
+    upper = F.round(mean + F.lit(BOLLINGER_K) * F.sqrt(var), 6)
+    lower = F.round(mean - F.lit(BOLLINGER_K) * F.sqrt(var), 6)
+    return daily.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("long").alias("n"),
+        F.round(mean, 6).alias("ma"),
+        lower.alias("band_lo"),
+        upper.alias("band_hi"),
+        (
+            (F.col("n").cast("double") > upper)
+            | (F.col("n").cast("double") < lower)
+        ).cast("long").alias("outside"),
+    ).orderBy("event_type", "day")

@@ -2347,6 +2347,44 @@ FROM s
 ORDER BY 1, 2
 """
 
+_BOLLINGER_SQL = f"""
+WITH daily AS (
+    SELECT event_type, ts::DATE AS d, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+),
+framed AS (
+    SELECT event_type, d, n,
+           CAST(COUNT(*) OVER w AS DOUBLE) AS cnt,
+           CAST(SUM(n) OVER w AS DOUBLE) AS sn,
+           CAST(SUM(n * n) OVER w AS DOUBLE) AS snn
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN {stats.BOLLINGER_WINDOW - 1} PRECEDING
+                 AND CURRENT ROW)
+)
+SELECT event_type,
+       strftime(d, '%Y-%m-%d') AS day,
+       CAST(n AS BIGINT) AS n,
+       round(sn / cnt, 6) AS ma,
+       round(sn / cnt - CAST({stats.BOLLINGER_K} AS DOUBLE)
+             * sqrt(greatest(snn / cnt - (sn / cnt) * (sn / cnt),
+                             CAST(0.0 AS DOUBLE))), 6) AS band_lo,
+       round(sn / cnt + CAST({stats.BOLLINGER_K} AS DOUBLE)
+             * sqrt(greatest(snn / cnt - (sn / cnt) * (sn / cnt),
+                             CAST(0.0 AS DOUBLE))), 6) AS band_hi,
+       CAST(CASE WHEN CAST(n AS DOUBLE) >
+                      round(sn / cnt + CAST({stats.BOLLINGER_K} AS DOUBLE)
+                            * sqrt(greatest(snn / cnt - (sn / cnt) * (sn / cnt),
+                                            CAST(0.0 AS DOUBLE))), 6)
+                   OR CAST(n AS DOUBLE) <
+                      round(sn / cnt - CAST({stats.BOLLINGER_K} AS DOUBLE)
+                            * sqrt(greatest(snn / cnt - (sn / cnt) * (sn / cnt),
+                                            CAST(0.0 AS DOUBLE))), 6)
+                 THEN 1 ELSE 0 END AS BIGINT) AS outside
+FROM framed
+ORDER BY 1, 2
+"""
+
 _MOM_GROWTH_SQL = """
 WITH monthly AS (
     SELECT strftime(o_orderdate, '%Y-%m') AS month,
@@ -3101,6 +3139,12 @@ def build():
             stats.q_events_cusum_drift,
             _CUSUM_SQL,
             ("stats", "windows", "quality"),
+        ),
+        (
+            "daily-bollinger",
+            stats.q_daily_bollinger,
+            _BOLLINGER_SQL,
+            ("stats", "windows"),
         ),
     ]
     return {

@@ -711,3 +711,28 @@ def test_cusum_closed_form_equals_recursion_and_flags_shift(spark, tmp_path):
     # pre-shift days calm, post-shift drift flagged
     assert all(r["drifted"] == 0 for r in out[:14])
     assert any(r["drifted"] == 1 for r in out[14:])
+
+
+def test_bollinger_bands_bound_the_mean_and_flag_spikes(spark, tmp_path):
+    rows = []
+    eid = 0
+    # 13 calm days at 10/day, one spike day at 40
+    for day in range(1, 15):
+        n = 40 if day == 14 else 10
+        for i in range(n):
+            eid += 1
+            rows.append(
+                (eid, datetime.datetime(2024, 1, day, 9, 0, i), 1, "A", 1.0, "{}")
+            )
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {r["day"]: r for r in stats.q_daily_bollinger(spark, str(tmp_path)).collect()}
+    for r in out.values():
+        assert r["band_lo"] <= r["ma"] <= r["band_hi"]
+    # calm days inside the band (zero variance start: band collapses
+    # to the mean and n == ma)
+    assert all(out[f"2024-01-{d:02d}"]["outside"] == 0 for d in range(1, 14))
+    # the spike bursts through its trailing band
+    assert out["2024-01-14"]["outside"] == 1
