@@ -445,3 +445,62 @@ def q_daily_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("n").cast("double") < lower)
         ).cast("long").alias("outside"),
     ).orderBy("event_type", "day")
+
+
+EWMA_ALPHA = 0.3
+EWMA_WINDOW = 14  # finite-horizon EWMA: weights below (1-α)^13 ≈ 1% truncated
+
+
+def q_daily_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finite-window exponentially weighted moving average of each
+    type's daily counts: weights (1-α)^j for lag j over the trailing
+    EWMA_WINDOW days, normalized — the smoothing recursion in its
+    bounded-memory form (the infinite recursion's closed form needs
+    (1-α)^(-i) powers that overflow on an unbounded series; the
+    finite horizon truncates weights already below 1%, stated as the
+    operator's definition rather than a silent approximation).
+
+    Mechanics worth the registry slot: collect_list over an ordered
+    ROWS frame yields the frame's values IN FRAME ORDER in both
+    engines, and the weighted fold over that bounded array is a
+    deterministic fixed-order sum — a window × higher-order-function
+    composition with no UDF. Window input is the (type, day) reduced
+    series; each row carries at most EWMA_WINDOW values.
+    """
+    ev = events(spark, sf_dir).select("event_type", F.to_date("ts").alias("d"))
+    daily = ev.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-(EWMA_WINDOW - 1), 0)
+    )
+    staged = daily.withColumn(
+        "vals", F.collect_list(F.col("n").cast("double")).over(w)
+    )
+    decay = F.lit(1.0 - EWMA_ALPHA)
+    vals = F.col("vals")
+    sz = F.size(vals).cast("double")
+    # frame order is oldest -> current; weight (1-α)^(len-idx)
+    weighted = F.aggregate(
+        F.zip_with(
+            vals,
+            F.sequence(F.lit(1), F.size(vals)),
+            lambda x, i: x * F.pow(decay, sz - i.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    norm = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.size(vals)),
+            lambda i: F.pow(decay, sz - i.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    return staged.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("long").alias("n"),
+        F.round(weighted / norm, 6).alias("ewma"),
+    ).orderBy("event_type", "day")

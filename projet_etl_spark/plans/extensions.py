@@ -2385,6 +2385,40 @@ FROM framed
 ORDER BY 1, 2
 """
 
+_EWMA_DECAY = 1.0 - stats.EWMA_ALPHA
+_EWMA_SQL = f"""
+WITH daily AS (
+    SELECT event_type, ts::DATE AS d, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+),
+framed AS (
+    SELECT event_type, d, n,
+           list(CAST(n AS DOUBLE)) OVER (
+               PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN {stats.EWMA_WINDOW - 1} PRECEDING
+               AND CURRENT ROW) AS vals
+    FROM daily
+)
+SELECT event_type,
+       strftime(d, '%Y-%m-%d') AS day,
+       CAST(n AS BIGINT) AS n,
+       round(
+           list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(range(1, len(vals) + 1),
+                       i -> vals[i] * pow(CAST({_EWMA_DECAY} AS DOUBLE),
+                                          CAST(len(vals) AS DOUBLE) - i))),
+               (a, b) -> a + b)
+           / list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(range(1, len(vals) + 1),
+                       i -> pow(CAST({_EWMA_DECAY} AS DOUBLE),
+                                CAST(len(vals) AS DOUBLE) - i))),
+               (a, b) -> a + b), 6) AS ewma
+FROM framed
+ORDER BY 1, 2
+"""
+
 _MOM_GROWTH_SQL = """
 WITH monthly AS (
     SELECT strftime(o_orderdate, '%Y-%m') AS month,
@@ -3144,6 +3178,12 @@ def build():
             "daily-bollinger",
             stats.q_daily_bollinger,
             _BOLLINGER_SQL,
+            ("stats", "windows"),
+        ),
+        (
+            "daily-ewma",
+            stats.q_daily_ewma,
+            _EWMA_SQL,
             ("stats", "windows"),
         ),
     ]

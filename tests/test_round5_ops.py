@@ -736,3 +736,34 @@ def test_bollinger_bands_bound_the_mean_and_flag_spikes(spark, tmp_path):
     assert all(out[f"2024-01-{d:02d}"]["outside"] == 0 for d in range(1, 14))
     # the spike bursts through its trailing band
     assert out["2024-01-14"]["outside"] == 1
+
+
+def test_ewma_matches_direct_weighting(spark, tmp_path):
+    """The frame-list fold must equal the finite-window EWMA computed
+    directly in Python, and react faster than the plain MA after a
+    level shift."""
+    rows = []
+    eid = 0
+    counts = [10] * 10 + [30] * 5
+    for day, n in enumerate(counts, start=1):
+        for i in range(n):
+            eid += 1
+            rows.append(
+                (eid, datetime.datetime(2024, 1, day, 9, 0, i), 1, "A", 1.0, "{}")
+            )
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = stats.q_daily_ewma(spark, str(tmp_path)).collect()
+    decay = 1.0 - stats.EWMA_ALPHA
+    for t, r in enumerate(out):
+        frame = counts[max(0, t - stats.EWMA_WINDOW + 1) : t + 1]
+        wts = [decay ** (len(frame) - j) for j in range(1, len(frame) + 1)]
+        want = sum(x * w for x, w in zip(frame, wts)) / sum(wts)
+        assert r["ewma"] == pytest.approx(want, abs=1e-5), r["day"]
+    # day 11 (first shifted day): EWMA has moved further toward 30
+    # than the uniform 7-day MA would
+    ewma_11 = out[10]["ewma"]
+    ma_11 = sum(counts[4:11]) / 7
+    assert ewma_11 > ma_11
