@@ -767,3 +767,101 @@ def q_disjunctive_parts_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_items"),
         )
     )
+
+
+def q_orders_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal revenue profile: average monthly revenue per
+    month-of-year, and each calendar month's deviation from its
+    seasonal mean — the seasonality-decomposition lite every revenue
+    dashboard carries (is December big because Decembers are big?).
+
+    Scale shape: orders reduce to (year, month) exact decimal sums;
+    the 12-row seasonal profile is a second tiny aggregate joined
+    back broadcast; deviations are per-row arithmetic on the
+    months-sized series.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.date_format(F.to_date("o_orderdate"), "yyyy-MM").alias("ym"),
+        F.month(F.to_date("o_orderdate")).alias("moy"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    monthly = orders.groupBy("ym", "moy").agg(F.sum("p").alias("rev_dec"))
+    profile = monthly.groupBy("moy").agg(
+        (
+            F.sum("rev_dec").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("seasonal_mean"),
+        F.count(F.lit(1)).cast("long").alias("n_years"),
+    )
+    j = monthly.join(F.broadcast(profile), "moy")
+    rev = F.col("rev_dec").cast("double")
+    return j.select(
+        "ym",
+        F.col("moy").cast("long").alias("moy"),
+        rev.alias("revenue"),
+        F.round("seasonal_mean", 6).alias("seasonal_mean"),
+        "n_years",
+        F.round(rev - F.col("seasonal_mean"), 6).alias("seasonal_dev"),
+    ).orderBy("ym")
+
+
+PARETO_TARGET = 0.8
+
+
+def q_parts_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (80/20) audit of part revenue concentration: how many
+    parts carry PARETO_TARGET of total revenue — one row with the
+    count, its share of the catalog, and the top part's share.
+
+    Scale shape: lineitem reduces to per-part exact decimal revenue;
+    the cumulative window runs over the parts-sized reduced series
+    (partition-less by definition of a global ranking — acceptable at
+    catalog grain, stated; at extreme catalogs use the decile-
+    boundary pattern of customer-spend-deciles instead); the grand
+    total rides the same 1-row broadcast as every percent-of-total.
+    """
+    from pyspark.sql import Window
+
+    per_part = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey",
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            ).alias("rev"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("rev").alias("rev_dec"))
+    )
+    total = per_part.agg(
+        F.sum("rev_dec").alias("total_dec"),
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+    )
+    w = Window.orderBy(F.desc("rev_dec"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        per_part.withColumn("cum_dec", F.sum("rev_dec").over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "l_partkey",
+            (F.col("cum_dec").cast("double") / F.col("total_dec").cast("double")).alias(
+                "cum_share"
+            ),
+            (F.col("rev_dec").cast("double") / F.col("total_dec").cast("double")).alias(
+                "share"
+            ),
+            "n_parts",
+        )
+    )
+    return cum.agg(
+        F.sum((F.col("cum_share") < PARETO_TARGET).cast("long")).alias("_below") ,
+        F.max("n_parts").alias("n_parts"),
+        F.round(F.max("share"), 6).alias("top_part_share"),
+    ).select(
+        (F.col("_below") + 1).cast("long").alias("n_parts_for_target"),
+        "n_parts",
+        F.round(
+            (F.col("_below") + 1).cast("double") / F.col("n_parts").cast("double"), 6
+        ).alias("catalog_fraction"),
+        "top_part_share",
+    )

@@ -630,3 +630,52 @@ def q_docs_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def q_token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token distribution: least-squares
+    slope of log(freq) against log(rank) over the full vocabulary,
+    with the fit's R² — the corpus-linguistics sanity audit (natural
+    text sits near slope ≈ -1; synthetic or templated corpora
+    deviate hard, so this is a cheap generated-text detector).
+
+    Scale shape: one token hash aggregate reduces the corpus to
+    vocabulary grain; the rank window and the closed-form regression
+    (five sums + one combination) run over vocab-sized input. Ranks
+    tie-break on the token, so the log-log point set is identical
+    across engines; the regression sums are doubles whose partial
+    order may differ, hence ROUND(6) after the final combination
+    (the tfidf/logprob float discipline).
+    """
+    from pyspark.sql import Window
+
+    terms = load_table(spark, sf_dir, "documents").select(
+        F.explode(tokens(F.col("text"))).alias("token")
+    )
+    freq = terms.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    w = Window.orderBy(F.desc("tf"), F.asc("token"))
+    pts = freq.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("tf").cast("double")).alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    r_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    r_den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        F.col("n").cast("long").alias("vocab_size"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((r_num / r_den) * (r_num / r_den), 6).alias("r2"),
+    )

@@ -2419,6 +2419,88 @@ FROM framed
 ORDER BY 1, 2
 """
 
+_ZIPF_SQL = f"""
+WITH freq AS (
+    SELECT token, COUNT(*) AS tf
+    FROM (SELECT unnest({_TOK}) AS token FROM documents)
+    GROUP BY token
+),
+pts AS (
+    SELECT ln(CAST(row_number() OVER (ORDER BY tf DESC, token) AS DOUBLE)) AS x,
+           ln(CAST(tf AS DOUBLE)) AS y
+    FROM freq
+),
+m AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           SUM(x) AS sx, SUM(y) AS sy,
+           SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+    FROM pts
+),
+r AS (
+    SELECT n,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (n * sxy - sx * sy)
+               / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr
+    FROM m
+)
+SELECT CAST(n AS BIGINT) AS vocab_size,
+       round(slope, 6) AS zipf_slope,
+       round(corr * corr, 6) AS r2
+FROM r
+"""
+
+_SEASONAL_SQL = """
+WITH monthly AS (
+    SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+           month(o_orderdate) AS moy,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+    FROM orders GROUP BY 1, 2
+),
+profile AS (
+    SELECT moy,
+           CAST(SUM(rev_dec) AS DOUBLE) / COUNT(*) AS seasonal_mean,
+           COUNT(*) AS n_years
+    FROM monthly GROUP BY moy
+)
+SELECT m.ym,
+       CAST(m.moy AS BIGINT) AS moy,
+       CAST(m.rev_dec AS DOUBLE) AS revenue,
+       round(p.seasonal_mean, 6) AS seasonal_mean,
+       CAST(p.n_years AS BIGINT) AS n_years,
+       round(CAST(m.rev_dec AS DOUBLE) - p.seasonal_mean, 6) AS seasonal_dev
+FROM monthly m JOIN profile p USING (moy)
+ORDER BY m.ym
+"""
+
+_PARETO_SQL = f"""
+WITH per_part AS (
+    SELECT l_partkey,
+           SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+               AS rev_dec
+    FROM lineitem GROUP BY l_partkey
+),
+total AS (
+    SELECT SUM(rev_dec) AS total_dec, COUNT(*) AS n_parts FROM per_part
+),
+cum AS (
+    SELECT CAST(SUM(rev_dec) OVER (
+               ORDER BY rev_dec DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / CAST(t.total_dec AS DOUBLE) AS cum_share,
+           CAST(rev_dec AS DOUBLE) / CAST(t.total_dec AS DOUBLE) AS share,
+           t.n_parts
+    FROM per_part, total t
+)
+SELECT CAST(SUM(CASE WHEN cum_share < {star.PARETO_TARGET} THEN 1 ELSE 0 END)
+            + 1 AS BIGINT) AS n_parts_for_target,
+       CAST(MAX(n_parts) AS BIGINT) AS n_parts,
+       round(CAST(SUM(CASE WHEN cum_share < {star.PARETO_TARGET}
+                           THEN 1 ELSE 0 END) + 1 AS DOUBLE)
+             / CAST(MAX(n_parts) AS DOUBLE), 6) AS catalog_fraction,
+       round(MAX(share), 6) AS top_part_share
+FROM cum
+"""
+
 _MOM_GROWTH_SQL = """
 WITH monthly AS (
     SELECT strftime(o_orderdate, '%Y-%m') AS month,
@@ -3185,6 +3267,24 @@ def build():
             stats.q_daily_ewma,
             _EWMA_SQL,
             ("stats", "windows"),
+        ),
+        (
+            "token-zipf-fit",
+            textstats.q_token_zipf_fit,
+            _ZIPF_SQL,
+            ("text", "stats", "quality"),
+        ),
+        (
+            "orders-seasonal-profile",
+            star.q_orders_seasonal_profile,
+            _SEASONAL_SQL,
+            ("olap", "windows"),
+        ),
+        (
+            "parts-pareto",
+            star.q_parts_pareto,
+            _PARETO_SQL,
+            ("olap", "stats"),
         ),
     ]
     return {

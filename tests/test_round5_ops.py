@@ -767,3 +767,60 @@ def test_ewma_matches_direct_weighting(spark, tmp_path):
     ewma_11 = out[10]["ewma"]
     ma_11 = sum(counts[4:11]) / 7
     assert ewma_11 > ma_11
+
+
+def test_zipf_fit_matches_numpy_polyfit(spark):
+    import numpy as np
+
+    r = textstats.q_token_zipf_fit(spark, SF_SMALL).first()
+    terms = (
+        dedup.load_table(spark, SF_SMALL, "documents")
+        .select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("t"))
+        .groupBy("t")
+        .count()
+        .collect()
+    )
+    freqs = sorted((row["count"] for row in terms), reverse=True)
+    x = np.log(np.arange(1, len(freqs) + 1, dtype=float))
+    y = np.log(np.array(freqs, dtype=float))
+    slope = np.polyfit(x, y, 1)[0]
+    assert r["vocab_size"] == len(freqs)
+    assert r["zipf_slope"] == pytest.approx(slope, abs=1e-4)
+    assert r["zipf_slope"] < 0
+    assert 0.0 <= r["r2"] <= 1.0
+
+
+def test_seasonal_deviations_cancel_per_month_of_year(spark):
+    rows = star.q_orders_seasonal_profile(spark, SF_SMALL).collect()
+    by_moy = {}
+    for r in rows:
+        by_moy.setdefault(r["moy"], []).append(r["seasonal_dev"])
+    for moy, devs in by_moy.items():
+        assert sum(devs) == pytest.approx(0.0, abs=1e-3), moy
+
+
+def test_pareto_matches_bruteforce(spark):
+    got = star.q_parts_pareto(spark, SF_SMALL).first()
+    per_part = (
+        dedup.load_table(spark, SF_SMALL, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("rev")
+        )
+        .collect()
+    )
+    revs = sorted((float(r["rev"]) for r in per_part), reverse=True)
+    total = sum(revs)
+    acc, k = 0.0, 0
+    for v in revs:
+        k += 1
+        acc += v
+        if acc / total >= star.PARETO_TARGET:
+            break
+    assert got["n_parts"] == len(revs)
+    assert got["n_parts_for_target"] == k
+    assert got["top_part_share"] == pytest.approx(revs[0] / total, abs=1e-5)
