@@ -49,6 +49,8 @@ BNLJ_ALLOWED = {
     "revenue-share-by-nation",
     # 1-row broadcast of the corpus size (PSI smoothing denominators)
     "docs-length-drift",
+    # 1-row broadcast of the revenue grand total (percent-of-total)
+    "parts-pareto",
 }
 
 
