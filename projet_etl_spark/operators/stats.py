@@ -375,6 +375,14 @@ def q_events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.to_date("ts").alias("d")
     )
     daily = ev.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("n"))
+    return cusum_over_daily(daily)
+
+
+def cusum_over_daily(daily: DataFrame) -> DataFrame:
+    """CUSUM core over any (event_type, d: date, n) daily-count frame
+    — shared by the raw-events query and the incremental-store path
+    (streaming/dailycounts.py), so the detector cannot drift from its
+    maintained input."""
     m = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("double").alias("days"),
         F.sum("n").cast("double").alias("sn"),
