@@ -389,6 +389,10 @@ _EMPTY_EVENT_QUERIES = [
     "distinct-kmv",
     "funnel-signup-click-purchase",
     "retention-cohorts",
+    "session-funnel",
+    "events-cusum-drift",
+    "daily-bollinger",
+    "daily-ewma",
 ]
 
 _EMPTY_DOC_QUERIES = [
