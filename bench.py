@@ -118,17 +118,22 @@ def main() -> None:
     timings = {n: round(min(ts), 4) for n, ts in samples.items()}
     spread = {n: round(max(ts) - min(ts), 4) for n, ts in samples.items()}
     total = round(sum(timings[n] for n in headline), 4)
+    # the driver archives only the LAST 2000 chars of this line, so
+    # the big per-query maps go FIRST and the headline scalars LAST —
+    # that way the archived tail is always self-contained
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "spread": spread,
+                "n_queries": len(names),
+                "n_headline": len(headline),
                 "reps": reps,
-                "tier2_total": round(sum(timings[n] for n in tier2), 4),
                 "sf": sf,
+                "tier2_total": round(sum(timings[n] for n in tier2), 4),
+                "value": total,
             }
         )
     )

@@ -24,7 +24,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from projet_etl_spark.params import DEFAULTS
@@ -489,19 +489,26 @@ def q_customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The distributed-ntile pattern: a global NTILE window would funnel
     every customer through ONE partition's sort — instead the nine
-    decile boundaries are computed as one order-statistics aggregate,
-    broadcast (9 values), and each customer's decile is the count of
-    boundaries strictly below its spend. Boundaries are rounded to
-    4 decimals before comparing so the bucket edges are identical
-    across engines (spends are exact 2-dp decimals; interpolated
-    midpoints are exact at 4 dp).
+    decile boundaries are computed once, broadcast (9 values), and
+    each customer's decile is the count of boundaries strictly below
+    its spend. Boundaries are DISCRETE order statistics: boundary i
+    is the actual 2-dp DECIMAL spend at rank ceil(i*n/10) — the
+    smallest spend whose cumulative customer count reaches that rank.
+    All boundary arithmetic is integer (ranks) and exact decimal
+    (spends), so the bucket edges are bit-identical across engines;
+    an earlier float-interpolated `percentile` version could land a
+    boundary within 1 ulp of a real spend and flip a customer
+    between adjacent deciles depending on engine rounding.
 
     Scale shape: spend-per-customer is one map-side-combined DECIMAL
     aggregate (decimal addition is associative — bit-identical at any
-    parallelism); the percentile aggregate is the only
-    order-statistics step and returns a model-sized row; bucket
-    assignment is a per-row expression against the broadcast
-    boundaries; the final rollup groups nine rows.
+    parallelism); the cumulative rank runs over the DISTINCT-spend
+    grain (<= customer grain) and is the only order-statistics step,
+    reduced immediately to a 9-value row; bucket assignment is a
+    per-row expression against the broadcast boundaries; the final
+    rollup groups nine rows. At extreme customer cardinality swap
+    the boundary step for `approx_percentile` (docs/SCALE.md) — the
+    tolerance twin is pinned in tests/test_round6_ops.py.
     """
     spend = (
         load_table(spark, sf_dir, "orders")
@@ -510,18 +517,37 @@ def q_customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
         )
         .groupBy("o_custkey")
-        .agg(F.sum("p").alias("spend"))
-        .select("o_custkey", F.col("spend").cast("double").alias("spend_d"), "spend")
+        .agg(F.sum("p").cast("decimal(18,2)").alias("spend"))
+        .select("o_custkey", "spend")
     )
-    qs = ", ".join(str(q) for q in _DECILE_QS)
-    bounds = spend.agg(
-        F.expr(f"transform(percentile(spend_d, array({qs})), b -> round(b, 4))").alias(
-            "bs"
+    dist = spend.groupBy("spend").agg(F.count(F.lit(1)).alias("c"))
+    cum = dist.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.orderBy("spend").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    ntot = spend.agg(F.count(F.lit(1)).alias("n"))
+    bounds = (
+        cum.crossJoin(F.broadcast(ntot))
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.expr(f"({i} * n + 9) DIV 10"),
+                        F.col("spend"),
+                    )
+                ).alias(f"b{i}")
+                for i in range(1, 10)
+            ]
         )
+        .select(F.array(*[f"b{i}" for i in range(1, 10)]).alias("bs"))
     )
     bucketed = spend.crossJoin(F.broadcast(bounds)).select(
         "spend",
-        F.size(F.filter("bs", lambda b: F.col("spend_d") > b))
+        F.size(F.filter("bs", lambda b: F.col("spend") > b))
         .cast("long")
         .alias("decile"),
     )

@@ -2000,24 +2000,34 @@ ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
 LIMIT {star.LARGE_ORDER_TOPN}
 """
 
-_DECILE_LIST = ", ".join(str(q) for q in star._DECILE_QS)
+_DECILE_BOUNDS = ",\n        ".join(
+    f"MIN(CASE WHEN cum >= ({i} * n + 9) // 10 THEN spend END)" for i in range(1, 10)
+)
 _DECILES_SQL = f"""
 WITH spend AS (
-    SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+    SELECT o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS spend
     FROM orders GROUP BY o_custkey
 ),
-spend2 AS (
-    SELECT o_custkey, spend, CAST(spend AS DOUBLE) AS spend_d FROM spend
+dist AS (
+    SELECT spend, COUNT(*) AS c FROM spend GROUP BY spend
+),
+cum AS (
+    SELECT spend, SUM(c) OVER (ORDER BY spend) AS cum FROM dist
+),
+n AS (
+    SELECT COUNT(*) AS n FROM spend
 ),
 bounds AS (
-    SELECT list_transform(quantile_cont(spend_d, [{_DECILE_LIST}]),
-                          b -> round(b, 4)) AS bs
-    FROM spend2
+    SELECT [
+        {_DECILE_BOUNDS}
+    ] AS bs
+    FROM cum CROSS JOIN n
 ),
 bucketed AS (
     SELECT spend,
-           CAST(len(list_filter(bs, b -> spend_d > b)) AS BIGINT) AS decile
-    FROM spend2 CROSS JOIN bounds
+           CAST(len(list_filter(bs, b -> spend > b)) AS BIGINT) AS decile
+    FROM spend CROSS JOIN bounds
 )
 SELECT decile,
        CAST(COUNT(*) AS BIGINT) AS n_customers,

@@ -59,69 +59,57 @@ _PARITY_FNS: dict[str, Callable] = {
 # entries of ``queries()``, keyed by name.  Rotating the dict order
 # therefore costs nothing (every green row from a past round stays
 # keyed by its name) but decides WHICH queries get a hard
-# value-match row this round.  The prefix below lists every query
-# that has never appeared in a driver artifact (rounds 1-4 always
-# recorded the same first-50 prefix) plus all round-5 additions, so
-# each finally gets an oracle-checked row; long-green parity queries
-# rotate to the back of the line.
+# value-match row this round.  Round-6 rotation: the 28 registry
+# entries that have never appeared in ANY driver artifact (r1-r5
+# covered the other 99 of 127), then customer-spend-deciles (red in
+# r5 under a float-percentile knife-edge, since rewritten to exact
+# discrete order statistics — needs a re-green row), then the
+# round-6 additions.  With that, every registry query has at least
+# one hard driver value-match row.
 _DRIVER_PREFIX: tuple[str, ...] = (
-    # round-3/4 additions that never got a CORRECTNESS row
-    "sample-hash-10pct",
-    "vocab-top100",
-    "value-percentiles",
-    "events-pivot-daily",
-    "bigrams-top50",
-    "daily-moving-avg",
-    "events-anomalies",
-    "revenue-by-nation",
-    "tfidf-top-terms",
-    "embed-score-pandas",
-    "embed-score-jvm",
-    "funnel-signup-click-purchase",
-    "retention-cohorts",
-    "resample-by-lang",
-    "sales-rollup",
-    "sales-cube",
-    "pricing-summary",
-    "top-unshipped-orders",
-    "corr-qty-price",
-    "stores-without-category",
-    "top3-stores-per-category",
-    "late-shipment-priority",
-    "customer-order-distribution",
-    "orders-above-customer-avg",
-    "supplier-brand-coverage",
-    "dedup-cross-doc-ngrams",
-    "text-token-entropy",
-    "rolling-active-users",
-    # round-5 additions
-    "kmeans-clusters",
-    "dedup-longest-span",
-    "text-quality-model",
-    "text-quality-model-jvm",
-    "token-freq-cms",
-    "decontaminate-bloom",
-    "corpus-quality-budget",
-    "semantic-clusters",
-    "event-transitions",
-    "events-type-counts-salted",
-    "sample-stratified-n",
-    "pipeline-clean-corpus",
-    "ann-ivf-recall",
-    "dedup-lsh-recall",
-    "semantic-exemplars",
-    # round-5b additions. The prefix is FULL at 50: every registry
-    # entry AFTER position 50 (all later round-5 additions — compare
-    # list(REGISTRY)[50:] against past CORRECTNESS artifacts) has
-    # never had a driver CORRECTNESS row; rotate THOSE to the front
-    # in round 6.
-    "dedup-incremental",
-    "sample-weighted-n",
-    "text-unigram-logprob",
-    "events-gap-fill",
-    "top-large-orders",
+    # never driver-checked before round 6 (registry positions >50
+    # in rounds 1-5)
+    "events-session-overlap",
+    "user-state-history",
+    "distinct-kmv",
+    "events-time-weighted-avg",
+    "events-ohlc-hourly",
+    "events-props-parse",
+    "pipeline-training-export",
+    "stores-in-both-categories",
+    "daily-trailing-range",
+    "dedup-edit-distance",
+    "revenue-share-by-nation",
+    "docs-length-drift",
+    "events-anomalies-robust",
+    "daily-value-percentiles",
+    "lineitem-corr-matrix",
+    "forecast-revenue-change",
+    "top-returned-customers",
+    "users-cumulative",
+    "promo-revenue-share",
+    "disjunctive-parts-revenue",
+    "orders-monthly-growth",
+    "session-funnel",
+    "events-cusum-drift",
+    "daily-bollinger",
+    "daily-ewma",
+    "token-zipf-fit",
+    "orders-seasonal-profile",
+    "parts-pareto",
+    # red in r5 (ulp knife-edge, fixed): re-green
     "customer-spend-deciles",
-    "sales-grouping-sets",
+    # round-6 additions (new queries land here so their first round
+    # in the registry is also their first hard CORRECTNESS row;
+    # unknown names are skipped by _rotate until the query lands)
+    "daily-counts-store",
+    "events-heavy-hitters",
+    "docs-minhash-containment",
+    "orders-yoy-window",
+    "orders-customer-salted-join",
+    "events-secondly-sessionize",
+    "docs-quantile-bins",
+    "orders-runlength-islands",
 )
 
 
