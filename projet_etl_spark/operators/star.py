@@ -563,6 +563,58 @@ def q_customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# accuracy knob for the approx twin: 1/accuracy relative rank error
+DECILE_APPROX_ACCURACY = 10_000
+
+
+def q_customer_spend_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based twin of q_customer_spend_deciles for extreme
+    customer cardinality: boundaries come from `approx_percentile`
+    (KLL/GK-style mergeable sketch — map-side partials, NO
+    single-partition order-statistics step at all), everything else
+    is the same broadcast-boundary bucket assignment.
+
+    Library helper, not a registry entry: the sketch's boundaries are
+    rank-approximate so no SQL oracle can hash-match it; its contract
+    (10 buckets, conserved customer count and spend total, per-bucket
+    counts within the sketch's rank-error envelope) is pinned by
+    tests/test_round6_ops.py instead — same discipline as the HLL
+    distinct-count helpers.
+    """
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("p").cast("decimal(18,2)").alias("spend"))
+        .select("o_custkey", "spend", F.col("spend").cast("double").alias("spend_d"))
+    )
+    qs = ", ".join(str(q) for q in _DECILE_QS)
+    bounds = spend.agg(
+        F.expr(
+            f"approx_percentile(spend_d, array({qs}), {DECILE_APPROX_ACCURACY})"
+        ).alias("bs")
+    )
+    bucketed = spend.crossJoin(F.broadcast(bounds)).select(
+        "spend",
+        F.size(F.filter("bs", lambda b: F.col("spend_d") > b))
+        .cast("long")
+        .alias("decile"),
+    )
+    return (
+        bucketed.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.min("spend").alias("min_spend"),
+            F.max("spend").alias("max_spend"),
+            F.sum("spend").cast("decimal(18,2)").alias("total_spend"),
+        )
+        .orderBy("decile")
+    )
+
+
 _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 

@@ -2782,6 +2782,17 @@ def _attribution_batch(spark, sf_dir):
     return q_click_purchase_attribution_batch(spark, sf_dir)
 
 
+from projet_etl_spark.streaming import storequery  # noqa: E402
+
+# The store is maintained incrementally by the streaming path; its
+# folded contents must equal a plain GROUP BY over the raw events —
+# that equality IS the store→rescan parity the oracle checks.
+_DAILY_STORE_SQL = """
+SELECT event_type, ts::DATE AS d, CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def build():
     """Registry entries for the extension surface; imported by
     plans.registry at module init."""
@@ -3295,6 +3306,12 @@ def build():
             star.q_parts_pareto,
             _PARETO_SQL,
             ("olap", "stats"),
+        ),
+        (
+            "daily-counts-store",
+            storequery.q_daily_counts_store,
+            _DAILY_STORE_SQL,
+            ("streaming", "stats"),
         ),
     ]
     return {

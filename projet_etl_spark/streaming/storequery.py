@@ -1,0 +1,124 @@
+"""Batch queries over streaming-maintained stores — the driver-visible
+face of the streaming surface.
+
+Every other streaming module is pinned by batch-parity pytest only
+(a SQL oracle can't watch a stream run). This module closes that gap
+for the daily-count store: the registry query ``daily-counts-store``
+REBUILDS the store through the real Structured Streaming path
+(file-source chunks → availableNow micro-batches → idempotent
+per-batch partition writes, streaming/dailycounts.py), then reads the
+folded store back as a plain batch DataFrame — which a DuckDB oracle
+CAN check, because the folded store must equal the batch daily counts
+over the same events exactly (partial counts are additive).
+
+So a green CORRECTNESS row for ``daily-counts-store`` is hard
+evidence the incremental path computes the same answer as a rescan —
+store→query parity, checked by the external driver, not just pytest.
+
+Scale design (100 TB): the stream touches each event once and lands
+a days×types-sized partial per micro-batch; the store stays bounded
+by the key grain, and the batch read folds |batches|×grain rows —
+never the event history. Store build is REFRESH cost: it runs once
+per source fingerprint (size+mtime marker) and is reused until the
+source changes, so the measured query cost is the fold+read, same
+accounting as the materialized monthly rollup.
+
+Reference: the reference app has no streaming or incremental
+maintenance (SURVEY.md §2.11 — none); this is a beyond-reference
+training-pipeline capability.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projet_etl_spark.streaming.dailycounts import (
+    read_daily_counts,
+    stream_daily_counts,
+)
+from projet_etl_spark.streaming.windows import read_events_stream
+
+# streaming stores live beside the Spark warehouse dir (gitignored,
+# inside the repo sandbox)
+STORE_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "spark-warehouse",
+    "stores",
+    "daily_counts",
+)
+N_CHUNKS = 4
+
+
+def _stage_event_chunks(sf_dir: str, chunk_dir: str) -> None:
+    """Split the events table into N_CHUNKS row-slice parquet files so
+    the file source delivers multiple micro-batches. Daily counts are
+    additive, so chunk boundaries don't affect the folded result; the
+    slice order is still made deterministic (ts, event_id) so the
+    staged bytes are reproducible run to run."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    if table.num_rows:
+        order = pc.sort_indices(
+            table, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        table = table.take(order)
+    os.makedirs(chunk_dir, exist_ok=True)
+    n = table.num_rows
+    for k in range(N_CHUNKS):
+        lo, hi = k * n // N_CHUNKS, (k + 1) * n // N_CHUNKS
+        pq.write_table(table.slice(lo, hi - lo), f"{chunk_dir}/chunk{k:02d}.parquet")
+
+
+def _source_fingerprint(sf_dir: str) -> str:
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    return f"{st.st_size}:{st.st_mtime_ns}"
+
+
+def ensure_daily_counts_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse) the streaming-written daily-count store for
+    ``sf_dir``. The store is keyed by the events file's fingerprint:
+    a regenerated fixture invalidates it, repeat queries reuse it —
+    build is refresh cost, not query cost."""
+    name = os.path.basename(os.path.normpath(sf_dir)) or "root"
+    root = os.path.join(STORE_ROOT, name)
+    marker = os.path.join(root, "_SOURCE")
+    store = os.path.join(root, "store")
+    fp = _source_fingerprint(sf_dir)
+    try:
+        with open(marker, encoding="utf-8") as f:
+            if f.read() == fp:
+                return store
+    except OSError:
+        pass
+    shutil.rmtree(root, ignore_errors=True)
+    chunks = os.path.join(root, "chunks")
+    _stage_event_chunks(sf_dir, chunks)
+    q = stream_daily_counts(
+        read_events_stream(spark, chunks, max_files_per_trigger=1),
+        store,
+        os.path.join(root, "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination()
+    with open(marker, "w", encoding="utf-8") as f:
+        f.write(fp)
+    return store
+
+
+def q_daily_counts_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, day, n) daily event counts served from the
+    incremental store the streaming path maintains — oracled against
+    a direct GROUP BY over raw events, so the driver's value hash
+    proves store→rescan parity end to end."""
+    store = ensure_daily_counts_store(spark, sf_dir)
+    return (
+        read_daily_counts(spark, store)
+        .select("event_type", "d", F.col("n").cast("long").alias("n"))
+        .orderBy("event_type", "d")
+    )

@@ -54,6 +54,62 @@ BNLJ_ALLOWED = {
 }
 
 
+# per-query ceiling on BroadcastNestedLoopJoin build-side rows — the
+# structural teeth behind the allowlist: "broadcast-tiny" is asserted
+# against executed-plan metrics, so a silently grown build side fails
+# here instead of hiding behind the name. Bounds encode the design
+# contract (1-row aggregates, constant probe/centroid sets, the
+# 4096-vector exact-audit block), not the fixture size.
+BNLJ_BUILD_ROW_BOUND = {
+    "ann-cosine-topk": 64,
+    "ann-ivf-topk": 64,
+    "ann-quantized-topk": 64,
+    "ann-ivf-recall": 64,
+    "dedup-embedding-cosine": 4096,
+}
+BNLJ_DEFAULT_BOUND = 1  # everything else broadcasts a 1-row aggregate
+
+
+def _iter_physical_nodes(node):
+    """Walk an executed plan including AQE stage bodies (QueryStageExec
+    children() is empty — the subtree hangs off .plan())."""
+    yield node
+    cls = node.getClass().getSimpleName()
+    if cls.endswith("QueryStageExec"):
+        yield from _iter_physical_nodes(node.plan())
+    if cls == "AdaptiveSparkPlanExec":
+        yield from _iter_physical_nodes(node.executedPlan())
+    kids = node.children()
+    for i in range(kids.size()):
+        yield from _iter_physical_nodes(kids.apply(i))
+
+
+def _bnlj_build_rows(df) -> list[int]:
+    """Execute df and return numOutputRows of every BNLJ build side."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan()
+    out = []
+    for n in _iter_physical_nodes(plan):
+        if n.getClass().getSimpleName() == "BroadcastNestedLoopJoinExec":
+            idx = 0 if "Left" in n.buildSide().toString() else 1
+            for b in _iter_physical_nodes(n.children().apply(idx)):
+                if b.getClass().getSimpleName() == "BroadcastExchangeExec":
+                    out.append(int(b.metrics().apply("numOutputRows").value()))
+                    break
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(BNLJ_ALLOWED))
+def test_bnlj_build_side_is_tiny(spark, name):
+    bound = BNLJ_BUILD_ROW_BOUND.get(name, BNLJ_DEFAULT_BOUND)
+    rows = _bnlj_build_rows(REGISTRY[name].fn(spark, SF_SMALL))
+    for r in rows:
+        assert r <= bound, (
+            f"[{name}] BroadcastNestedLoopJoin build side grew to {r} rows "
+            f"(bound {bound}) — the allowlist only covers broadcast-tiny sides"
+        )
+
+
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_no_slow_paths(spark, name):
     plan = (
