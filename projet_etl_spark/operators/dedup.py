@@ -612,3 +612,50 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dup_of_corpus") == 0) & (F.col("dup_in_batch") == 0)
         ).cast("long").alias("keep"),
     )
+
+
+# --- asymmetric containment ------------------------------------------
+
+# C(A,B) = |S_A ∩ S_B| / |S_A|: fraction of A's shingles found in B.
+# Catches sub-document duplication (A quoted/embedded inside a larger
+# B) that symmetric Jaccard misses — |S_B| >> |S_A| drives Jaccard to
+# 0 while containment stays at 1.
+CONTAINMENT_THRESHOLD = 0.9
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-containment pairs: (doc_a, doc_b) where >= 90% of doc_a's
+    word-3-gram set also occurs in doc_b — directional, so a short
+    doc swallowed by a long one IS flagged (the Broder containment
+    score; the sub-document dedup pass of a training-data pipeline).
+
+    Scale shape: same shared-shingle equi-join discipline as
+    dedup-ngram-jaccard — pairs materialize ONLY for docs sharing at
+    least one shingle (never all-pairs), the shingle table is staged
+    once and reused for sizes and the join, and the intersection is
+    one hash aggregate at pair grain. At 100 TB the production path
+    puts the df-cap (df_capped_shingles) in front, exactly as the
+    minhash pipeline does; the threshold comparison is on a
+    round(6) value so both engines keep identical pairs.
+    """
+    sh = eager_persist(_doc_shingles(spark, sf_dir))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    return (
+        inter.join(na, "doc_a")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("inter") / F.col("na"), 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -943,3 +943,107 @@ def q_parts_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("catalog_fraction"),
         "top_part_share",
     )
+
+
+# --- year-over-year --------------------------------------------------
+
+
+def q_orders_yoy_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order revenue with the same-month-last-year comparison:
+    (month, revenue, revenue_prev_year, yoy_pct).
+
+    The YoY lookup is a self-equi-join of the MONTHLY aggregate on
+    month = prev_month + 12 — not lag(12) over a global sort, which
+    silently mis-pairs whenever a month is absent from the data. The
+    join runs at month grain (one row per month, trivially broadcast)
+    so the only data-sized work is the one map-side-combined DECIMAL
+    aggregate; revenue stays exact decimal end to end and only the
+    derived pct is double (round 6).
+    """
+    monthly = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        )
+        .groupBy("m")
+        .agg(F.sum("p").cast("decimal(18,2)").alias("revenue"))
+    )
+    prev = monthly.select(
+        F.add_months(F.col("m"), 12).cast("timestamp").alias("m"),
+        F.col("revenue").alias("revenue_prev_year"),
+    )
+    return (
+        monthly.join(F.broadcast(prev), "m", "left")
+        .select(
+            F.date_format("m", "yyyy-MM").alias("month"),
+            "revenue",
+            "revenue_prev_year",
+            F.round(
+                (
+                    F.col("revenue").cast("double")
+                    - F.col("revenue_prev_year").cast("double")
+                )
+                / F.col("revenue_prev_year").cast("double")
+                * 100.0,
+                6,
+            ).alias("yoy_pct"),
+        )
+        .orderBy("month")
+    )
+
+
+# --- salted skew join ------------------------------------------------
+
+SALT_JOIN_BUCKETS = 8
+
+
+def q_lineitem_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per order priority through a SALTED fact-dim equi-join:
+    the lineitem side gets a deterministic salt in [0, S), the orders
+    side is replicated across all S salt values, and the join key
+    becomes (orderkey, salt) — the skew-replication join that keeps a
+    hot orderkey from funneling every matching fact row through one
+    reducer partition. The salt cancels out exactly (each fact row
+    still matches its order exactly once), so the oracle is the
+    PLAIN join + aggregate — salt-invariance is the checked contract,
+    the same discipline as events-type-counts-salted.
+
+    At 100 TB: replication multiplies the dim side by S (bounded,
+    dim-sized); the fact side's hot keys spread over S partitions.
+    This is the manual form of what AQE skew-join does adaptively —
+    registered so the engine's skew answer for JOINS (not just
+    GROUP BY) is oracle-checked. Salt comes from hash(linenumber,
+    partkey) — deterministic per row, uncorrelated with orderkey.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        (
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+        ).alias("rev"),
+    )
+    salted = li.withColumn(
+        "salt", F.pmod(F.hash("l_linenumber", "l_partkey"), F.lit(SALT_JOIN_BUCKETS))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    replicated = orders.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(SALT_JOIN_BUCKETS)]))
+    )
+    joined = salted.join(
+        replicated,
+        (salted.l_orderkey == replicated.o_orderkey)
+        & (salted.salt == replicated.salt),
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("rev").cast("decimal(18,4)").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -512,3 +512,95 @@ def q_daily_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.round(weighted / norm, 6).alias("ewma"),
     ).orderBy("event_type", "day")
+
+
+# --- heavy hitters ---------------------------------------------------
+
+# a user is a heavy hitter when its event count exceeds HH_PCT% of
+# the corpus MEAN events-per-user — the hot-key audit threshold
+# (a fixed share-of-total φ degenerates when the user population
+# scales with the corpus: mean activity stays flat, so no user can
+# hold a constant share; above-mean is the scale-stable definition)
+HH_PCT = 105
+
+
+def q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters over users: every user emitting more than
+    HH_PCT% of the mean events-per-user, with count and its multiple
+    of the mean — the abusive-client / hot-key audit a pipeline runs
+    before choosing salts.
+
+    Scale shape: ONE map-side-combined count at user grain (the only
+    pass over the raw events), a 1-row (total, n_users) broadcast,
+    and an integer-arithmetic threshold
+    (n * n_users * 100 > total * HH_PCT — no float boundary to
+    disagree across engines). The sketch alternative (Misra-Gries /
+    space-saving) trades exactness for sub-linear state; the exact
+    form is one shuffle at user grain — the same cost class as any
+    per-user aggregate.
+    """
+    ev = events(spark, sf_dir).select("user_id")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = per_user.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+    )
+    return (
+        per_user.crossJoin(F.broadcast(tot))
+        .filter(F.col("n") * F.col("n_users") * 100 > F.col("total") * HH_PCT)
+        .select(
+            "user_id",
+            "n",
+            F.round(
+                F.col("n") * F.col("n_users") / F.col("total"), 6
+            ).alias("x_mean"),
+        )
+        .orderBy(F.desc("n"), F.asc("user_id"))
+    )
+
+
+# --- gaps and islands ------------------------------------------------
+
+STREAK_TOPN = 100
+
+
+def q_users_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands shape: distinct active days, then
+    day - row_number() is constant within a consecutive run, so one
+    grouping on that island key yields every streak; a per-user argmax
+    picks the longest (ties: earliest start). Top STREAK_TOPN rows by
+    (streak_days desc, user_id asc) = TakeOrderedAndProject.
+
+    Scale shape: the raw events reduce to distinct (user, day) FIRST
+    (map-side combine), both windows partition BY USER over that
+    bounded per-user day list — no global sort anywhere; the final
+    top-k never materializes a full sort.
+    """
+    days = (
+        events(spark, sf_dir)
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn("g", F.date_sub(F.col("d"), F.row_number().over(w)))
+    streaks = islands.groupBy("user_id", "g").agg(
+        F.count(F.lit(1)).cast("long").alias("streak_days"),
+        F.min("d").alias("start_day"),
+        F.max("d").alias("end_day"),
+    )
+    pick = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_days"), F.asc("start_day")
+    )
+    return (
+        streaks.withColumn("rk", F.row_number().over(pick))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            "streak_days",
+            F.date_format("start_day", "yyyy-MM-dd").alias("start_day"),
+            F.date_format("end_day", "yyyy-MM-dd").alias("end_day"),
+        )
+        .orderBy(F.desc("streak_days"), F.asc("user_id"))
+        .limit(STREAK_TOPN)
+    )

@@ -2792,6 +2792,94 @@ SELECT event_type, ts::DATE AS d, CAST(COUNT(*) AS BIGINT) AS n
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
+_HH_SQL = f"""
+WITH per_user AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY user_id
+),
+tot AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM per_user
+)
+SELECT user_id, n,
+       ROUND(CAST(n * n_users AS DOUBLE) / CAST(total AS DOUBLE), 6) AS x_mean
+FROM per_user CROSS JOIN tot
+WHERE n * n_users * 100 > total * {stats.HH_PCT}
+ORDER BY n DESC, user_id ASC
+"""
+
+_STREAKS_SQL = f"""
+WITH days AS (
+    SELECT DISTINCT user_id, ts::DATE AS d FROM events
+),
+islands AS (
+    SELECT user_id, d,
+           d - CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY d) AS INTEGER) AS g
+    FROM days
+),
+streaks AS (
+    SELECT user_id, g, CAST(COUNT(*) AS BIGINT) AS streak_days,
+           MIN(d) AS start_d, MAX(d) AS end_d
+    FROM islands GROUP BY user_id, g
+),
+best AS (
+    SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY streak_days DESC, start_d ASC) AS rk
+    FROM streaks
+)
+SELECT user_id, streak_days,
+       strftime(start_d, '%Y-%m-%d') AS start_day,
+       strftime(end_d, '%Y-%m-%d') AS end_day
+FROM best WHERE rk = 1
+ORDER BY streak_days DESC, user_id ASC
+LIMIT {stats.STREAK_TOPN}
+"""
+
+_CONTAINMENT_SQL = (
+    _SHINGLE_CTES
+    + f""",
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+    GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, ROUND(i.inter / sa.n, 6) AS containment
+FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id
+WHERE ROUND(i.inter / sa.n, 6) >= {dedup.CONTAINMENT_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+)
+
+_YOY_SQL = """
+WITH monthly AS (
+    SELECT date_trunc('month', o_orderdate) AS m,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS revenue
+    FROM orders GROUP BY 1
+)
+SELECT strftime(a.m, '%Y-%m') AS month,
+       a.revenue,
+       b.revenue AS revenue_prev_year,
+       ROUND((CAST(a.revenue AS DOUBLE) - CAST(b.revenue AS DOUBLE))
+             / CAST(b.revenue AS DOUBLE) * 100, 6) AS yoy_pct
+FROM monthly a LEFT JOIN monthly b ON a.m = b.m + INTERVAL 12 MONTH
+ORDER BY month
+"""
+
+# salt-invariance contract: the salted (orderkey, salt) join must
+# equal the plain join bit for bit — so the oracle IS the plain join
+_SALTED_JOIN_SQL = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4))
+                   - CAST(l.l_discount AS DECIMAL(18,4))))
+            AS DECIMAL(18,4)) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
 
 def build():
     """Registry entries for the extension surface; imported by
@@ -3312,6 +3400,36 @@ def build():
             storequery.q_daily_counts_store,
             _DAILY_STORE_SQL,
             ("streaming", "stats"),
+        ),
+        (
+            "events-heavy-hitters",
+            stats.q_events_heavy_hitters,
+            _HH_SQL,
+            ("stats", "curation"),
+        ),
+        (
+            "users-active-streaks",
+            stats.q_users_active_streaks,
+            _STREAKS_SQL,
+            ("stats", "windows"),
+        ),
+        (
+            "dedup-containment",
+            dedup.q_dedup_containment,
+            _CONTAINMENT_SQL,
+            ("dedup",),
+        ),
+        (
+            "orders-yoy-window",
+            star.q_orders_yoy_window,
+            _YOY_SQL,
+            ("olap", "windows"),
+        ),
+        (
+            "lineitem-salted-join",
+            star.q_lineitem_salted_join,
+            _SALTED_JOIN_SQL,
+            ("olap", "join", "skew"),
         ),
     ]
     return {

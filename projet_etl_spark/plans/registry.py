@@ -100,16 +100,13 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     # red in r5 (ulp knife-edge, fixed): re-green
     "customer-spend-deciles",
     # round-6 additions (new queries land here so their first round
-    # in the registry is also their first hard CORRECTNESS row;
-    # unknown names are skipped by _rotate until the query lands)
+    # in the registry is also their first hard CORRECTNESS row)
     "daily-counts-store",
     "events-heavy-hitters",
-    "docs-minhash-containment",
+    "users-active-streaks",
+    "dedup-containment",
     "orders-yoy-window",
-    "orders-customer-salted-join",
-    "events-secondly-sessionize",
-    "docs-quantile-bins",
-    "orders-runlength-islands",
+    "lineitem-salted-join",
 )
 
 

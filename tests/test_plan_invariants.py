@@ -51,6 +51,8 @@ BNLJ_ALLOWED = {
     "docs-length-drift",
     # 1-row broadcast of the revenue grand total (percent-of-total)
     "parts-pareto",
+    # 1-row broadcast of the corpus event total (φ threshold)
+    "events-heavy-hitters",
 }
 
 
