@@ -2782,6 +2782,7 @@ def _attribution_batch(spark, sf_dir):
     return q_click_purchase_attribution_batch(spark, sf_dir)
 
 
+from projet_etl_spark.sources import warehouse  # noqa: E402
 from projet_etl_spark.streaming import storequery  # noqa: E402
 
 # The store is maintained incrementally by the streaming path; its
@@ -2865,6 +2866,17 @@ SELECT strftime(a.m, '%Y-%m') AS month,
              / CAST(b.revenue AS DOUBLE) * 100, 6) AS yoy_pct
 FROM monthly a LEFT JOIN monthly b ON a.m = b.m + INTERVAL 12 MONTH
 ORDER BY month
+"""
+
+# layout-invariance contract: bucketing changes where rows live,
+# never what they are — the oracle is the plain join + aggregate
+_BUCKETED_JOIN_SQL = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+           AS total_qty
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1 ORDER BY 1
 """
 
 # salt-invariance contract: the salted (orderkey, salt) join must
@@ -3430,6 +3442,12 @@ def build():
             star.q_lineitem_salted_join,
             _SALTED_JOIN_SQL,
             ("olap", "join", "skew"),
+        ),
+        (
+            "orders-bucketed-join",
+            warehouse.q_orders_bucketed_join,
+            _BUCKETED_JOIN_SQL,
+            ("olap", "join", "layout"),
         ),
     ]
     return {

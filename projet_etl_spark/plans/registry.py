@@ -107,6 +107,7 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "dedup-containment",
     "orders-yoy-window",
     "lineitem-salted-join",
+    "orders-bucketed-join",
 )
 
 

@@ -30,11 +30,19 @@ def bucketize_star(spark: SparkSession, sf_dir: str, db: str = "bucketed") -> No
     Written as managed tables (bucket metadata lives in the catalog;
     plain parquet files can't carry it).
     """
+    import shutil
+    from urllib.parse import urlparse
+
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     for name, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
         # drop-then-write: overwrite mode alone can't reclaim a
-        # leftover managed-table location after an aborted run
+        # leftover managed-table location after an aborted run — and
+        # the in-memory catalog forgets tables between processes
+        # while their files persist, so the LOCATION must be cleared
+        # directly too or saveAsTable refuses to reuse it
         spark.sql(f"DROP TABLE IF EXISTS {db}.{name}")
+        shutil.rmtree(f"{warehouse}/{db}.db/{name}", ignore_errors=True)
         (
             load_table(spark, sf_dir, name)
             .write.mode("overwrite")
@@ -51,6 +59,82 @@ def bucketed_sales_join(spark: SparkSession, db: str = "bucketed") -> DataFrame:
     li = spark.table(f"{db}.lineitem")
     o = spark.table(f"{db}.orders")
     return li.join(o, li.l_orderkey == o.o_orderkey)
+
+
+def _star_fingerprint(sf_dir: str) -> str:
+    import os
+
+    parts = []
+    for t in ("lineitem", "orders"):
+        st = os.stat(os.path.join(sf_dir, f"{t}.parquet"))
+        parts.append(f"{t}:{st.st_size}:{st.st_mtime_ns}")
+    return "|".join(parts)
+
+
+def ensure_bucketed_star(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse) the bucketed lineitem/orders layout for
+    ``sf_dir``; returns the catalog database name. The source
+    fingerprint lives in TBLPROPERTIES, so a regenerated fixture
+    triggers a rebuild and repeat queries reuse the layout — bucket
+    materialization is refresh cost, not query cost (the
+    materialized-rollup accounting)."""
+    import os
+    import re
+
+    name = re.sub(
+        r"[^0-9a-zA-Z_]", "_", os.path.basename(os.path.normpath(sf_dir)) or "root"
+    )
+    db = f"bucketed_{name}"
+    fp = _star_fingerprint(sf_dir)
+    # probe existence first so the cold path never raises (and never
+    # spams analysis errors into the driver log)
+    if spark.catalog.tableExists(f"{db}.lineitem") and spark.catalog.tableExists(
+        f"{db}.orders"
+    ):
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {db}.lineitem").collect()
+        }
+        if props.get("source_fingerprint") == fp:
+            return db
+    bucketize_star(spark, sf_dir, db=db)
+    for t in ("lineitem", "orders"):
+        spark.sql(
+            f"ALTER TABLE {db}.{t} SET TBLPROPERTIES "
+            f"('source_fingerprint'='{fp}')"
+        )
+    return db
+
+
+def q_orders_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity totals per order priority THROUGH the bucketed
+    co-located layout: lineitem⋈orders read from catalog tables
+    bucketed by the join key, so the fact-fact join needs no shuffle
+    on either side (the explicit form of what "bucket both sides by
+    orderkey" means at 100 TB — the single biggest shuffle in the
+    star schema simply disappears from every downstream join).
+
+    Layout equivalence is the checked contract: bucketing changes
+    WHERE rows live, never WHAT they are, so the oracle is the plain
+    lineitem⋈orders aggregate over the raw parquet — a green driver
+    row proves the bucketed path returns bit-identical results.
+    Quantities aggregate as exact DECIMAL (associative at any
+    parallelism / bucket count).
+    """
+    db = ensure_bucketed_star(spark, sf_dir)
+    li = spark.table(f"{db}.lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("decimal(18,2)").alias("q")
+    )
+    o = spark.table(f"{db}.orders").select("o_orderkey", "o_orderpriority")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("q").cast("decimal(18,2)").alias("total_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
 
 
 def salted(df: DataFrame, key: str, n_salts: int, salt_col: str = "_salt") -> DataFrame:

@@ -42,12 +42,27 @@ def read_events_stream(
     watermark advances between batches)."""
     from pyspark.sql.types import LongType
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    try:
+        prev: str | None = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, "true")
     # probe one footer batch-side to pick the matching stream schema
     # (streams must declare their schema up front)
     nanos = isinstance(
         spark.read.parquet(path).schema["ts"].dataType, LongType
     )
+    if not nanos:
+        # micros vintage: nothing at execution time needs the legacy
+        # conf — restore it so the probe can't leak session-wide (the
+        # sources.tables.events discipline). The nanos vintage
+        # deliberately LEAVES it set: the running stream re-reads
+        # long-typed nanos files at every micro-batch.
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
     schema = EVENTS_RAW_SCHEMA if nanos else EVENTS_TS_SCHEMA
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

@@ -53,6 +53,8 @@ BNLJ_ALLOWED = {
     "parts-pareto",
     # 1-row broadcast of the corpus event total (φ threshold)
     "events-heavy-hitters",
+    # 1-row broadcast of the centroid model (per-iteration plan reuse)
+    "kmeans-clusters",
 }
 
 

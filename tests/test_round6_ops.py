@@ -93,3 +93,42 @@ def test_deciles_exact_boundaries_are_data_values(spark):
         assert seg[0] == r["min_spend"] and seg[-1] == r["max_spend"]
         lo += r["n_customers"]
     assert lo == len(spends)
+
+
+def test_bucketed_join_matches_oracle_and_is_shuffle_free(spark, duck):
+    """The bucketed-layout query must equal the plain join (layout
+    invariance) and the underlying fact-fact join must plan WITHOUT a
+    shuffle exchange on either side once broadcast is ruled out."""
+    from projet_etl_spark.sources.warehouse import ensure_bucketed_star
+
+    spec = REGISTRY["orders-bucketed-join"]
+    assert_matches_oracle(
+        spec.fn(spark, SF_SMALL), duck, spec.oracle, "orders-bucketed-join"
+    )
+    db = ensure_bucketed_star(spark, SF_SMALL)
+    li = spark.table(f"{db}.lineitem")
+    o = spark.table(f"{db}.orders")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_bucketed_star_reuses_fingerprinted_layout(spark):
+    """Second ensure call must be a catalog-probe no-op (no rebuild)."""
+    import time
+
+    from projet_etl_spark.sources.warehouse import ensure_bucketed_star
+
+    db1 = ensure_bucketed_star(spark, SF_SMALL)
+    t0 = time.perf_counter()
+    db2 = ensure_bucketed_star(spark, SF_SMALL)
+    assert db1 == db2
+    assert time.perf_counter() - t0 < 2.0  # probe, not a rewrite
