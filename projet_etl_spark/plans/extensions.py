@@ -3449,6 +3449,14 @@ def build():
             _BUCKETED_JOIN_SQL,
             ("olap", "join", "layout"),
         ),
+        # the incremental stream's pair union must equal the one-shot
+        # batch LSH — so it SHARES the batch query's oracle verbatim
+        (
+            "neardedup-pairs-store",
+            storequery.q_neardedup_pairs_store,
+            _MINHASH_SQL,
+            ("streaming", "dedup"),
+        ),
     ]
     return {
         name: QuerySpec(name=name, fn=_wrap(fn), oracle=sql, tags=tags, raw_fn=fn)

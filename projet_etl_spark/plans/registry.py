@@ -108,6 +108,7 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "orders-yoy-window",
     "lineitem-salted-join",
     "orders-bucketed-join",
+    "neardedup-pairs-store",
 )
 
 

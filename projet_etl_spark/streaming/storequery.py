@@ -122,3 +122,85 @@ def q_daily_counts_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "d", F.col("n").cast("long").alias("n"))
         .orderBy("event_type", "d")
     )
+
+
+# --- near-dedup pairs store ------------------------------------------
+
+NEARDEDUP_ROOT = os.path.join(
+    os.path.dirname(STORE_ROOT), "neardedup_pairs"
+)
+
+
+def _stage_doc_chunks(sf_dir: str, chunk_dir: str) -> None:
+    """Split documents into N_CHUNKS (doc_id-ordered row slices) so
+    the file source delivers several micro-batches; the emitted pair
+    UNION is chunking-invariant (each batch pairs its docs against
+    the store plus itself), which is exactly the parity the oracle
+    checks."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    if table.num_rows:
+        table = table.take(pc.sort_indices(table, sort_keys=[("doc_id", "ascending")]))
+    os.makedirs(chunk_dir, exist_ok=True)
+    n = table.num_rows
+    for k in range(N_CHUNKS):
+        lo, hi = k * n // N_CHUNKS, (k + 1) * n // N_CHUNKS
+        pq.write_table(table.slice(lo, hi - lo), f"{chunk_dir}/chunk{k:02d}.parquet")
+
+
+def ensure_neardedup_pairs(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse) the streaming near-dedup pairs sink for
+    ``sf_dir`` (fingerprint-keyed, same refresh-cost accounting as
+    the daily-count store)."""
+    from projet_etl_spark.streaming.neardedup import stream_near_dedup
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    fp = f"{st.st_size}:{st.st_mtime_ns}"
+    name = os.path.basename(os.path.normpath(sf_dir)) or "root"
+    root = os.path.join(NEARDEDUP_ROOT, name)
+    marker = os.path.join(root, "_SOURCE")
+    pairs = os.path.join(root, "pairs")
+    try:
+        with open(marker, encoding="utf-8") as f:
+            if f.read() == fp:
+                return pairs
+    except OSError:
+        pass
+    shutil.rmtree(root, ignore_errors=True)
+    chunks = os.path.join(root, "chunks")
+    _stage_doc_chunks(sf_dir, chunks)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunks)
+    )
+    q = stream_near_dedup(
+        stream,
+        os.path.join(root, "store"),
+        pairs,
+        os.path.join(root, "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination()
+    with open(marker, "w", encoding="utf-8") as f:
+        f.write(fp)
+    return pairs
+
+
+def q_neardedup_pairs_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs served from the sink the INCREMENTAL minhash-LSH
+    stream maintains (per-micro-batch: new docs banded against the
+    signature store, verified pairs appended idempotently). The union
+    over batches must equal the one-shot batch q_dedup_minhash_lsh on
+    the full corpus, so this query shares that query's ORACLE — a
+    green driver row proves the incremental dedup path finds exactly
+    the batch answer, end to end through real Structured Streaming.
+    """
+    from projet_etl_spark.streaming.neardedup import read_pairs
+
+    pairs = ensure_neardedup_pairs(spark, sf_dir)
+    return read_pairs(spark, pairs).orderBy("doc_a", "doc_b")

@@ -132,3 +132,23 @@ def test_bucketed_star_reuses_fingerprinted_layout(spark):
     db2 = ensure_bucketed_star(spark, SF_SMALL)
     assert db1 == db2
     assert time.perf_counter() - t0 < 2.0  # probe, not a rewrite
+
+
+def test_neardedup_pairs_store_equals_batch_lsh(spark, tmp_path, monkeypatch):
+    """The streamed pair union served by the registry entry must
+    equal the one-shot batch minhash-LSH on the same corpus."""
+    from projet_etl_spark.operators.dedup import q_dedup_minhash_lsh
+    from projet_etl_spark.streaming import storequery
+
+    monkeypatch.setattr(
+        storequery, "NEARDEDUP_ROOT", str(tmp_path / "nd_pairs")
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in storequery.q_neardedup_pairs_store(spark, SF_SMALL).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in q_dedup_minhash_lsh(spark, SF_SMALL).collect()
+    }
+    assert got == want and want  # equal AND non-trivial
