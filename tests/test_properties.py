@@ -233,12 +233,10 @@ spends_strategy = st.lists(
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 def test_spend_deciles_match_bruteforce(spark, rows, tmp_path_factory):
     """The broadcast-boundary decile assignment must agree with a
-    driver-side recomputation of the same type-7 percentile + strict
-    boundary-count rule on random 2-dp spends."""
-    import numpy as np
-    from pyspark.sql import functions as F
-
-    from projet_etl_spark.operators.star import _DECILE_QS, q_customer_spend_deciles
+    driver-side recomputation of the same DISCRETE order-statistic
+    rule (boundary i = spend at rank ceil(i*n/10), strict > bucket
+    count) on random 2-dp spends."""
+    from projet_etl_spark.operators.star import q_customer_spend_deciles
 
     root = str(tmp_path_factory.mktemp("deciles"))
     df = spark.createDataFrame(
@@ -257,7 +255,8 @@ def test_spend_deciles_match_bruteforce(spark, rows, tmp_path_factory):
     for c, cents in rows:
         cents_by_cust[c] = cents_by_cust.get(c, 0) + cents
     spends = sorted(v / 100.0 for v in cents_by_cust.values())
-    bounds = [round(float(b), 4) for b in np.percentile(spends, [q * 100 for q in _DECILE_QS])]
+    n = len(spends)
+    bounds = [spends[((i * n + 9) // 10) - 1] for i in range(1, 10)]
     want: dict[int, list[float]] = {}
     for s in spends:
         d = sum(s > b for b in bounds)
