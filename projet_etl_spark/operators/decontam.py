@@ -138,3 +138,62 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_false_pos"),
     ).orderBy("doc_id")
+
+
+# --- semantic (embedding) decontamination ----------------------------
+#
+# Verbatim n-grams miss PARAPHRASED benchmark leakage; the semantic
+# variant flags training vectors whose embedding lies too close to
+# any eval-set embedding. Completes the decontamination triple:
+# exact grams (q_decontaminate_ngram), sketched grams
+# (q_decontaminate_bloom), and meaning (this).
+
+EVAL_VECS = 32  # vec_id < EVAL_VECS stands in for the benchmark set
+SEM_CONTAM_THRESHOLD = 0.4
+
+
+def q_decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, max_cos, n_eval_hits) for every training vector whose
+    cosine against ANY eval vector reaches SEM_CONTAM_THRESHOLD —
+    paraphrase-level benchmark leakage the n-gram probes cannot see.
+
+    100 TB design: the eval block is benchmark-sized (thousands),
+    bounded and broadcast — the training side streams through ONE
+    map-side expansion of |eval| rows per vector and reduces
+    immediately to (vec_id, max, count); no shuffle touches the
+    pairwise grid. The cosine is the fold dot/norm (bit-identical
+    left-associated order to the oracle's generated sum) rounded to
+    6 dp BEFORE the threshold, so both engines flag identical
+    vectors. At real scale swap the broadcast block for the
+    IVF-pruned probe (similarity.py) — contract unchanged.
+    """
+    from projet_etl_spark.functions.vectors import cosine, fold_dot, fold_norm2
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    ev = (
+        emb.filter(F.col("vec_id") < EVAL_VECS)
+        .select(F.col("v").alias("evec"))
+        .withColumn("ne", fold_norm2("evec"))
+    )
+    tr = emb.filter(F.col("vec_id") >= EVAL_VECS).withColumn("nt", fold_norm2("v"))
+    pairs = tr.crossJoin(F.broadcast(ev)).select(
+        "vec_id",
+        F.round(cosine(fold_dot("v", "evec"), F.col("nt"), F.col("ne")), 6).alias(
+            "cos"
+        ),
+    )
+    return (
+        pairs.groupBy("vec_id")
+        .agg(
+            F.max("cos").alias("max_cos"),
+            F.sum(
+                F.when(F.col("cos") >= SEM_CONTAM_THRESHOLD, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_eval_hits"),
+        )
+        .filter(F.col("max_cos") >= SEM_CONTAM_THRESHOLD)
+        .orderBy("vec_id")
+    )

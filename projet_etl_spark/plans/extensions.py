@@ -2868,6 +2868,30 @@ FROM monthly a LEFT JOIN monthly b ON a.m = b.m + INTERVAL 12 MONTH
 ORDER BY month
 """
 
+_SEM_CONTAM_SQL = f"""
+WITH ev AS (
+    SELECT embedding AS evec,
+           ({VEC.sql_norm2("embedding")}) AS ne
+    FROM embeddings WHERE vec_id < {decontam.EVAL_VECS}
+),
+tr AS (
+    SELECT vec_id, embedding AS v,
+           ({VEC.sql_norm2("embedding")}) AS nt
+    FROM embeddings WHERE vec_id >= {decontam.EVAL_VECS}
+),
+pairs AS (
+    SELECT t.vec_id,
+           {_sql_cos(VEC.sql_dot("t.v", "e.evec"), "t.nt", "e.ne")} AS cos
+    FROM tr t CROSS JOIN ev e
+)
+SELECT vec_id, MAX(cos) AS max_cos,
+       CAST(SUM(CASE WHEN cos >= {decontam.SEM_CONTAM_THRESHOLD} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_eval_hits
+FROM pairs GROUP BY vec_id
+HAVING MAX(cos) >= {decontam.SEM_CONTAM_THRESHOLD}
+ORDER BY vec_id
+"""
+
 # layout-invariance contract: bucketing changes where rows live,
 # never what they are — the oracle is the plain join + aggregate
 _BUCKETED_JOIN_SQL = """
@@ -3456,6 +3480,12 @@ def build():
             storequery.q_neardedup_pairs_store,
             _MINHASH_SQL,
             ("streaming", "dedup"),
+        ),
+        (
+            "decontaminate-embedding",
+            decontam.q_decontaminate_embedding,
+            _SEM_CONTAM_SQL,
+            ("curation", "ann"),
         ),
     ]
     return {

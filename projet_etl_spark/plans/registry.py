@@ -109,6 +109,7 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "lineitem-salted-join",
     "orders-bucketed-join",
     "neardedup-pairs-store",
+    "decontaminate-embedding",
 )
 
 

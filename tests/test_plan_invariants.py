@@ -55,6 +55,8 @@ BNLJ_ALLOWED = {
     "events-heavy-hitters",
     # 1-row broadcast of the centroid model (per-iteration plan reuse)
     "kmeans-clusters",
+    # benchmark-sized eval embedding block broadcast (paraphrase probe)
+    "decontaminate-embedding",
 }
 
 
@@ -70,6 +72,7 @@ BNLJ_BUILD_ROW_BOUND = {
     "ann-quantized-topk": 64,
     "ann-ivf-recall": 64,
     "dedup-embedding-cosine": 4096,
+    "decontaminate-embedding": 64,  # the EVAL_VECS eval block
 }
 BNLJ_DEFAULT_BOUND = 1  # everything else broadcasts a 1-row aggregate
 
