@@ -367,3 +367,50 @@ def test_minhash_df_cap_bounds_band_buckets(spark):
     )
     assert unc >= 20, f"fixture lost its skew (max uncapped bucket {unc})"
     assert cap <= 2, f"df cap failed to bound bucket occupancy ({cap})"
+
+
+def test_aqe_splits_skewed_join(spark):
+    """SCALE.md's skew story leans on AQE skew-join for moderate skew
+    (salting is the explicit form for the extreme tail) — pin that
+    the runtime actually does it: a join where one key holds ~83% of
+    the fact rows must execute as SortMergeJoin(skew=true) with the
+    hot partition split, under thresholds scaled to the fixture."""
+    from pyspark.sql import functions as F
+
+    fact = spark.range(300_000).select(
+        F.when(F.col("id") < 250_000, F.lit(0))
+        .otherwise((F.col("id") % 100) + 1)
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(101).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("attr")
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128KB",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        j = fact.join(dim, "k").select(F.sum("payload").alias("s"))
+        [row] = j.collect()
+        # correctness unchanged by the split
+        assert row["s"] == sum(
+            i for i in range(300_000)
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "skew=true" in plan, "AQE did not split the skewed partition"
