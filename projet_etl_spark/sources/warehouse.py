@@ -121,17 +121,26 @@ def q_orders_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Quantities aggregate as exact DECIMAL (associative at any
     parallelism / bucket count).
     """
-    db = ensure_bucketed_star(spark, sf_dir)
-    li = spark.table(f"{db}.lineitem").select(
-        "l_orderkey", F.col("l_quantity").cast("decimal(18,2)").alias("q")
+    from projet_etl_spark.functions.fixedpoint import (
+        UnitSum,
+        fixed_point_agg,
+        units,
     )
+
+    db = ensure_bucketed_star(spark, sf_dir)
+    li = spark.table(f"{db}.lineitem").select("l_orderkey", "l_quantity")
     o = spark.table(f"{db}.orders").select("o_orderkey", "o_orderpriority")
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_items"),
-            F.sum("q").cast("decimal(18,2)").alias("total_qty"),
+        fixed_point_agg(
+            li.join(o, li.l_orderkey == o.o_orderkey),
+            ["o_orderpriority"],
+            [UnitSum("uq", units("l_quantity"), 2, 10**6)],
+            counts=[("n_items", None)],
+        )
+        .select(
+            "o_orderpriority",
+            F.col("n_items").cast("long").alias("n_items"),
+            F.col("uq").cast("decimal(18,2)").alias("total_qty"),
         )
         .orderBy("o_orderpriority")
     )
