@@ -911,7 +911,7 @@ ORDER BY 1, 2
 
 # --- star join / window-frame / tf-idf oracles ----------------------
 
-from projet_etl_spark.operators import star  # noqa: E402
+from projet_etl_spark.operators import retrieval, star  # noqa: E402
 from projet_etl_spark.params import DEFAULTS as _P2  # noqa: E402
 
 _Q5_SQL = f"""
@@ -3486,6 +3486,12 @@ def build():
             decontam.q_decontaminate_embedding,
             _SEM_CONTAM_SQL,
             ("curation", "ann"),
+        ),
+        (
+            "bm25-topk",
+            retrieval.q_bm25_topk,
+            retrieval.BM25_ORACLE_SQL,
+            ("retrieval", "text"),
         ),
     ]
     return {

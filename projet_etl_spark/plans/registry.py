@@ -110,6 +110,7 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "orders-bucketed-join",
     "neardedup-pairs-store",
     "decontaminate-embedding",
+    "bm25-topk",
 )
 
 

@@ -57,6 +57,8 @@ BNLJ_ALLOWED = {
     "kmeans-clusters",
     # benchmark-sized eval embedding block broadcast (paraphrase probe)
     "decontaminate-embedding",
+    # 1-row broadcast of the corpus stats (N, sum_dl -> avgdl)
+    "bm25-topk",
 }
 
 
