@@ -144,3 +144,86 @@ def q_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- bottom-k-by-hash sample quantiles ------------------------------
+
+QSAMPLE_K = 1024
+QSAMPLE_QS = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+def q_quantiles_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile estimates of the events value distribution from a
+    deterministic bottom-K-by-hash row sample — the quantile sketch
+    that, unlike t-digest/KLL, passes a hard value gate: the K rows
+    with the smallest portable md5 hashes are a uniform sample BOTH
+    engines select identically, so the estimates themselves are
+    oracle-exact while remaining estimates of the true quantiles
+    (accuracy pinned with tolerance in tests/test_sketches_extra.py).
+
+    Mergeable like distinct-kmv: bottom-K of a union is the bottom-K
+    of the per-partition bottom-Ks, so the map-side partial is a
+    partial sketch and the state is K rows at any data size.
+
+    Scale shape: the sample selection plans as TakeOrdered by the
+    hash (per-partition heaps, zero exchange before the K-row
+    gather — the sample-weighted-n discipline); ranking and the
+    quantile pick run on the K-row sample (the single-partition
+    window is bounded at K by construction); rank->quantile mapping
+    is a higher-order-function filter, no join. Exact quantiles at
+    extreme cardinality are the documented swap the other way
+    (value-percentiles / approx_percentile); this is the bounded-
+    state path.
+    """
+    from pyspark.sql import Window
+
+    from projet_etl_spark.functions.text import portable_hash60
+    from projet_etl_spark.sources.tables import events
+
+    ev = events(spark, sf_dir).select("event_id", "value")
+    sample = (
+        ev.select(
+            "value",
+            portable_hash60(F.col("event_id").cast("string")).alias("hk"),
+        )
+        .orderBy("hk", "value")
+        .limit(QSAMPLE_K)
+    )
+    w = Window.orderBy("value", "hk")
+    ranked = sample.withColumn(
+        "rn", F.row_number().over(w).cast("long")
+    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+    qarr = F.array(*[F.lit(float(q)) for q in QSAMPLE_QS])
+    hit = F.filter(
+        qarr, lambda x: F.ceil(x * F.col("n")) == F.col("rn")
+    )
+    return (
+        ranked.select(
+            F.explode(hit).alias("q"),
+            F.col("value").alias("est"),
+            F.col("n").cast("long").alias("n_sample"),
+        )
+        .orderBy("q")
+    )
+
+
+QSAMPLE_ORACLE_SQL = f"""
+WITH sample AS (
+    SELECT value,
+           ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+               AS hk
+    FROM events ORDER BY hk, value LIMIT {QSAMPLE_K}
+),
+ranked AS (
+    SELECT value,
+           CAST(row_number() OVER (ORDER BY value, hk) AS BIGINT) AS rn,
+           COUNT(*) OVER () AS n
+    FROM sample
+)
+SELECT unnest(list_filter(CAST({QSAMPLE_QS!r} AS DOUBLE[]),
+                          x -> CAST(ceil(x * n) AS BIGINT) = rn)) AS q,
+       value AS est,
+       CAST(n AS BIGINT) AS n_sample
+FROM ranked
+ORDER BY q
+"""

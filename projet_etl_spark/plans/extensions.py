@@ -3186,6 +3186,12 @@ def build():
             ("sketch", "text"),
         ),
         (
+            "quantiles-hash-sample",
+            sketches.q_quantiles_hash_sample,
+            sketches.QSAMPLE_ORACLE_SQL,
+            ("sketch", "stats"),
+        ),
+        (
             "decontaminate-bloom",
             decontam.q_decontaminate_bloom,
             _BLOOM_SQL,

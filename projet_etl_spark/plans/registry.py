@@ -111,6 +111,7 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "neardedup-pairs-store",
     "decontaminate-embedding",
     "bm25-topk",
+    "quantiles-hash-sample",
 )
 
 

@@ -5,6 +5,8 @@ no false negatives against the exact gram join."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from projet_etl_spark.operators.decontam import (
     q_decontaminate_bloom,
     q_decontaminate_ngram,
@@ -36,3 +38,54 @@ def test_bloom_has_no_false_negatives(spark):
         n_bloom, n_ex = bloom[doc_id]
         assert n_ex == n
         assert n_bloom >= n
+
+
+def test_hash_sample_quantiles_close_to_exact(spark, duck):
+    """The bottom-K-by-hash sample deciles must sit within the exact
+    quantile envelope q ± 0.06 (3x the K=1024 sampling s.e.) — the
+    accuracy contract behind the oracle-exact estimates."""
+    from projet_etl_spark.operators.sketches import (
+        q_quantiles_hash_sample,
+    )
+    from tests.conftest import SF_SMALL
+
+    got = {
+        r.q: r.est for r in q_quantiles_hash_sample(spark, SF_SMALL).collect()
+    }
+    assert len(got) == 9
+    for q, est in got.items():
+        lo, hi = duck.execute(
+            f"""SELECT quantile_disc(value, {max(q - 0.06, 0.001)}),
+                       quantile_disc(value, {min(q + 0.06, 0.999)})
+                FROM events"""
+        ).fetchone()
+        assert lo <= est <= hi, (q, est, lo, hi)
+
+
+def test_hash_sample_is_mergeable(spark):
+    """bottom-K of the union == bottom-K of per-split bottom-Ks."""
+    from projet_etl_spark.functions.text import portable_hash60
+    from projet_etl_spark.operators.sketches import QSAMPLE_K
+    from projet_etl_spark.sources.tables import events
+    from tests.conftest import SF_SMALL
+
+    ev = events(spark, SF_SMALL).select(
+        "event_id",
+        "value",
+        portable_hash60(F.col("event_id").cast("string")).alias("hk"),
+    )
+    full = [
+        (r.hk, r.value)
+        for r in ev.orderBy("hk", "value").limit(QSAMPLE_K).collect()
+    ]
+    parts = []
+    for m in (0, 1):
+        parts.extend(
+            (r.hk, r.value)
+            for r in ev.filter(F.col("event_id") % 2 == m)
+            .orderBy("hk", "value")
+            .limit(QSAMPLE_K)
+            .collect()
+        )
+    merged = sorted(parts)[:QSAMPLE_K]
+    assert merged == sorted(full)
