@@ -206,3 +206,73 @@ def test_block_bits_bounds():
         _block_bits([UnitSum("a", F.lit(1), 0, 1 << 62)])
     with pytest.raises(ValueError):
         _block_bits([UnitSum("a", F.lit(1), 0, 0)])
+
+
+# --- property tests --------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_money = st.integers(min_value=-(10**8), max_value=10**8).map(
+    lambda c: c / 100.0
+)
+_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),
+        st.one_of(st.none(), _money),
+        _money,
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+@given(rows=_rows, parts=st.sampled_from([1, 3, 8]))
+@settings(
+    max_examples=25, deadline=None, suppress_health_check=list(HealthCheck)
+)
+def test_fixed_point_equals_decimal_sum_on_random_data(spark, rows, parts):
+    """For arbitrary 2-dp data (negatives, nulls, any partitioning):
+    the fixed-point path is bitwise-equal to the DECIMAL-sum path,
+    for both a raw column sum and a product-of-columns sum."""
+    df = spark.createDataFrame(
+        rows, "k string, v double, w double"
+    ).repartition(parts)
+    got = sorted(
+        map(
+            tuple,
+            fixed_point_agg(
+                df,
+                ["k"],
+                [
+                    UnitSum("sv", units("v") * 100, 4, 10**11),
+                    UnitSum("svw", units("v") * units("w"), 4, 10**17),
+                ],
+                counts=[("n", None)],
+            )
+            .select(
+                "k",
+                F.col("sv").cast("double"),
+                F.col("svw").cast("double"),
+                "n",
+            )
+            .collect(),
+        ),
+        key=str,
+    )
+    want = sorted(
+        map(
+            tuple,
+            df.groupBy("k")
+            .agg(
+                F.sum(F.col("v").cast("decimal(18,4)")).cast("double"),
+                F.sum((F.col("v") * F.col("w")).cast("decimal(18,4)")).cast(
+                    "double"
+                ),
+                F.count(F.lit(1)),
+            )
+            .collect(),
+        ),
+        key=str,
+    )
+    assert got == want
