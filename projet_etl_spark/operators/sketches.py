@@ -175,8 +175,6 @@ def q_quantiles_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (value-percentiles / approx_percentile); this is the bounded-
     state path.
     """
-    from pyspark.sql import Window
-
     from projet_etl_spark.functions.text import portable_hash60
     from projet_etl_spark.sources.tables import events
 
@@ -189,6 +187,16 @@ def q_quantiles_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hk", "value")
         .limit(QSAMPLE_K)
     )
+    return decile_estimates(sample)
+
+
+def decile_estimates(sample: DataFrame) -> DataFrame:
+    """(q, est, n_sample) discrete-order-statistic deciles of a
+    (hk, value) sample frame — shared by the batch operator and the
+    streaming store read (streaming/quantiles.py), so store->query
+    parity is the same code path plus a merged sample."""
+    from pyspark.sql import Window
+
     w = Window.orderBy("value", "hk")
     ranked = sample.withColumn(
         "rn", F.row_number().over(w).cast("long")
