@@ -89,3 +89,40 @@ def read_quantiles(spark: SparkSession, store_path: str) -> DataFrame:
     from projet_etl_spark.operators.sketches import decile_estimates
 
     return decile_estimates(read_sample(spark, store_path))
+
+
+def compact_sample_store(spark: SparkSession, store_path: str) -> int:
+    """Maintenance hook: collapse all per-batch partials into ONE
+    partition holding just the merged bottom-K (the sketch is its own
+    compaction — state shrinks to K rows, not merely fewer files),
+    keyed by the highest batch id seen via the atomic-swap discipline
+    of sources.ingest. Same replay-safety argument as
+    streaming/neardedup.compact_store: run while the stream is
+    stopped; a replayed newer batch still overwrites only its own
+    partition and the merged partition predates it. Returns the row
+    count of the compacted store (<= K)."""
+    import os
+
+    from projet_etl_spark.sources.ingest import recover_swap, swap_publish
+
+    if not os.path.exists(store_path):
+        return 0
+    recover_swap(store_path)
+    df = spark.read.parquet(store_path)
+    maxb = df.agg(F.max("batch")).first()[0]
+    if maxb is None:
+        return 0
+    merged = (
+        df.select("hk", "value")
+        .orderBy("hk", "value")
+        .limit(QSAMPLE_K)
+        .withColumn("batch", F.lit(int(maxb)))
+        .coalesce(1)
+    )
+    swap_publish(
+        store_path,
+        lambda tmp: merged.write.mode("overwrite")
+        .partitionBy("batch")
+        .parquet(tmp),
+    )
+    return spark.read.parquet(store_path).count()

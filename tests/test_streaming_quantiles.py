@@ -107,3 +107,62 @@ def test_replay_is_idempotent(spark, tmp_path):
 def test_empty_store_reads_empty(spark, tmp_path):
     assert read_sample(spark, str(tmp_path / "missing")).collect() == []
     assert read_quantiles(spark, str(tmp_path / "missing")).collect() == []
+
+
+def test_compaction_preserves_sample(spark, tmp_path):
+    _stage(spark, tmp_path / "ev_stream")
+    store = str(tmp_path / "bottomk")
+    for b in range(3):
+        batch = (
+            spark.read.schema(EV_SCHEMA)
+            .parquet(str(tmp_path / "ev_stream"))
+            .filter(F.col("event_id") % 3 == b)
+        )
+        upsert_bottomk_batch(batch, b, store)
+    before = sorted(map(tuple, read_sample(spark, store).collect()))
+    from projet_etl_spark.streaming.quantiles import compact_sample_store
+
+    n = compact_sample_store(spark, store)
+    after = sorted(map(tuple, read_sample(spark, store).collect()))
+    assert after == before and n <= 1024
+    # compaction covers only committed batches, so the checkpoint can
+    # only replay NEWER batches afterwards (the documented
+    # precondition); a new batch 3 with fresh rows folds in correctly
+    fresh = spark.createDataFrame(
+        [(10_000_001, 0.01), (10_000_002, 999999.99)], EV_SCHEMA
+    )
+    upsert_bottomk_batch(fresh, 3, store)
+    grown = sorted(map(tuple, read_sample(spark, store).collect()))
+    want = sorted(
+        map(
+            tuple,
+            read_sample(spark, store)
+            .sparkSession.createDataFrame(before, "hk long, value double")
+            .unionByName(
+                spark.createDataFrame(
+                    [(10_000_001, 0.01), (10_000_002, 999999.99)], EV_SCHEMA
+                ).select(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.encode(
+                                    F.col("event_id").cast("string"), "UTF-8"
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    )
+                    .cast("long")
+                    .alias("hk"),
+                    "value",
+                )
+            )
+            .orderBy("hk", "value")
+            .limit(1024)
+            .collect(),
+        )
+    )
+    assert grown == want
