@@ -40,6 +40,14 @@ invariant to block assignment (integer addition is associative and
 commutative), so results are bit-identical at any parallelism and
 match a DECIMAL-summing DuckDB oracle exactly.
 
+Domain condition for PRODUCT sums: an integer unit product equals
+the DECIMAL(·,4) snap of the double product only while the product
+magnitude stays under ~4.5e11 in value — above that, the double
+product's own rounding error exceeds the half-grid snap radius
+(0.5e-4) and the two legitimately diverge. The engine's largest
+product is lineitem price² ≈ 1.1e10, a 40× margin; star.py's bound
+constants and tests/test_fixedpoint.py pin this.
+
 Plan shape: scan → hash-agg(keys, block) [long buffers, whole-stage
 codegen] → exchange → hash-agg(keys, block) → exchange(keys) →
 final merge. Versus the single DECIMAL aggregate this adds one

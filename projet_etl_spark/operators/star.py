@@ -41,13 +41,18 @@ from projet_etl_spark.sources.tables import load_table
 # blocks (domain knowledge, pinned against the data by
 # tests/test_fixedpoint.py::test_star_unit_bounds_hold; a looser
 # bound only shrinks the block size, never correctness):
-# extendedprice / totalprice < 150 000 value -> < 1.5e7 cents
-E2_MAX = 15_000_000
-# scale-4 money sums: units = cents x (100 +/- pct) <= cents x 110
-U4_MONEY = E2_MAX * 110
+# lineitem prices < $200k -> < 2e7 cents
+E2_MAX = 20_000_000
+# order totals / account balances < $1M -> < 1e8 cents
+TP2_MAX = 100_000_000
+# scale-4 money sums: units = cents x (100 +/- pct); totalprice is
+# the largest money column, so this bound covers every sum
+U4_MONEY = TP2_MAX * 110
 # charge at scale 6: cents x (100-disc) x (100+tax)
 U6_CHARGE = E2_MAX * 110 * 110
-# second moments at scale 4: cents^2 (price x price dominates)
+# second moments at scale 4: cents^2 (lineitem price^2 dominates;
+# also safely under the ~4.5e11-value snap-parity ceiling, see
+# functions/fixedpoint.py)
 U4_MOMENT = E2_MAX * E2_MAX
 
 REGION = "EUROPE"
@@ -937,7 +942,7 @@ def q_orders_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly = fixed_point_agg(
         orders,
         ["ym", "moy"],
-        [UnitSum("rev_dec", units("p"), 2, E2_MAX)],
+        [UnitSum("rev_dec", units("p"), 2, TP2_MAX)],
     )
     profile = monthly.groupBy("moy").agg(
         (
@@ -1042,7 +1047,7 @@ def q_orders_yoy_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").alias("p"),
         ),
         ["m"],
-        [UnitSum("urev", units("p"), 2, E2_MAX)],
+        [UnitSum("urev", units("p"), 2, TP2_MAX)],
     ).select("m", F.col("urev").cast("decimal(18,2)").alias("revenue"))
     prev = monthly.select(
         F.add_months(F.col("m"), 12).cast("timestamp").alias("m"),
@@ -1126,4 +1131,238 @@ def q_lineitem_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("urev").cast("decimal(18,4)").alias("revenue"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+# --- Q7: volume shipping between two nations -------------------------
+
+VOLUME_NATION_A = "NATION_3"
+VOLUME_NATION_B = "NATION_7"
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue flow between two named nations per direction and year
+    (TPC-H Q7 shape): lines shipped in the window where the supplier
+    sits in one nation and the customer in the other.
+
+    Scale shape: the two-nation filter lands on the broadcast nation
+    dim and prunes customer and supplier BEFORE the fact joins, so
+    the orderkey shuffle carries only the two nations' commerce; the
+    (supp, cust) pair filter is a residual on the already-joined
+    rows; year extraction is per-row arithmetic; revenue is the
+    fixed-point exact sum. Group count = 2 directions x years.
+    """
+    nations = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(VOLUME_NATION_A, VOLUME_NATION_B))
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nations), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.to_date("l_shipdate").between(DEFAULTS["debut"], DEFAULTS["fin"])
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.year(F.to_date("l_shipdate")).cast("long").alias("l_year"),
+            (units("l_extendedprice") * (100 - units("l_discount"))).alias(
+                "rev_units"
+            ),
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        fixed_point_agg(
+            joined,
+            ["supp_nation", "cust_nation", "l_year"],
+            [UnitSum("urev", F.col("rev_units"), 4, U4_MONEY)],
+            counts=[("n_items", None)],
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            F.col("urev").cast("double").alias("revenue"),
+            "n_items",
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# --- Q15: top supplier(s) by window revenue --------------------------
+
+
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) with the maximum revenue in the date window
+    (TPC-H Q15 shape) — the revenue view + WHERE total = MAX(total),
+    ties kept.
+
+    Scale shape: lineitem reduces to supplier grain FIRST (exact
+    fixed-point revenue); the global max is a 1-row broadcast
+    compared against the reduced series — never a partition-all
+    window over suppliers (supplier count grows with SF); the name
+    join enriches only the winners. Equality compares exact
+    decimals, so ties are engine-independent.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate").between(DEFAULTS["debut"], DEFAULTS["fin"])
+    )
+    per_supp = fixed_point_agg(
+        li,
+        ["l_suppkey"],
+        [
+            UnitSum(
+                "rev_dec",
+                units("l_extendedprice") * (100 - units("l_discount")),
+                4,
+                U4_MONEY,
+            )
+        ],
+    )
+    mx = per_supp.agg(F.max("rev_dec").alias("max_dec"))
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        per_supp.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_dec") == F.col("max_dec"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("rev_dec").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# --- Q17: small-quantity order revenue -------------------------------
+
+SMALL_ORDER_BRAND = "Brand#4"
+SMALL_ORDER_FRAC = 0.2
+
+
+def q_small_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average yearly revenue lost if small-quantity orders of one
+    brand's parts were not taken (TPC-H Q17 shape) — the correlated
+    scalar subquery (qty < 0.2 x that part's average) decorrelated
+    into a per-part aggregate joined back.
+
+    Scale shape: the brand filter prunes part on its scan and a
+    broadcast semi-join prunes lineitem BEFORE anything else; the
+    per-part average is an exact fixed-point sum/count at part
+    grain; the threshold join keys on partkey (AQE broadcasts the
+    brand-sized aggregate); the final sum is one fixed-point global
+    aggregate. The 0.2x threshold is one double expression mirrored
+    verbatim in the oracle, so the comparison is engine-identical.
+    """
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == SMALL_ORDER_BRAND)
+        .select("p_partkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+    )
+    per_part = fixed_point_agg(
+        li,
+        ["l_partkey"],
+        [UnitSum("uq", units("l_quantity") * 100, 4, 10**6)],
+        counts=[("cnt", None)],
+    ).select(
+        F.col("l_partkey").alias("t_partkey"),
+        (
+            F.lit(SMALL_ORDER_FRAC)
+            * (F.col("uq").cast("double") / F.col("cnt"))
+        ).alias("qty_threshold"),
+    )
+    small = li.join(
+        per_part, F.col("l_partkey") == F.col("t_partkey")
+    ).filter(F.col("l_quantity") < F.col("qty_threshold"))
+    return fixed_point_agg(
+        small,
+        [],
+        [UnitSum("ue", units("l_extendedprice") * 100, 4, U4_MONEY)],
+        counts=[("n_items", None)],
+    ).select(
+        (F.col("ue").cast("double") / F.lit(7.0)).alias("avg_yearly"),
+        F.col("n_items").cast("long").alias("n_items"),
+    )
+
+
+# --- Q22: wealthy customers who never ordered ------------------------
+
+
+def q_cold_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per market segment: customers whose account balance exceeds
+    the average POSITIVE balance but who placed no order in the date
+    window (TPC-H Q22 shape; the window replaces Q22's phone-prefix
+    country cut, which this schema lacks, and keeps the result
+    non-degenerate on a fixture where every customer has SOME order).
+
+    Scale shape: the positive-balance average is an exact fixed-point
+    sum/count on a 1-row broadcast; "no order in window" is a
+    left-anti join against the date-pruned orders scan keyed on
+    custkey (never NOT IN with its three-valued-logic trap); the
+    final aggregate groups the surviving customers by segment with
+    an exact balance sum.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    pos_avg = fixed_point_agg(
+        cust.filter(F.col("c_acctbal") > 0),
+        [],
+        [UnitSum("ub", units("c_acctbal") * 100, 4, TP2_MAX * 100)],
+        counts=[("cnt", None)],
+    ).select(
+        (F.col("ub").cast("double") / F.col("cnt")).alias("avg_bal")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.to_date("o_orderdate").between(DEFAULTS["debut"], DEFAULTS["fin"])
+        )
+        .select("o_custkey")
+    )
+    rich = cust.crossJoin(F.broadcast(pos_avg)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    cold = rich.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return (
+        fixed_point_agg(
+            cold,
+            ["c_mktsegment"],
+            [UnitSum("ub", units("c_acctbal") * 100, 4, TP2_MAX * 100)],
+            counts=[("n_custs", None)],
+        )
+        .select(
+            "c_mktsegment",
+            "n_custs",
+            F.col("ub").cast("double").alias("total_acctbal"),
+        )
+        .orderBy("c_mktsegment")
     )

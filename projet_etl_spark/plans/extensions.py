@@ -971,6 +971,85 @@ WHERE rnk <= {textstats.TFIDF_K}
 ORDER BY lang, rnk
 """
 
+_Q7_SQL = f"""
+WITH nations AS (
+    SELECT n_nationkey, n_name FROM nation
+    WHERE n_name IN ('{star.VOLUME_NATION_A}', '{star.VOLUME_NATION_B}')
+)
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nations sn ON s_nationkey = sn.n_nationkey
+JOIN nations cn ON c_nationkey = cn.n_nationkey
+WHERE CAST(l_shipdate AS DATE)
+      BETWEEN DATE '{_P2["debut"]}' AND DATE '{_P2["fin"]}'
+  AND sn.n_name <> cn.n_name
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+_Q15_SQL = f"""
+WITH per_supp AS (
+    SELECT l_suppkey,
+           SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                    AS DECIMAL(18,4))) AS rev_dec
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE)
+          BETWEEN DATE '{_P2["debut"]}' AND DATE '{_P2["fin"]}'
+    GROUP BY 1
+)
+SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_dec = (SELECT MAX(rev_dec) FROM per_supp)
+ORDER BY s_suppkey
+"""
+
+_Q17_SQL = f"""
+WITH li AS (
+    SELECT l_partkey, l_quantity, l_extendedprice
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = '{star.SMALL_ORDER_BRAND}'
+),
+per_part AS (
+    SELECT l_partkey AS t_partkey,
+           {star.SMALL_ORDER_FRAC!r}
+           * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+              / COUNT(*)) AS qty_threshold
+    FROM li GROUP BY 1
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+           AS avg_yearly,
+       COUNT(*) AS n_items
+FROM li JOIN per_part ON l_partkey = t_partkey
+WHERE l_quantity < qty_threshold
+"""
+
+_Q22_SQL = f"""
+WITH pos_avg AS (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+           / COUNT(*) AS avg_bal
+    FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_custs,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+           AS total_acctbal
+FROM customer, pos_avg
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      AND CAST(o_orderdate AS DATE)
+          BETWEEN DATE '{_P2["debut"]}' AND DATE '{_P2["fin"]}')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
 _Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
@@ -3492,6 +3571,30 @@ def build():
             decontam.q_decontaminate_embedding,
             _SEM_CONTAM_SQL,
             ("curation", "ann"),
+        ),
+        (
+            "volume-shipping-pairs",
+            star.q_volume_shipping,
+            _Q7_SQL,
+            ("olap", "join"),
+        ),
+        (
+            "top-supplier-revenue",
+            star.q_top_supplier_revenue,
+            _Q15_SQL,
+            ("olap",),
+        ),
+        (
+            "small-order-revenue",
+            star.q_small_order_revenue,
+            _Q17_SQL,
+            ("olap",),
+        ),
+        (
+            "cold-customers-segments",
+            star.q_cold_customers,
+            _Q22_SQL,
+            ("olap",),
         ),
         (
             "bm25-topk",

@@ -112,6 +112,10 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "decontaminate-embedding",
     "bm25-topk",
     "quantiles-hash-sample",
+    "volume-shipping-pairs",
+    "top-supplier-revenue",
+    "small-order-revenue",
+    "cold-customers-segments",
 )
 
 

@@ -390,6 +390,8 @@ _EMPTY_NONEMPTY_OK = {
     "disjunctive-parts-revenue",
     "token-zipf-fit",
     "parts-pareto",
+    # global aggregate: one (null, 0) row on empty input by SQL rule
+    "small-order-revenue",
 }
 
 

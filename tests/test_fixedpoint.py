@@ -213,7 +213,12 @@ def test_block_bits_bounds():
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-_money = st.integers(min_value=-(10**8), max_value=10**8).map(
+# values stay within ±1e5 so pairwise PRODUCTS stay under the
+# ~4.5e11 snap-parity ceiling (functions/fixedpoint.py docstring):
+# above it the DOUBLE product's own rounding error exceeds the
+# half-grid radius and integer-exact vs decimal-snap legitimately
+# diverge — outside the engine's domain, so outside the test's
+_money = st.integers(min_value=-(10**7), max_value=10**7).map(
     lambda c: c / 100.0
 )
 _rows = st.lists(
@@ -276,3 +281,24 @@ def test_fixed_point_equals_decimal_sum_on_random_data(spark, rows, parts):
         key=str,
     )
     assert got == want
+
+
+def test_star_unit_bounds_hold(spark):
+    """The domain bounds star.py feeds fixed_point_agg must dominate
+    the data: lineitem prices under E2_MAX cents, order totals and
+    balances under TP2_MAX cents."""
+    from projet_etl_spark.operators.star import E2_MAX, TP2_MAX
+
+    checks = [
+        ("lineitem", "l_extendedprice", E2_MAX),
+        ("orders", "o_totalprice", TP2_MAX),
+        ("customer", "c_acctbal", TP2_MAX),
+        ("supplier", "s_acctbal", TP2_MAX),
+    ]
+    for table, col, bound in checks:
+        mx = (
+            spark.read.parquet(f"{SF_SMALL}/{table}.parquet")
+            .agg(F.max(F.abs(F.col(col))))
+            .collect()[0][0]
+        )
+        assert mx * 100 < bound, (table, col, mx)

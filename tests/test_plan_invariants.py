@@ -59,6 +59,10 @@ BNLJ_ALLOWED = {
     "decontaminate-embedding",
     # 1-row broadcast of the corpus stats (N, sum_dl -> avgdl)
     "bm25-topk",
+    # 1-row broadcast of the max supplier revenue (ties kept)
+    "top-supplier-revenue",
+    # 1-row broadcast of the positive-balance average
+    "cold-customers-segments",
 }
 
 
