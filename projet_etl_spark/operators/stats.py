@@ -247,6 +247,10 @@ def q_events_props_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.from_json(F.col("props"), "k INT").getField("k").alias("k"),
     )
+    return _props_k_agg(ev)
+
+
+def _props_k_agg(ev: DataFrame) -> DataFrame:
     return (
         ev.groupBy("event_type")
         .agg(
@@ -259,6 +263,32 @@ def q_events_props_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def q_events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VARIANT twin of events-props-parse: the props column
+    parses ONCE into Spark 4's binary VariantType
+    (``try_parse_json``) and fields extract with ``try_variant_get``
+    path expressions — the open-schema path for logs whose property
+    set drifts, where re-running from_json with a widened schema per
+    reader is the anti-pattern. Null semantics match PERMISSIVE
+    from_json exactly (malformed or missing -> NULL, counted not
+    dropped), so the query shares events-props-parse's oracle —
+    the engine's proof that both JSON surfaces agree.
+
+    Scale shape: identical to the from_json twin — per-row JVM
+    expressions inside the scan projection, map-side-combined
+    aggregate on the type key. At 100 TB the variant binary would be
+    materialized once at ingest and every reader does path
+    extraction only.
+    """
+    ev = events(spark, sf_dir).select(
+        "event_type",
+        F.try_variant_get(
+            F.try_parse_json(F.col("props")), "$.k", "int"
+        ).alias("k"),
+    )
+    return _props_k_agg(ev)
 
 
 RANGE_WINDOW_DAYS = 7

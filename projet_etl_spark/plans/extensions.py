@@ -3597,6 +3597,12 @@ def build():
             ("olap",),
         ),
         (
+            "events-props-variant",
+            stats.q_events_props_variant,
+            _PROPS_SQL,
+            ("stats", "variant"),
+        ),
+        (
             "bm25-topk",
             retrieval.q_bm25_topk,
             retrieval.BM25_ORACLE_SQL,

@@ -116,6 +116,7 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "top-supplier-revenue",
     "small-order-revenue",
     "cold-customers-segments",
+    "events-props-variant",
 )
 
 

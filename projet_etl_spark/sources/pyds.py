@@ -1,0 +1,142 @@
+"""Python Data Source connector for the reference's whitespace-CSV
+format (Spark 4 ``pyspark.sql.datasource`` API).
+
+``sources/ingest.read_whitespace_csv`` reads this format through
+``spark.read.text`` + JVM regex splitting — the fast path. THIS
+module is the connector form of the same contract: a registered
+``wscsv`` format usable as ``spark.read.format("wscsv")``, which is
+what "add a source the engine doesn't ship" looks like on Spark 4 —
+no JVM code, executor-side Python readers, one input partition per
+file so a directory of shards scans in parallel.
+
+Differences from the text-scan path (both pinned by
+tests/test_pyds.py):
+
+- per-file headers may order columns DIFFERENTLY — the connector
+  maps each file's tokens to the schema by (lowercased) name, where
+  the text-scan path refuses mixed headers outright (it cannot know
+  which line came from which file after the union);
+- rows materialize in executor Python, so the JVM path remains the
+  100 TB hot path; the connector is the extensibility story (and
+  the right template for sources with no JVM reader at all —
+  bespoke binary logs, internal APIs, instrument captures).
+
+Semantics shared with read_whitespace_csv: lowercased header names,
+regex-whitespace delimiters, blank lines dropped, DateType fields
+parsed from ``date_format`` (default yyyyMMdd), other fields cast
+to the schema type, malformed numerics -> NULL (PERMISSIVE).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from datetime import datetime
+from typing import Iterator
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
+
+_FORMAT_NAME = "wscsv"
+
+
+def _list_files(path: str) -> list[str]:
+    if os.path.isdir(path):
+        out = [
+            os.path.join(path, f)
+            for f in sorted(os.listdir(path))
+            if not f.startswith((".", "_"))
+        ]
+    else:
+        out = sorted(glob.glob(path)) or [path]
+    return [f for f in out if os.path.isfile(f)]
+
+
+def _parse_cell(raw: str, dtype: T.DataType, date_format: str):
+    if raw == "":
+        return None
+    try:
+        if isinstance(dtype, T.DateType):
+            return datetime.strptime(raw, date_format).date()
+        if isinstance(dtype, (T.IntegerType, T.LongType, T.ShortType)):
+            return int(raw)
+        if isinstance(dtype, (T.DoubleType, T.FloatType)):
+            return float(raw)
+        if isinstance(dtype, T.BooleanType):
+            return raw.lower() in ("1", "true", "t", "yes")
+    except ValueError:
+        return None  # PERMISSIVE: malformed cell -> NULL
+    return raw
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, file_path: str):
+        self.file_path = file_path
+
+
+class WhitespaceCSVReader(DataSourceReader):
+    def __init__(self, schema: T.StructType, options: dict):
+        self.schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("wscsv: 'path' option is required")
+        # strptime directive form of the ingest default yyyyMMdd
+        self.date_format = options.get("dateformat", "%Y%m%d")
+
+    def partitions(self):
+        files = _list_files(self.path)
+        if not files:
+            raise FileNotFoundError(f"wscsv: no input files under {self.path!r}")
+        return [_FilePartition(f) for f in files]
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        by_name = {f.name.lower(): f for f in self.schema.fields}
+        out_names = [f.name for f in self.schema.fields]
+        with open(partition.file_path, "r", encoding="utf-8") as fh:
+            header = None
+            for line in fh:
+                toks = line.strip().split()
+                if not toks:
+                    continue
+                if header is None:
+                    header = [t.lower() for t in toks]
+                    unknown = [n for n in header if n not in by_name]
+                    if unknown:
+                        raise ValueError(
+                            f"wscsv: header columns {unknown} of "
+                            f"{partition.file_path!r} not in schema"
+                        )
+                    continue
+                cells = dict(zip(header, toks))
+                yield tuple(
+                    _parse_cell(
+                        cells.get(n.lower(), ""),
+                        by_name[n.lower()].dataType,
+                        self.date_format,
+                    )
+                    for n in out_names
+                )
+
+
+class WhitespaceCSVDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return _FORMAT_NAME
+
+    def schema(self):
+        raise ValueError(
+            "wscsv: pass an explicit schema via spark.read.schema(...) — "
+            "whitespace CSV carries no type information to infer from"
+        )
+
+    def reader(self, schema: T.StructType) -> WhitespaceCSVReader:
+        return WhitespaceCSVReader(schema, self.options)
+
+
+def register(spark) -> None:
+    """Idempotently register the ``wscsv`` format on a session."""
+    spark.dataSource.register(WhitespaceCSVDataSource)
