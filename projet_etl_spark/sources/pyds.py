@@ -136,7 +136,103 @@ class WhitespaceCSVDataSource(DataSource):
     def reader(self, schema: T.StructType) -> WhitespaceCSVReader:
         return WhitespaceCSVReader(schema, self.options)
 
+    def writer(self, schema: T.StructType, overwrite: bool):
+        if overwrite:
+            path = self.options.get("path")
+            if path and os.path.isdir(path):
+                for f in os.listdir(path):
+                    if f.endswith(".txt") or f == "_SUCCESS":
+                        os.remove(os.path.join(path, f))
+        return WhitespaceCSVWriter(schema, self.options, overwrite)
+
 
 def register(spark) -> None:
     """Idempotently register the ``wscsv`` format on a session."""
     spark.dataSource.register(WhitespaceCSVDataSource)
+
+
+# --- writer ----------------------------------------------------------
+#
+# The write half of the connector: each partition writes one
+# header-ful whitespace file with a unique name directly into the
+# target directory; commit() publishes a _SUCCESS marker, abort()
+# removes the files its commit messages name (the task-temp +
+# driver-commit shape of a real FileCommitProtocol, collapsed to the
+# single-filesystem case — object-store deployments swap in a
+# manifest commit). Nulls in numeric/date cells round-trip as the
+# literal ``NA`` (the PERMISSIVE reader parses it back to NULL);
+# strings cannot hold whitespace or represent NULL in this format,
+# so the writer REFUSES them loudly instead of corrupting columns.
+
+from dataclasses import dataclass  # noqa: E402
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+_NA = "NA"
+
+
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    file_path: str
+    rows: int
+
+
+def _format_cell(v, dtype: T.DataType, date_format: str) -> str:
+    if v is None:
+        if isinstance(dtype, T.StringType):
+            raise ValueError(
+                "wscsv cannot represent NULL strings — filter or fill first"
+            )
+        return _NA
+    if isinstance(dtype, T.DateType):
+        return v.strftime(date_format)
+    s = str(v)
+    if any(ch.isspace() for ch in s):
+        raise ValueError(
+            f"wscsv cell {s!r} contains whitespace — the format cannot "
+            "hold it; clean the column first"
+        )
+    return s
+
+
+class WhitespaceCSVWriter(DataSourceWriter):
+    def __init__(self, schema: T.StructType, options: dict, overwrite: bool):
+        self.schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("wscsv: 'path' option is required")
+        self.date_format = options.get("dateformat", "%Y%m%d")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _FileCommit:
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        fname = os.path.join(self.path, f"part-{uuid.uuid4().hex}.txt")
+        names = [f.name for f in self.schema.fields]
+        dtypes = [f.dataType for f in self.schema.fields]
+        n = 0
+        with open(fname, "w", encoding="utf-8") as fh:
+            fh.write(" ".join(c.upper() for c in names) + "\n")
+            for row in iterator:
+                fh.write(
+                    " ".join(
+                        _format_cell(row[i], dtypes[i], self.date_format)
+                        for i in range(len(names))
+                    )
+                    + "\n"
+                )
+                n += 1
+        return _FileCommit(file_path=fname, rows=n)
+
+    def commit(self, messages) -> None:
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            fh.write(f"{sum(m.rows for m in messages)}\n")
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.file_path):
+                os.remove(m.file_path)

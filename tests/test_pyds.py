@@ -100,3 +100,49 @@ def test_schema_required(spark, staged):
     register(spark)
     with pytest.raises(Exception, match="explicit schema"):
         spark.read.format("wscsv").load(staged).collect()
+
+
+def test_write_round_trip(spark, tmp_path):
+    register(spark)
+    src = spark.createDataFrame(
+        [
+            ("2024-01-15", 7, 101, 1.5),
+            ("2024-01-16", None, 102, 2.25),
+            ("2024-01-17", 9, 103, None),
+        ],
+        "d string, prodid long, magid long, score double",
+    ).selectExpr("CAST(d AS DATE) AS dateid", "prodid", "magid", "score")
+    out = str(tmp_path / "out")
+    src.write.format("wscsv").mode("overwrite").save(out)
+    import os
+
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    back = spark.read.format("wscsv").schema(SCHEMA).load(out)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, src.collect())
+    )
+
+
+def test_write_overwrite_replaces(spark, tmp_path):
+    register(spark)
+    out = str(tmp_path / "out")
+    a = spark.createDataFrame([(1,)], "prodid long")
+    b = spark.createDataFrame([(2,)], "prodid long")
+    a.write.format("wscsv").mode("overwrite").save(out)
+    b.write.format("wscsv").mode("overwrite").save(out)
+    got = (
+        spark.read.format("wscsv")
+        .schema("prodid long")
+        .load(out)
+        .collect()
+    )
+    assert [r.prodid for r in got] == [2]
+
+
+def test_write_refuses_whitespace_strings(spark, tmp_path):
+    register(spark)
+    df = spark.createDataFrame([("two words",)], "name string")
+    with pytest.raises(Exception, match="whitespace"):
+        df.write.format("wscsv").mode("overwrite").save(
+            str(tmp_path / "bad")
+        )
