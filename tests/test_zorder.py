@@ -18,7 +18,12 @@ from pyspark.sql import functions as F
 from projet_etl_spark.sources.zorder import zorder_by, zorder_write
 from tests.conftest import SF_SMALL
 
-N_FILES = 8
+# 16 files = 4 Morton prefix bits -> BOTH dimensions split 4-ways,
+# so a 1/8-width probe on either column expects ~4-6 files after
+# range-boundary spill; 8 files would give the leading dimension a
+# single split level and leave the half-files assertion at the mercy
+# of repartitionByRange's sampling jitter
+N_FILES = 16
 
 
 def _file_ranges(path: str, col: str) -> list[tuple[float, float]]:
