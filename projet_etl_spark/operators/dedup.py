@@ -498,7 +498,10 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # eager: both verify sides + the band pass reuse it
     withn = eager_persist(emb.withColumn("n2", fold_norm2("v")))
-    bands = _rp_band_keys(withn)
+    # the signature pass is the expensive map (16 interpreted fold
+    # dots/row — higher-order functions don't codegen); persist the
+    # BANDS too so the self-join's two sides don't each recompute it
+    bands = eager_persist(_rp_band_keys(withn))
     left = bands.select(F.col("vec_id").alias("vec_a"), "band", "key")
     right = bands.select(F.col("vec_id").alias("vec_b"), "band", "key")
     cands = (
@@ -659,3 +662,56 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def rp_signatures_arrow(emb: DataFrame) -> DataFrame:
+    """(vec_id, sig) 16-bit random-hyperplane signatures via ONE
+    Arrow-batched numpy matmul per batch — the production scale path
+    for the signature pass.
+
+    The registry query keeps the JVM fold form because its
+    left-to-right float association is what the DuckDB oracle
+    replays; numpy's blocked summation can differ by ~1 ulp, which
+    only matters for a dot EXACTLY at the sign boundary. Real
+    embedding dots sit far from 0 (the fixture's closest |dot| is
+    checked by tests/test_round6b_ops.py, which pins this twin
+    bit-identical to the fold path), so at 100 TB this is the pass
+    to run: ~0.6 ms/row of interpreted higher-order-function fold
+    becomes one BLAS matmul per Arrow batch.
+    """
+    import numpy as np
+    import pandas as pd
+
+    w = np.array(
+        [
+            [float(rp_weight(h, i)) for i in range(1, 65)]
+            for h in range(RP_BITS)
+        ]
+    ).T  # 64 x 16
+
+    def batches(it):
+        for pdf in it:
+            mat = np.vstack(pdf["v"].to_numpy())  # n x 64
+            bits = (mat.astype(np.float64) @ w) >= 0  # n x 16
+            sig = np.zeros(len(pdf), dtype=np.int64)
+            for h in range(RP_BITS):
+                sig = (sig << 1) | bits[:, h].astype(np.int64)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "sig": sig})
+
+    return emb.select("vec_id", "v").mapInPandas(
+        batches, "vec_id long, sig long"
+    )
+
+
+def rp_signatures_fold(emb: DataFrame) -> DataFrame:
+    """(vec_id, sig) via the oracle-exact fold dots — the band keys'
+    bit source packed into one integer for comparison with the
+    Arrow twin."""
+    bands = _rp_band_keys(emb)
+    packed = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("band", "key"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: F.shiftleft(acc, RP_BAND_BITS)
+        .bitwiseOR(x["key"].cast("long")),
+    )
+    return bands.groupBy("vec_id").agg(packed.alias("sig"))
