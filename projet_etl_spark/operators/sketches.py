@@ -235,3 +235,189 @@ SELECT unnest(list_filter(CAST({QSAMPLE_QS!r} AS DOUBLE[]),
 FROM ranked
 ORDER BY q
 """
+
+
+# --- KMV set algebra: intersection estimates -------------------------
+
+
+def q_distinct_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise distinct-user INTERSECTION estimates between event
+    types from K-minimum-values sketches, audited against the exact
+    counts — the sketch-algebra completion of distinct-kmv: two KMV
+    sketches answer |A ∪ B| (bottom-K of the sketch union IS the
+    union's sketch) and Jaccard (fraction of the union sketch present
+    in both sides), so |A ∩ B| ≈ J x U with no second pass over the
+    data. Like every sketch here, the contents are portable md5
+    minima, so estimates are bit-identical across engines and pass a
+    hard value gate; when the union holds fewer than K hashes the
+    small-set rule makes them exact.
+
+    Scale shape: per-type sketches are K rows each (the same bounded
+    state distinct-kmv maintains — mergeable map-side); all pair
+    arithmetic runs on type_pairs x K rows, independent of corpus
+    size. The exact side (a user-grain self-join) exists to audit
+    the estimate at test scale; production keeps only the sketches.
+    """
+    from pyspark.sql import Window
+
+    from projet_etl_spark.functions.text import portable_hash60
+    from projet_etl_spark.sources.tables import events
+
+    ev = events(spark, sf_dir).select("event_type", "user_id").distinct()
+    hashes = ev.select(
+        "event_type",
+        portable_hash60(F.col("user_id").cast("string")).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .select("event_type", "h")
+    )
+    types = sk.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .crossJoin(
+            F.broadcast(types.select(F.col("event_type").alias("type_b")))
+        )
+        .filter(F.col("type_a") < F.col("type_b"))
+    )
+    ua = pairs.join(
+        sk.select(F.col("event_type").alias("type_a"), "h"), "type_a"
+    ).select("type_a", "type_b", "h")
+    ub = pairs.join(
+        sk.select(F.col("event_type").alias("type_b"), "h"), "type_b"
+    ).select("type_a", "type_b", "h")
+    union = ua.unionByName(ub).distinct()
+    wp = Window.partitionBy("type_a", "type_b").orderBy("h")
+    kept = union.withColumn("rn", F.row_number().over(wp)).filter(
+        F.col("rn") <= KMV_K
+    )
+    in_a = kept.join(
+        sk.select(F.col("event_type").alias("type_a"), "h"),
+        ["type_a", "h"],
+        "left_semi",
+    ).select("type_a", "type_b", "h")
+    in_both = in_a.join(
+        sk.select(F.col("event_type").alias("type_b"), "h"),
+        ["type_b", "h"],
+        "left_semi",
+    )
+    matches = in_both.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_match")
+    )
+    stats = kept.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("long").alias("k_u"),
+        F.max(F.when(F.col("rn") == KMV_K, F.col("h"))).alias("h_k"),
+    )
+    exact = (
+        ev.select(F.col("event_type").alias("type_a"), "user_id")
+        .join(
+            ev.select(F.col("event_type").alias("type_b"), "user_id"),
+            "user_id",
+        )
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
+    )
+    union_est = F.when(
+        F.col("k_u") < KMV_K, F.col("k_u").cast("double")
+    ).otherwise(
+        F.lit(float(KMV_K - 1))
+        / (F.col("h_k").cast("double") / F.lit(float(1 << 60)))
+    )
+    jacc = F.col("n_match").cast("double") / F.col("k_u").cast("double")
+    est = jacc * union_est
+    return (
+        stats.join(matches, ["type_a", "type_b"], "left")
+        .withColumn("n_match", F.coalesce(F.col("n_match"), F.lit(0)))
+        .join(exact, ["type_a", "type_b"], "left")
+        .withColumn("n_exact", F.coalesce(F.col("n_exact"), F.lit(0)))
+        .select(
+            "type_a",
+            "type_b",
+            "n_exact",
+            F.round(est, 6).alias("n_est"),
+            F.round(
+                F.abs(est - F.col("n_exact").cast("double"))
+                / F.greatest(F.col("n_exact").cast("double"), F.lit(1.0)),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+KMV_INTERSECT_ORACLE_SQL = f"""
+WITH ev AS (SELECT DISTINCT event_type, user_id FROM events),
+hashes AS (
+    SELECT DISTINCT event_type,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+    FROM ev
+),
+sk AS (
+    SELECT event_type, h FROM (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM hashes) WHERE rn <= {KMV_K}
+),
+types AS (SELECT DISTINCT event_type FROM sk),
+pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b
+    FROM types a, types b WHERE a.event_type < b.event_type
+),
+un AS (
+    SELECT DISTINCT type_a, type_b, h FROM (
+        SELECT p.type_a, p.type_b, s.h
+        FROM pairs p JOIN sk s ON s.event_type = p.type_a
+        UNION ALL
+        SELECT p.type_a, p.type_b, s.h
+        FROM pairs p JOIN sk s ON s.event_type = p.type_b)
+),
+kept AS (
+    SELECT * FROM (
+        SELECT type_a, type_b, h,
+               row_number() OVER (
+                   PARTITION BY type_a, type_b ORDER BY h) AS rn
+        FROM un) WHERE rn <= {KMV_K}
+),
+matches AS (
+    SELECT k.type_a, k.type_b, COUNT(*) AS n_match
+    FROM kept k
+    WHERE EXISTS (SELECT 1 FROM sk WHERE event_type = k.type_a AND h = k.h)
+      AND EXISTS (SELECT 1 FROM sk WHERE event_type = k.type_b AND h = k.h)
+    GROUP BY 1, 2
+),
+stats AS (
+    SELECT type_a, type_b, COUNT(*) AS k_u,
+           MAX(CASE WHEN rn = {KMV_K} THEN h END) AS h_k
+    FROM kept GROUP BY 1, 2
+),
+exact AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(DISTINCT a.user_id) AS n_exact
+    FROM ev a JOIN ev b ON a.user_id = b.user_id
+    WHERE a.event_type < b.event_type
+    GROUP BY 1, 2
+),
+est AS (
+    SELECT s.type_a, s.type_b,
+           COALESCE(e.n_exact, 0) AS n_exact,
+           (CAST(COALESCE(m.n_match, 0) AS DOUBLE) / CAST(s.k_u AS DOUBLE))
+           * (CASE WHEN s.k_u < {KMV_K} THEN CAST(s.k_u AS DOUBLE)
+                   ELSE CAST({KMV_K - 1} AS DOUBLE)
+                        / (CAST(s.h_k AS DOUBLE)
+                           / CAST({float(1 << 60)} AS DOUBLE)) END)
+               AS raw_est
+    FROM stats s
+    LEFT JOIN matches m ON s.type_a = m.type_a AND s.type_b = m.type_b
+    LEFT JOIN exact e ON s.type_a = e.type_a AND s.type_b = e.type_b
+)
+SELECT type_a, type_b,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       round(raw_est, 6) AS n_est,
+       round(abs(raw_est - CAST(n_exact AS DOUBLE))
+             / greatest(CAST(n_exact AS DOUBLE), 1.0), 6) AS rel_err
+FROM est
+ORDER BY type_a, type_b
+"""

@@ -3603,6 +3603,12 @@ def build():
             ("stats", "variant"),
         ),
         (
+            "distinct-kmv-intersect",
+            sketches.q_distinct_kmv_intersect,
+            sketches.KMV_INTERSECT_ORACLE_SQL,
+            ("sketch", "stats"),
+        ),
+        (
             "bm25-topk",
             retrieval.q_bm25_topk,
             retrieval.BM25_ORACLE_SQL,

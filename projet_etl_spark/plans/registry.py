@@ -117,6 +117,7 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "small-order-revenue",
     "cold-customers-segments",
     "events-props-variant",
+    "distinct-kmv-intersect",
 )
 
 

@@ -61,6 +61,8 @@ BNLJ_ALLOWED = {
     "bm25-topk",
     # 1-row broadcast of the max supplier revenue (ties kept)
     "top-supplier-revenue",
+    # event-type-count broadcast cross (pair enumeration)
+    "distinct-kmv-intersect",
     # 1-row broadcast of the positive-balance average
     "cold-customers-segments",
 }
@@ -79,6 +81,7 @@ BNLJ_BUILD_ROW_BOUND = {
     "ann-ivf-recall": 64,
     "dedup-embedding-cosine": 4096,
     "decontaminate-embedding": 64,  # the EVAL_VECS eval block
+    "distinct-kmv-intersect": 64,  # the event-type list (pair cross)
 }
 BNLJ_DEFAULT_BOUND = 1  # everything else broadcasts a 1-row aggregate
 

@@ -89,3 +89,20 @@ def test_hash_sample_is_mergeable(spark):
         )
     merged = sorted(parts)[:QSAMPLE_K]
     assert merged == sorted(full)
+
+
+def test_kmv_intersection_accuracy(spark):
+    """Every pairwise intersection estimate must land within ~3
+    sigma of the K=64 KMV estimator (rel_err < 0.35), and pairs
+    whose union fits inside the sketch must be exact."""
+    from projet_etl_spark.operators.sketches import (
+        KMV_K,
+        q_distinct_kmv_intersect,
+    )
+
+    rows = q_distinct_kmv_intersect(spark, SF_SMALL).collect()
+    assert rows, "fixture has at least two event types"
+    for r in rows:
+        assert r.rel_err < 0.35, (r.type_a, r.type_b, r.rel_err)
+        if r.n_exact < KMV_K // 2:
+            assert r.rel_err == 0.0
