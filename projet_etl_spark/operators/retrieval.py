@@ -64,16 +64,36 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", tokens(F.col("text")).alias("toks")
     )
     doclen = docs.select("doc_id", F.size("toks").alias("dl"))
-    stats = doclen.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
-    )
     qterms = spark.createDataFrame(_query_terms(), "qid long, token string")
     terms = docs.select("doc_id", F.explode("toks").alias("token"))
     post = terms.join(
         F.broadcast(qterms.select("token").distinct()), "token", "left_semi"
     )
     tf = post.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfq = post.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    return bm25_rank(spark, tf, doclen)
+
+
+def bm25_rank(spark: SparkSession, tf: DataFrame, doclen: DataFrame) -> DataFrame:
+    """BM25 top-k from pre-aggregated inputs — shared by the batch
+    query (pruned postings computed from text) and the streaming
+    postings store read (streaming/postings.py), so store->query
+    parity is literally the same scoring code over a different
+    postings source.
+
+    ``tf``: (doc_id, token, tf) covering AT LEAST the query terms —
+    extra tokens are pruned here, and per-term df over the pruned
+    postings equals df over the full index (pruning doesn't change
+    which docs contain a query term). ``doclen``: (doc_id, dl) for
+    the WHOLE corpus (N and avgdl are corpus stats).
+    """
+    qterms = spark.createDataFrame(_query_terms(), "qid long, token string")
+    tf = tf.join(
+        F.broadcast(qterms.select("token").distinct()), "token", "left_semi"
+    )
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    dfq = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
 
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
     idf = F.log(

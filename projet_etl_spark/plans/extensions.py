@@ -3609,6 +3609,12 @@ def build():
             ("sketch", "stats"),
         ),
         (
+            "bm25-store",
+            storequery.q_bm25_store,
+            retrieval.BM25_ORACLE_SQL,
+            ("streaming", "retrieval"),
+        ),
+        (
             "bm25-topk",
             retrieval.q_bm25_topk,
             retrieval.BM25_ORACLE_SQL,

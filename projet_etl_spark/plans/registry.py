@@ -118,6 +118,7 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "cold-customers-segments",
     "events-props-variant",
     "distinct-kmv-intersect",
+    "bm25-store",
 )
 
 

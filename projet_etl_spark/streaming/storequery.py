@@ -204,3 +204,58 @@ def q_neardedup_pairs_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = ensure_neardedup_pairs(spark, sf_dir)
     return read_pairs(spark, pairs).orderBy("doc_a", "doc_b")
+
+
+# --- BM25 over the streaming postings store --------------------------
+
+POSTINGS_ROOT = os.path.join(os.path.dirname(STORE_ROOT), "bm25_postings")
+
+
+def ensure_postings_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse) the streaming-written inverted-postings store
+    for ``sf_dir`` (fingerprint-keyed on documents.parquet, same
+    refresh-cost accounting as the other stores)."""
+    from projet_etl_spark.streaming.postings import stream_postings
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    fp = f"{st.st_size}:{st.st_mtime_ns}"
+    name = os.path.basename(os.path.normpath(sf_dir)) or "root"
+    root = os.path.join(POSTINGS_ROOT, name)
+    marker = os.path.join(root, "_SOURCE")
+    store = os.path.join(root, "store")
+    try:
+        with open(marker, encoding="utf-8") as f:
+            if f.read() == fp:
+                return store
+    except OSError:
+        pass
+    shutil.rmtree(root, ignore_errors=True)
+    chunks = os.path.join(root, "chunks")
+    _stage_doc_chunks(sf_dir, chunks)
+    q = stream_postings(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunks),
+        store,
+        os.path.join(root, "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination()
+    with open(marker, "w", encoding="utf-8") as f:
+        f.write(fp)
+    return store
+
+
+def q_bm25_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k served from the incremental inverted index the
+    postings stream maintains. Documents land in exactly one
+    micro-batch, so the union of per-batch postings partials IS the
+    full index; the scoring stage is literally the batch query's
+    bm25_rank over a different postings source — and the query
+    shares bm25-topk's ORACLE, so a green driver row proves
+    incremental indexing serves the identical ranking end to end.
+    """
+    from projet_etl_spark.streaming.postings import bm25_from_store
+
+    store = ensure_postings_store(spark, sf_dir)
+    return bm25_from_store(spark, store)

@@ -59,6 +59,8 @@ BNLJ_ALLOWED = {
     "decontaminate-embedding",
     # 1-row broadcast of the corpus stats (N, sum_dl -> avgdl)
     "bm25-topk",
+    # same scoring subtree served from the postings store
+    "bm25-store",
     # 1-row broadcast of the max supplier revenue (ties kept)
     "top-supplier-revenue",
     # event-type-count broadcast cross (pair enumeration)
