@@ -1366,3 +1366,64 @@ def q_cold_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --- dominant-supplier concentration audit ---------------------------
+
+
+def q_dominant_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per brand: how many shipped parts have a single supplier
+    carrying a MAJORITY of the shipped quantity (supply-chain
+    concentration — the single-source-risk audit; TPC-H Q20's
+    part/supplier volume shape turned into a dominance test).
+
+    Scale shape: lineitem reduces to (partkey, suppkey) exact
+    fixed-point quantity sums FIRST (map-side combined); the per-part
+    max/total run over that supplier-grain reduction (dimension-
+    sized at any fact volume); dominance compares 2x the max against
+    the total IN EXACT DECIMAL — no float ratio, no tie ambiguity —
+    and the brand rollup joins the part dim broadcast-style at the
+    end.
+    """
+    per_ps = fixed_point_agg(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_partkey", "l_suppkey"],
+        [UnitSum("q", units("l_quantity"), 2, 10**6)],
+    )
+    per_part = per_ps.groupBy("l_partkey").agg(
+        F.sum("q").alias("total_q"),
+        F.max("q").alias("max_q"),
+        F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    flagged = per_part.join(
+        part, F.col("l_partkey") == F.col("p_partkey")
+    ).select(
+        "p_brand",
+        "total_q",
+        "max_q",
+        (F.col("max_q") * 2 >= F.col("total_q")).cast("int").alias("dom"),
+    )
+    return (
+        flagged.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("dom").cast("long").alias("n_dominated"),
+            F.sum("max_q").alias("sum_max_q"),
+            F.sum("total_q").alias("sum_total_q"),
+        )
+        .select(
+            "p_brand",
+            "n_parts",
+            "n_dominated",
+            # continuous concentration signal from two EXACT decimal
+            # sums and one double division (stays meaningful when no
+            # part crosses the majority line)
+            F.round(
+                F.col("sum_max_q").cast("double")
+                / F.col("sum_total_q").cast("double"),
+                6,
+            ).alias("top_share"),
+        )
+        .orderBy("p_brand")
+    )

@@ -971,6 +971,27 @@ WHERE rnk <= {textstats.TFIDF_K}
 ORDER BY lang, rnk
 """
 
+_DOMINANT_SQL = """
+WITH per_ps AS (
+    SELECT l_partkey, l_suppkey,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+    FROM lineitem GROUP BY 1, 2
+),
+per_part AS (
+    SELECT l_partkey, SUM(q) AS total_q, MAX(q) AS max_q
+    FROM per_ps GROUP BY 1
+)
+SELECT p_brand,
+       COUNT(*) AS n_parts,
+       CAST(SUM(CASE WHEN max_q * 2 >= total_q THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dominated,
+       round(CAST(SUM(max_q) AS DOUBLE)
+             / CAST(SUM(total_q) AS DOUBLE), 6) AS top_share
+FROM per_part JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
 _Q7_SQL = f"""
 WITH nations AS (
     SELECT n_nationkey, n_name FROM nation
@@ -3613,6 +3634,12 @@ def build():
             storequery.q_bm25_store,
             retrieval.BM25_ORACLE_SQL,
             ("streaming", "retrieval"),
+        ),
+        (
+            "dominant-supplier-parts",
+            star.q_dominant_supplier_parts,
+            _DOMINANT_SQL,
+            ("olap",),
         ),
         (
             "bm25-topk",

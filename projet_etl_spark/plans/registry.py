@@ -119,6 +119,7 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "events-props-variant",
     "distinct-kmv-intersect",
     "bm25-store",
+    "dominant-supplier-parts",
 )
 
 
