@@ -87,6 +87,10 @@ def bm25_rank(spark: SparkSession, tf: DataFrame, doclen: DataFrame) -> DataFram
     the WHOLE corpus (N and avgdl are corpus stats).
     """
     qterms = spark.createDataFrame(_query_terms(), "qid long, token string")
+    # prune to query terms (a no-op when the caller pre-pruned, as
+    # the batch query does before aggregating tf — the semi-join on
+    # an already-tiny tf costs nothing and keeps this function safe
+    # for FULL postings sources like the streaming store)
     tf = tf.join(
         F.broadcast(qterms.select("token").distinct()), "token", "left_semi"
     )

@@ -1280,7 +1280,13 @@ def q_small_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_brand") == SMALL_ORDER_BRAND)
         .select("p_partkey")
     )
-    li = (
+    from projet_etl_spark.cache import eager_persist
+
+    # both the per-part average AND the threshold filter scan this
+    # join — persist so the fact scan runs once (the dedup
+    # staged-materialization discipline; an intermediate table at
+    # warehouse scale)
+    li = eager_persist(
         load_table(spark, sf_dir, "lineitem")
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .select("l_partkey", "l_quantity", "l_extendedprice")
@@ -1391,9 +1397,7 @@ def q_dominant_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         [UnitSum("q", units("l_quantity"), 2, 10**6)],
     )
     per_part = per_ps.groupBy("l_partkey").agg(
-        F.sum("q").alias("total_q"),
-        F.max("q").alias("max_q"),
-        F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
+        F.sum("q").alias("total_q"), F.max("q").alias("max_q")
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     flagged = per_part.join(

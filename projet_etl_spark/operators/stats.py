@@ -64,9 +64,11 @@ def q_events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     var > 0 on BOTH sides removes the divergence: degenerate strata
     produce no anomalies in either engine."""
     ev = events(spark, sf_dir).select("event_id", "event_type", "value")
-    # value is 2-dp (pinned: tests/test_fixedpoint.py); the moments
-    # run in exact integer units (functions/fixedpoint.py) — same
-    # snapped values the DECIMAL(18,2)/(18,4) casts produced
+    # value is 2-dp and <= $1000 (both pinned per column by
+    # tests/test_fixedpoint.py::test_money_columns_on_2dp_grid and
+    # test_star_unit_bounds_hold); the moments run in exact integer
+    # units (functions/fixedpoint.py) — same snapped values the
+    # DECIMAL(18,2)/(18,4) casts produced
     v2 = units("value")
     m = fixed_point_agg(
         ev,

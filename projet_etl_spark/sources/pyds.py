@@ -56,8 +56,18 @@ def _list_files(path: str) -> list[str]:
     return [f for f in out if os.path.isfile(f)]
 
 
+_NA = "NA"
+_BOOL_TRUE = ("1", "true", "t", "yes")
+_BOOL_FALSE = ("0", "false", "f", "no")
+
+
 def _parse_cell(raw: str, dtype: T.DataType, date_format: str):
     if raw == "":
+        return None
+    # the writer's NULL sentinel: NULL for every non-string type
+    # (strings may legitimately BE the text "NA", and the writer
+    # refuses NULL strings, so no ambiguity)
+    if raw == _NA and not isinstance(dtype, T.StringType):
         return None
     try:
         if isinstance(dtype, T.DateType):
@@ -67,7 +77,14 @@ def _parse_cell(raw: str, dtype: T.DataType, date_format: str):
         if isinstance(dtype, (T.DoubleType, T.FloatType)):
             return float(raw)
         if isinstance(dtype, T.BooleanType):
-            return raw.lower() in ("1", "true", "t", "yes")
+            # strict: unknown tokens are malformed -> NULL, never a
+            # silent False
+            low = raw.lower()
+            if low in _BOOL_TRUE:
+                return True
+            if low in _BOOL_FALSE:
+                return False
+            return None
     except ValueError:
         return None  # PERMISSIVE: malformed cell -> NULL
     return raw
@@ -137,12 +154,6 @@ class WhitespaceCSVDataSource(DataSource):
         return WhitespaceCSVReader(schema, self.options)
 
     def writer(self, schema: T.StructType, overwrite: bool):
-        if overwrite:
-            path = self.options.get("path")
-            if path and os.path.isdir(path):
-                for f in os.listdir(path):
-                    if f.endswith(".txt") or f == "_SUCCESS":
-                        os.remove(os.path.join(path, f))
         return WhitespaceCSVWriter(schema, self.options, overwrite)
 
 
@@ -170,9 +181,6 @@ from pyspark.sql.datasource import (  # noqa: E402
     DataSourceWriter,
     WriterCommitMessage,
 )
-
-_NA = "NA"
-
 
 @dataclass
 class _FileCommit(WriterCommitMessage):
@@ -229,6 +237,15 @@ class WhitespaceCSVWriter(DataSourceWriter):
         return _FileCommit(file_path=fname, rows=n)
 
     def commit(self, messages) -> None:
+        # old files are deleted only HERE, after every task has
+        # written its new file: a failed overwrite job aborts with
+        # the previous dataset intact (new part names are unique, so
+        # old and new never collide)
+        if self.overwrite:
+            new = {os.path.basename(m.file_path) for m in messages if m}
+            for f in os.listdir(self.path):
+                if (f.endswith(".txt") and f not in new) or f == "_SUCCESS":
+                    os.remove(os.path.join(self.path, f))
         with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
             fh.write(f"{sum(m.rows for m in messages)}\n")
 

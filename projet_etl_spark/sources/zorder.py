@@ -42,6 +42,13 @@ def morton_key(quantized: Sequence[Column], bits: int) -> Column:
     columns into one Morton code (column i owns bit positions
     ``k*len(cols)+i``)."""
     n = len(quantized)
+    if n * bits > 62:
+        raise ValueError(
+            f"morton_key: {n} columns x {bits} bits = {n * bits} bit "
+            "positions exceeds the 62 a signed long can hold without "
+            "touching the sign bit — lower `bits` (e.g. 2 cols x 16, "
+            "3 x 20, 4 x 15)"
+        )
     terms: list[Column] = []
     for ci, c in enumerate(quantized):
         for b in range(bits):

@@ -19,6 +19,10 @@ from tests.conftest import SF_SMALL
 MONEY_2DP = {
     "lineitem": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
     "orders": ["o_totalprice"],
+    "customer": ["c_acctbal"],
+    "supplier": ["s_acctbal"],
+    # events-anomalies runs its z-score moments in fixed point
+    "events": ["value"],
 }
 
 
@@ -294,6 +298,9 @@ def test_star_unit_bounds_hold(spark):
         ("orders", "o_totalprice", TP2_MAX),
         ("customer", "c_acctbal", TP2_MAX),
         ("supplier", "s_acctbal", TP2_MAX),
+        # events-anomalies' usxx bound (10**10 scale-4 units) needs
+        # value <= $1000 -> 1e5 hundredths
+        ("events", "value", 10**5),
     ]
     for table, col, bound in checks:
         mx = (

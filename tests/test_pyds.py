@@ -146,3 +146,30 @@ def test_write_refuses_whitespace_strings(spark, tmp_path):
         df.write.format("wscsv").mode("overwrite").save(
             str(tmp_path / "bad")
         )
+
+
+def test_boolean_nulls_round_trip(spark, tmp_path):
+    register(spark)
+    src = spark.createDataFrame(
+        [(1, True), (2, False), (3, None)], "k long, flag boolean"
+    )
+    out = str(tmp_path / "bools")
+    src.write.format("wscsv").mode("overwrite").save(out)
+    back = spark.read.format("wscsv").schema("k long, flag boolean").load(out)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, src.collect())
+    )
+
+
+def test_failed_overwrite_preserves_old_data(spark, tmp_path):
+    """Overwrite must not destroy the previous dataset when a task
+    fails: old files are deleted only at commit time."""
+    register(spark)
+    out = str(tmp_path / "keep")
+    good = spark.createDataFrame([("ok",)], "name string")
+    good.write.format("wscsv").mode("overwrite").save(out)
+    bad = spark.createDataFrame([("two words",)], "name string")
+    with pytest.raises(Exception, match="whitespace"):
+        bad.write.format("wscsv").mode("overwrite").save(out)
+    back = spark.read.format("wscsv").schema("name string").load(out)
+    assert [r.name for r in back.collect()] == ["ok"]

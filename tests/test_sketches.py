@@ -100,9 +100,21 @@ def test_kmv_intersection_accuracy(spark):
         q_distinct_kmv_intersect,
     )
 
+    from projet_etl_spark.sources.tables import events
+
     rows = q_distinct_kmv_intersect(spark, SF_SMALL).collect()
     assert rows, "fixture has at least two event types"
+    ev = events(spark, SF_SMALL).select("event_type", "user_id").distinct()
+    # union size per pair (the small-set-rule gate): |A| + |B| - |A∩B|
+    per_type = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
     for r in rows:
         assert r.rel_err < 0.35, (r.type_a, r.type_b, r.rel_err)
-        if r.n_exact < KMV_K // 2:
+        union = per_type[r.type_a] + per_type[r.type_b] - r.n_exact
+        if union < KMV_K:
+            # union fits the sketch -> small-set rule -> exact
             assert r.rel_err == 0.0
