@@ -2131,9 +2131,9 @@ bucketed AS (
 )
 SELECT decile,
        CAST(COUNT(*) AS BIGINT) AS n_customers,
-       MIN(spend) AS min_spend,
-       MAX(spend) AS max_spend,
-       CAST(SUM(spend) AS DECIMAL(18,2)) AS total_spend
+       CAST(MIN(spend) AS DOUBLE) AS min_spend,
+       CAST(MAX(spend) AS DOUBLE) AS max_spend,
+       CAST(CAST(SUM(spend) AS DECIMAL(18,2)) AS DOUBLE) AS total_spend
 FROM bucketed
 GROUP BY decile
 ORDER BY decile
@@ -2960,8 +2960,8 @@ WITH monthly AS (
     FROM orders GROUP BY 1
 )
 SELECT strftime(a.m, '%Y-%m') AS month,
-       a.revenue,
-       b.revenue AS revenue_prev_year,
+       CAST(a.revenue AS DOUBLE) AS revenue,
+       CAST(b.revenue AS DOUBLE) AS revenue_prev_year,
        ROUND((CAST(a.revenue AS DOUBLE) - CAST(b.revenue AS DOUBLE))
              / CAST(b.revenue AS DOUBLE) * 100, 6) AS yoy_pct
 FROM monthly a LEFT JOIN monthly b ON a.m = b.m + INTERVAL 12 MONTH
@@ -2997,10 +2997,29 @@ ORDER BY vec_id
 _BUCKETED_JOIN_SQL = """
 SELECT o.o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_items,
-       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
-           AS total_qty
+       CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+            AS DOUBLE) AS total_qty
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1 ORDER BY 1
+"""
+
+# decimal-vs-double representation A/B pair: identical values, one
+# emits decimal(18,2), one DOUBLE — the driver artifact adjudicates
+# the scale-2-decimal hash-canonicalization theory (star.py twins)
+_MONEY_TWIN_DEC_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+           AS total_price
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+_MONEY_TWIN_DBL_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+            AS DOUBLE) AS total_price
+FROM orders GROUP BY 1 ORDER BY 1
 """
 
 # salt-invariance contract: the salted (orderkey, salt) join must
@@ -3646,6 +3665,18 @@ def build():
             retrieval.q_bm25_topk,
             retrieval.BM25_ORACLE_SQL,
             ("retrieval", "text"),
+        ),
+        (
+            "money-twin-decimal",
+            star.q_money_twin_decimal,
+            _MONEY_TWIN_DEC_SQL,
+            ("olap", "diagnostic"),
+        ),
+        (
+            "money-twin-double",
+            star.q_money_twin_double,
+            _MONEY_TWIN_DBL_SQL,
+            ("olap", "diagnostic"),
         ),
     ]
     return {

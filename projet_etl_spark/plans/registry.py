@@ -59,67 +59,72 @@ _PARITY_FNS: dict[str, Callable] = {
 # entries of ``queries()``, keyed by name.  Rotating the dict order
 # therefore costs nothing (every green row from a past round stays
 # keyed by its name) but decides WHICH queries get a hard
-# value-match row this round.  Round-6 rotation: the 28 registry
-# entries that have never appeared in ANY driver artifact (r1-r5
-# covered the other 99 of 127), then customer-spend-deciles (red in
-# r5 under a float-percentile knife-edge, since rewritten to exact
-# discrete order statistics — needs a re-green row), then the
-# round-6 additions.  With that, every registry query has at least
-# one hard driver value-match row.
+# value-match row this round.  Round-7 rotation, per the r6 verdict:
+# (1) the decimal-vs-double A/B twin pair that adjudicates the
+# scale-2-decimal hash theory, (2) the three r6 reds rewritten to
+# the DOUBLE output contract, (3) the full reference parity surface
+# (last green rows r1-r4, and round 6's fixed-point sweep touched
+# shared modules), (4) round-7 additions, (5) queries downstream of
+# this round's shared-module edits (fixed_point_agg overflow guard,
+# heavy-hitter threshold, store reads) so the touched code re-earns
+# hard rows.
 _DRIVER_PREFIX: tuple[str, ...] = (
-    # never driver-checked before round 6 (registry positions >50
-    # in rounds 1-5)
-    "events-session-overlap",
-    "user-state-history",
-    "distinct-kmv",
-    "events-time-weighted-avg",
-    "events-ohlc-hourly",
-    "events-props-parse",
-    "pipeline-training-export",
-    "stores-in-both-categories",
-    "daily-trailing-range",
-    "dedup-edit-distance",
-    "revenue-share-by-nation",
-    "docs-length-drift",
-    "events-anomalies-robust",
-    "daily-value-percentiles",
-    "lineitem-corr-matrix",
-    "forecast-revenue-change",
-    "top-returned-customers",
-    "users-cumulative",
-    "promo-revenue-share",
-    "disjunctive-parts-revenue",
-    "orders-monthly-growth",
-    "session-funnel",
-    "events-cusum-drift",
-    "daily-bollinger",
-    "daily-ewma",
-    "token-zipf-fit",
-    "orders-seasonal-profile",
-    "parts-pareto",
-    # red in r5 (ulp knife-edge, fixed): re-green
+    # (1) representation A/B pair — identical plan and values
+    "money-twin-decimal",
+    "money-twin-double",
+    # (2) r6 reds, now presenting DOUBLE money columns
     "customer-spend-deciles",
-    # round-6 additions (new queries land here so their first round
-    # in the registry is also their first hard CORRECTNESS row)
-    "daily-counts-store",
-    "events-heavy-hitters",
-    "users-active-streaks",
-    "dedup-containment",
     "orders-yoy-window",
-    "lineitem-salted-join",
     "orders-bucketed-join",
+    # (3) reference parity surface refresh
+    "top-magasins",
+    "top-magasins-cat",
+    "top-1",
+    "avg-cat-fab-10-mag",
+    "avg-cat-fab-10-mag-avg",
+    "score-sante-touts-les-mois",
+    "score-sante-touts-les-mois-avg",
+    "score-evolution",
+    "nb-mag-cat-date",
+    "fab-cat",
+    "avg-prod-per-fab",
+    # (4) round-7 additions
+    "lineitem-zorder-scan",
+    "user-state-store",
+    "bm25-store-compacted",
+    # (5) downstream of this round's shared-module edits
+    "pricing-summary",
+    "revenue-by-nation",
+    "corr-qty-price",
+    "top-unshipped-orders",
+    "sales-rollup",
+    "sales-cube",
+    "sales-grouping-sets",
+    "top-large-orders",
+    "orders-above-customer-avg",
+    "late-shipment-priority",
+    "customer-order-distribution",
+    "events-type-counts-salted",
+    "lineitem-salted-join",
+    "events-heavy-hitters",
+    "daily-counts-store",
     "neardedup-pairs-store",
-    "decontaminate-embedding",
-    "bm25-topk",
-    "quantiles-hash-sample",
-    "volume-shipping-pairs",
-    "top-supplier-revenue",
-    "small-order-revenue",
-    "cold-customers-segments",
-    "events-props-variant",
-    "distinct-kmv-intersect",
     "bm25-store",
-    "dominant-supplier-parts",
+    "quantiles-hash-sample",
+    # oldest green rows (r1-r4) — periodic refresh
+    "dedup-exact",
+    "dedup-minhash-lsh",
+    "dedup-lsh-recall",
+    "ann-cosine-topk",
+    "ann-ivf-topk",
+    "pack-sequences",
+    "retention-cohorts",
+    "events-asof-click",
+    "kmeans-clusters",
+    "multimodal-bytes",
+    "text-quality",
+    "embed-score-jvm",
+    "score-evolution-rollup",
 )
 
 

@@ -140,7 +140,9 @@ def q_orders_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderpriority",
             F.col("n_items").cast("long").alias("n_items"),
-            F.col("uq").cast("decimal(18,2)").alias("total_qty"),
+            # exact decimal internally, DOUBLE in the final projection
+            # (engine output contract; see star.q_customer_spend_deciles)
+            F.col("uq").cast("decimal(18,2)").cast("double").alias("total_qty"),
         )
         .orderBy("o_orderpriority")
     )

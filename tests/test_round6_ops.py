@@ -75,8 +75,10 @@ def test_deciles_exact_boundaries_are_data_values(spark):
     from projet_etl_spark.sources.tables import load_table
 
     res = q_customer_spend_deciles(spark, SF_SMALL).collect()
+    # the query presents spends as DOUBLE (engine output contract);
+    # float(Decimal) is the same nearest-double, so equality is exact
     spends = sorted(
-        r["spend"]
+        float(r["spend"])
         for r in (
             load_table(spark, SF_SMALL, "orders")
             .select("o_custkey", F.col("o_totalprice").cast("decimal(18,2)").alias("p"))
