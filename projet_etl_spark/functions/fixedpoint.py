@@ -153,6 +153,20 @@ def fixed_point_agg(
     partial_aggs: list[Column] = []
     for s in sums:
         partial_aggs.append(F.sum(s.unit_expr).alias(f"__u_{s.alias}"))
+        # runtime bound guard (round-7 advisor fix): the overflow
+        # proof rests on the caller's max_units — a declared bound
+        # that understates the data would let the long partials wrap
+        # SILENTLY under non-ANSI sum. Count violating rows in the
+        # same partial pass (one codegen comparison per row, no extra
+        # scan) and fail loudly at the merge if any exist, instead of
+        # trusting out-of-band fixture tests alone.
+        partial_aggs.append(
+            F.sum(
+                F.when(F.abs(s.unit_expr) > F.lit(int(s.max_units)), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"__v_{s.alias}")
+        )
     for alias, cond in counts:
         expr = (
             F.count(F.lit(1))
@@ -176,6 +190,11 @@ def fixed_point_agg(
         if s.scale:
             acc = acc / F.lit(10**s.scale)
         final_aggs.append(acc.alias(s.alias))
+        final_aggs.append(
+            F.coalesce(F.sum(f"__v_{s.alias}"), F.lit(0).cast("long")).alias(
+                f"__v_{s.alias}"
+            )
+        )
     for alias, _ in counts:
         # COUNT over an empty global aggregate is 0, not null — the
         # partial level can contribute zero rows
@@ -195,4 +214,29 @@ def fixed_point_agg(
         grouped = partial.cube(*keys)
     else:
         raise ValueError(f"unknown final grouping {final!r}")
-    return grouped.agg(*final_aggs)
+    result = grouped.agg(*final_aggs)
+
+    # surface the guard: each sum column raises (assert_true) when
+    # its group saw any |units| > max_units row, and the __v columns
+    # never leave this function. assert_true returns NULL on pass,
+    # so the WHEN wrapper is the identity on the happy path.
+    out_cols: list[Column] = []
+    for c in result.columns:
+        if c.startswith("__v_"):
+            continue
+        s = next((x for x in sums if x.alias == c), None)
+        if s is None:
+            out_cols.append(F.col(c))
+            continue
+        chk = F.assert_true(
+            F.col(f"__v_{c}") == F.lit(0),
+            F.lit(
+                f"fixed_point_agg: rows with |units| > max_units="
+                f"{int(s.max_units)} reached sum {c!r} — the declared "
+                "per-row bound understates the data and the long "
+                "partials may have wrapped; raise max_units (smaller "
+                "blocks merely add partials, never lose exactness)"
+            ),
+        )
+        out_cols.append(F.when(chk.isNull(), F.col(c)).alias(c))
+    return result.select(*out_cols)

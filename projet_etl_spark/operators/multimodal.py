@@ -28,12 +28,92 @@ from projet_etl_spark.sources.tables import load_table
 FEATURE_SCHEMA = "doc_id long, n_bytes long, head_hex string"
 
 
+# Pluggable codec hook (round 7): an environment WITH image libraries
+# points SPARK_GRAFT_IMAGE_CODEC at a "module:function" decoder (e.g.
+# "my_codecs:decode_jpeg" wrapping PIL) and the decode path lights up
+# with NO code change — resolved lazily per executor process, so the
+# hook works identically under local threads and a real cluster's
+# forked Python workers. Unset, decode_image stays the loud stub.
+IMAGE_CODEC_ENV = "SPARK_GRAFT_IMAGE_CODEC"
+
+
+def resolve_image_codec():
+    """The configured decoder callable, or None when the environment
+    declares no codec. Import errors propagate loudly — a declared
+    but unloadable codec is misconfiguration, not absence."""
+    import importlib
+    import os
+
+    spec = os.environ.get(IMAGE_CODEC_ENV)
+    if not spec:
+        return None
+    mod, _, attr = spec.partition(":")
+    return getattr(importlib.import_module(mod), attr or "decode")
+
+
 def decode_image(payload: bytes) -> object:
-    """Stub: real image decoding needs PIL/libjpeg, absent here."""
-    raise NotImplementedError(
-        "image decode requires an image codec library not present in "
-        "this environment; byte-level features below are the real path"
-    )
+    """Decode via the SPARK_GRAFT_IMAGE_CODEC hook; loud stub when no
+    codec is configured (this container has no PIL/libjpeg)."""
+    codec = resolve_image_codec()
+    if codec is None:
+        raise NotImplementedError(
+            "image decode requires an image codec: set "
+            f"{IMAGE_CODEC_ENV}=module:function to plug one in "
+            "(none is present in this environment; byte-level "
+            "features below are the codec-free path)"
+        )
+    return codec(payload)
+
+
+DECODED_SCHEMA = "doc_id long, width long, height long"
+
+
+def make_decoded_features():
+    """Arrow-batched decode-then-measure: the real pipeline stage a
+    codec unlocks. Runs decode_image per payload inside mapInPandas —
+    with the env hook set this extracts true (width, height); unset
+    it raises the stub's NotImplementedError from the executor
+    (loudly, never silently empty). Closure-returned for by-value
+    pickling (see make_byte_features)."""
+
+    # the codec SPEC resolves on the DRIVER at plan-build time (the
+    # executors' Python workers inherit the JVM's environment from
+    # session start, so reading the env var there would see stale
+    # state); only the import runs executor-side, per worker process
+    import os as _os
+
+    spec = _os.environ.get(IMAGE_CODEC_ENV)
+    env_name = IMAGE_CODEC_ENV
+
+    def decoded(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import importlib
+
+        import pandas as _pd
+
+        if not spec:
+            raise NotImplementedError(
+                f"image decode requires an image codec: set "
+                f"{env_name}=module:function to plug one in"
+            )
+        mod, _, attr = spec.partition(":")
+        codec = getattr(importlib.import_module(mod), attr or "decode")
+        for pdf in batches:
+            dims = [codec(bytes(b)) for b in pdf["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                }
+            )
+
+    return decoded
+
+
+def decoded_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, width, height) through the pluggable decoder."""
+    blobs = binary_table(spark, sf_dir).select("doc_id", "payload")
+    return blobs.mapInPandas(make_decoded_features(), schema=DECODED_SCHEMA)
 
 
 def make_byte_features():

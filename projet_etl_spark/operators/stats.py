@@ -576,9 +576,13 @@ def q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE map-side-combined count at user grain (the only
     pass over the raw events), a 1-row (total, n_users) broadcast,
-    and an integer-arithmetic threshold
-    (n * n_users * 100 > total * HH_PCT — no float boundary to
-    disagree across engines). The sketch alternative (Misra-Gries /
+    and an exact integer-arithmetic threshold — evaluated in
+    DECIMAL(38,0), not longs, because n * n_users * 100 exceeds 2^63
+    exactly in the hot-user regime the query audits for (n ~ 1e9
+    events from one abuser, n_users ~ 1e9) and non-ANSI long
+    arithmetic would wrap silently and flip the comparison (the
+    DuckDB oracle promotes to HUGEINT and is immune; round-7
+    advisor fix). The sketch alternative (Misra-Gries /
     space-saving) trades exactness for sub-linear state; the exact
     form is one shuffle at user grain — the same cost class as any
     per-user aggregate.
@@ -589,14 +593,26 @@ def q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("total"),
         F.count(F.lit(1)).cast("long").alias("n_users"),
     )
+    big = "decimal(38,0)"
     return (
         per_user.crossJoin(F.broadcast(tot))
-        .filter(F.col("n") * F.col("n_users") * 100 > F.col("total") * HH_PCT)
+        .filter(
+            F.col("n").cast(big) * F.col("n_users").cast(big) * 100
+            > F.col("total").cast(big) * HH_PCT
+        )
         .select(
             "user_id",
             "n",
+            # double×double, not long×long-then-cast: each factor is
+            # exact in double (< 2^53) so the one rounding of the
+            # product equals CAST(exact_product AS DOUBLE) — same
+            # value as the oracle's HUGEINT-then-cast, without the
+            # long-wrap exposure
             F.round(
-                F.col("n") * F.col("n_users") / F.col("total"), 6
+                F.col("n").cast("double")
+                * F.col("n_users").cast("double")
+                / F.col("total").cast("double"),
+                6,
             ).alias("x_mean"),
         )
         .orderBy(F.desc("n"), F.asc("user_id"))

@@ -3022,6 +3022,22 @@ SELECT o_orderpriority,
 FROM orders GROUP BY 1 ORDER BY 1
 """
 
+# layout-invariance contract for the Z-ORDER copy: the oracle is the
+# plain scan of raw lineitem over the same supplier band
+from projet_etl_spark.sources import zorder as _zorder  # noqa: E402
+
+_ZSCAN_SQL = f"""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * (CAST(1 AS DECIMAL(18,4))
+                        - CAST(l_discount AS DECIMAL(18,4))))
+                 AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_suppkey BETWEEN {_zorder.ZSCAN_SUPP_LO} AND {_zorder.ZSCAN_SUPP_HI}
+GROUP BY 1 ORDER BY 1
+"""
+
 # salt-invariance contract: the salted (orderkey, salt) join must
 # equal the plain join bit for bit — so the oracle IS the plain join
 _SALTED_JOIN_SQL = """
@@ -3677,6 +3693,27 @@ def build():
             star.q_money_twin_double,
             _MONEY_TWIN_DBL_SQL,
             ("olap", "diagnostic"),
+        ),
+        (
+            "lineitem-zorder-scan",
+            _zorder.q_lineitem_zorder_scan,
+            _ZSCAN_SQL,
+            ("olap", "layout"),
+        ),
+        # the SCD2 store fold must equal the batch window rebuild —
+        # so it SHARES user-state-history's oracle verbatim
+        (
+            "user-state-store",
+            storequery.q_user_state_store,
+            _SCD2_SQL,
+            ("streaming", "windows"),
+        ),
+        # compacted-layout invariance: shares bm25-topk's oracle
+        (
+            "bm25-store-compacted",
+            storequery.q_bm25_store_compacted,
+            retrieval.BM25_ORACLE_SQL,
+            ("streaming", "retrieval", "layout"),
         ),
     ]
     return {

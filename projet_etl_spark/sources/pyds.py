@@ -165,10 +165,11 @@ def register(spark) -> None:
 # --- writer ----------------------------------------------------------
 #
 # The write half of the connector: each partition writes one
-# header-ful whitespace file with a unique name directly into the
-# target directory; commit() publishes a _SUCCESS marker, abort()
-# removes the files its commit messages name (the task-temp +
-# driver-commit shape of a real FileCommitProtocol, collapsed to the
+# header-ful whitespace file under a dot-prefixed TEMP name; commit()
+# renames the files its messages reference to their final visible
+# names, sweeps unreferenced temps, and publishes a _SUCCESS marker;
+# abort() removes the temp files (the task-temp + driver-commit
+# shape of a real FileCommitProtocol, collapsed to the
 # single-filesystem case — object-store deployments swap in a
 # manifest commit). Nulls in numeric/date cells round-trip as the
 # literal ``NA`` (the PERMISSIVE reader parses it back to NULL);
@@ -219,7 +220,14 @@ class WhitespaceCSVWriter(DataSourceWriter):
         import uuid
 
         os.makedirs(self.path, exist_ok=True)
-        fname = os.path.join(self.path, f"part-{uuid.uuid4().hex}.txt")
+        # task-temp + driver-commit: tasks write DOT-PREFIXED temp
+        # files (readers' _list_files skips . and _ names), commit()
+        # renames the ones its messages reference. A failed or
+        # speculative attempt's file therefore never becomes visible
+        # — in either mode — it just lingers as a temp until the next
+        # commit sweeps stale temps.
+        stem = f"part-{uuid.uuid4().hex}.txt"
+        fname = os.path.join(self.path, f".{stem}.tmp")
         names = [f.name for f in self.schema.fields]
         dtypes = [f.dataType for f in self.schema.fields]
         n = 0
@@ -237,17 +245,33 @@ class WhitespaceCSVWriter(DataSourceWriter):
         return _FileCommit(file_path=fname, rows=n)
 
     def commit(self, messages) -> None:
-        # old files are deleted only HERE, after every task has
-        # written its new file: a failed overwrite job aborts with
-        # the previous dataset intact (new part names are unique, so
-        # old and new never collide)
-        if self.overwrite:
-            new = {os.path.basename(m.file_path) for m in messages if m}
-            for f in os.listdir(self.path):
-                if (f.endswith(".txt") and f not in new) or f == "_SUCCESS":
-                    os.remove(os.path.join(self.path, f))
+        # publish = rename temp -> final (same filesystem, atomic);
+        # only files named by a commit message ever become visible,
+        # so a dead task attempt can't leak a partial/duplicate file
+        # into append-mode reads
+        published = set()
+        for m in messages:
+            if m is None:
+                continue
+            base = os.path.basename(m.file_path)
+            final = base[1:-4]  # strip leading "." and trailing ".tmp"
+            os.replace(m.file_path, os.path.join(self.path, final))
+            published.add(final)
+        for f in os.listdir(self.path):
+            full = os.path.join(self.path, f)
+            if f.startswith(".part-") and f.endswith(".tmp"):
+                # unreferenced temp from a failed/speculative attempt
+                os.remove(full)
+            elif self.overwrite and (
+                (f.endswith(".txt") and f not in published) or f == "_SUCCESS"
+            ):
+                # old files are deleted only HERE, after every new
+                # file is published: a failed overwrite job aborts
+                # with the previous dataset intact (new part names
+                # are unique, so old and new never collide)
+                os.remove(full)
         with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
-            fh.write(f"{sum(m.rows for m in messages)}\n")
+            fh.write(f"{sum(m.rows for m in messages if m)}\n")
 
     def abort(self, messages) -> None:
         for m in messages:

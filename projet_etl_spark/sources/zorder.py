@@ -29,7 +29,7 @@ from __future__ import annotations
 import functools
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["morton_key", "zorder_by", "zorder_write"]
@@ -105,4 +105,106 @@ def zorder_write(
         .drop(ZKEY)
         .write.mode(mode)
         .parquet(path)
+    )
+
+
+# --- registry query over a z-ordered lineitem copy --------------------
+#
+# zorder_write was pytest-only through round 6; this makes the layout
+# path driver-checkable like orders-bucketed-join: the query reads a
+# Z-ORDERED copy of lineitem and must match the plain-scan oracle
+# bit for bit (layout changes WHERE rows live, never WHAT they are).
+
+ZORDER_ROOT_NAME = "zorder"
+ZORDER_COLS = ("l_partkey", "l_suppkey")
+ZORDER_FILES = 32
+# probe band on the SECOND z-order dimension — the one a linear
+# (l_partkey-sorted) layout could not prune files for
+ZSCAN_SUPP_LO, ZSCAN_SUPP_HI = 2, 4
+
+
+def _zorder_root() -> str:
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+        ZORDER_ROOT_NAME,
+    )
+
+
+def ensure_zordered_lineitem(spark: SparkSession, sf_dir: str) -> str:
+    """Write (or reuse) the z-ordered lineitem copy for ``sf_dir``,
+    fingerprint-keyed on the source file — layout build is refresh
+    cost, exactly like the bucketed warehouse and streaming stores."""
+    import os
+    import shutil
+
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    st = os.stat(src)
+    fp = f"{st.st_size}:{st.st_mtime_ns}"
+    name = os.path.basename(os.path.normpath(sf_dir)) or "root"
+    root = os.path.join(_zorder_root(), name)
+    marker = os.path.join(root, "_SOURCE")
+    table = os.path.join(root, "lineitem")
+    try:
+        with open(marker, encoding="utf-8") as f:
+            if f.read() == fp:
+                return table
+    except OSError:
+        pass
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    from projet_etl_spark.sources.tables import load_table
+
+    zorder_write(
+        load_table(spark, sf_dir, "lineitem"),
+        table,
+        list(ZORDER_COLS),
+        n_files=ZORDER_FILES,
+    )
+    with open(marker, "w", encoding="utf-8") as f:
+        f.write(fp)
+    return table
+
+
+def q_lineitem_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by return flag for a narrow supplier band, scanned off
+    the Z-ORDERED lineitem copy. The filter sits on the NON-LEADING
+    z-order dimension, where the Morton layout keeps files tight in
+    suppkey too (a plain or partkey-sorted layout reads everything);
+    tests/test_zorder.py measures the file-pruning win, this registry
+    entry pins the layout-invariance contract against the plain-scan
+    DuckDB oracle with a hard driver row. Money presents as DOUBLE
+    per the engine output contract."""
+    from projet_etl_spark.functions.fixedpoint import (
+        UnitSum,
+        fixed_point_agg,
+        units,
+    )
+
+    table = ensure_zordered_lineitem(spark, sf_dir)
+    li = (
+        spark.read.parquet(table)
+        .filter(F.col("l_suppkey").between(ZSCAN_SUPP_LO, ZSCAN_SUPP_HI))
+        .select(
+            "l_returnflag",
+            (units("l_extendedprice") * (100 - units("l_discount"))).alias(
+                "rev_units"
+            ),
+        )
+    )
+    return (
+        fixed_point_agg(
+            li,
+            ["l_returnflag"],
+            [UnitSum("urev", F.col("rev_units"), 4, 110 * 10**8)],
+            counts=[("n_items", None)],
+        )
+        .select(
+            "l_returnflag",
+            F.col("n_items").cast("long").alias("n_items"),
+            F.col("urev").cast("decimal(18,4)").cast("double").alias("revenue"),
+        )
+        .orderBy("l_returnflag")
     )

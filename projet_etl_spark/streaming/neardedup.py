@@ -166,23 +166,32 @@ def compact_store(
 ) -> dict[str, int]:
     """Maintenance hook: collapse the per-micro-batch partitions of
     the signature/doc stores (and optionally the pairs sink) into ONE
-    merged partition keyed by the highest batch id seen, written as
+    merged partition under the reserved batch id -1, written as
     ceil(rows / target) files via the atomic swap discipline of
     sources.ingest (small-files compaction — a long-lived stream
     otherwise accretes one partition per micro-batch forever and scan
     planning drowns in footers).
 
-    Run while the stream is STOPPED (or between triggers): merging
-    history under max(batch) is replay-safe only once the checkpoint
-    has committed every batch it covers — after a restart, Structured
-    Streaming replays batches NEWER than the committed offset, which
-    the merged partition (batch = committed max) correctly predates:
-    the history filter ``batch < current`` still sees all of it, and
-    a replayed newer batch still overwrites only its own partition.
+    Replay safety (round-7 hardening): only batches BELOW the highest
+    id are folded — Structured Streaming creates batch N+1 only after
+    batch N's offsets commit, so the single batch a restart can ever
+    replay is the highest one present, whose partition is kept
+    verbatim; its replay then dynamic-overwrites exactly its own id.
+    The reserved merged id -1 is one no micro-batch can emit, so no
+    replay can clobber the rollup (the old max(batch) keying broke
+    precisely when the newest batch had written its partition but
+    crashed before the checkpoint commit). The history filter
+    ``batch < current`` still sees the merged partition (-1 < any
+    real batch id).
 
-    Returns {table_path: files_written}.
+    Run while the stream is STOPPED or between triggers. Returns
+    {table_path: files_written}.
     """
     from projet_etl_spark.sources.ingest import recover_swap, swap_publish
+    from projet_etl_spark.streaming.storeio import (
+        RESERVED_COMPACT_BATCH,
+        split_for_compaction,
+    )
 
     out: dict[str, int] = {}
     tables = [os.path.join(store_path, "bands"), os.path.join(store_path, "docs")]
@@ -193,15 +202,27 @@ def compact_store(
             continue
         recover_swap(path)
         df = spark.read.parquet(path)
-        maxb = df.agg(F.max("batch")).first()[0]
-        if maxb is None:
+        split = split_for_compaction(df)
+        if split is None:
             continue
-        n = df.count()
+        older, newest = split
+        n = older.count()
         n_files = max(1, -(-n // target_rows_per_file))
-        merged = df.withColumn("batch", F.lit(int(maxb))).repartition(n_files)
+        merged = older.withColumn(
+            "batch", F.lit(RESERVED_COMPACT_BATCH)
+        ).repartition(n_files)
+        # the newest partition's ROWS are kept verbatim (replay
+        # safety) but its FILES are rewritten to the same
+        # rows-per-file target — small-files discipline applies to
+        # it too
+        n2 = newest.count()
+        newest_c = newest.select(*merged.columns).repartition(
+            max(1, -(-n2 // target_rows_per_file))
+        )
+        fold = merged.unionByName(newest_c).localCheckpoint()
         swap_publish(
             path,
-            lambda tmp, m=merged: m.write.mode("overwrite")
+            lambda tmp, m=fold: m.write.mode("overwrite")
             .partitionBy("batch")
             .parquet(tmp),
         )
@@ -212,8 +233,10 @@ def compact_store(
 def read_pairs(spark: SparkSession, pairs_path: str) -> DataFrame:
     """All near-dup pairs found so far (union over batches); empty
     frame when no batch has written yet (the path may not exist, or
-    may hold only zero-row batch writes parquet can't infer from)."""
-    try:
-        return spark.read.parquet(pairs_path).select("doc_a", "doc_b", "jaccard")
-    except Exception:
-        return spark.createDataFrame([], PAIR_SCHEMA)
+    may hold only zero-row batch writes parquet can't infer from).
+    An unreadable or drifted store raises (storeio discipline)."""
+    from projet_etl_spark.streaming.storeio import read_store
+
+    return read_store(
+        spark, pairs_path, PAIR_SCHEMA, ["doc_a", "doc_b", "jaccard"]
+    )

@@ -87,11 +87,16 @@ def stream_quality_budget(
 
 def read_budget(spark: SparkSession, store_path: str) -> DataFrame:
     """The current budget: partial sums folded across batches (empty
-    frame when no batch has written yet)."""
-    try:
-        parts = spark.read.parquet(store_path)
-    except Exception:
-        return spark.createDataFrame([], BUDGET_SCHEMA)
+    frame when no batch has written yet; an unreadable or drifted
+    store raises — storeio.read_store discipline)."""
+    from projet_etl_spark.streaming.storeio import read_store
+
+    parts = read_store(
+        spark,
+        store_path,
+        BUDGET_SCHEMA,
+        ["lang", "keep", "n_docs", "n_tokens"],
+    )
     return (
         parts.groupBy("lang", "keep")
         .agg(
@@ -103,30 +108,41 @@ def read_budget(spark: SparkSession, store_path: str) -> DataFrame:
 
 
 def compact_budget(spark: SparkSession, store_path: str) -> int:
-    """Collapse the per-batch partial partitions into ONE pre-folded
-    partition under the highest batch id (same swap discipline and
-    replay argument as neardedup.compact_store; run between
-    triggers). Returns files written."""
+    """Collapse the replay-committed per-batch partials (every batch
+    BELOW the highest id) into ONE pre-folded partition under the
+    reserved batch id -1, keeping the newest batch's partition
+    verbatim — for a SUM-fold store this split is load-bearing twice
+    over: a replayed newest batch can neither clobber the rollup
+    (its dynamic overwrite only hits its own id) nor double-count
+    (the rollup never includes it). Same swap discipline as
+    neardedup.compact_store; run between triggers. Returns files
+    written."""
     from projet_etl_spark.sources.ingest import recover_swap, swap_publish
+    from projet_etl_spark.streaming.storeio import (
+        RESERVED_COMPACT_BATCH,
+        split_for_compaction,
+    )
 
     if not os.path.exists(store_path):
         return 0
     recover_swap(store_path)
     parts = spark.read.parquet(store_path)
-    maxb = parts.agg(F.max("batch")).first()[0]
-    if maxb is None:
+    split = split_for_compaction(parts)
+    if split is None:
         return 0
+    older, newest = split
     merged = (
-        parts.groupBy("lang", "keep")
+        older.groupBy("lang", "keep")
         .agg(
             F.sum("n_docs").cast("long").alias("n_docs"),
             F.sum("n_tokens").cast("long").alias("n_tokens"),
         )
-        .withColumn("batch", F.lit(int(maxb)))
+        .withColumn("batch", F.lit(RESERVED_COMPACT_BATCH))
         .coalesce(1)
     )
+    out = merged.unionByName(newest.select(*merged.columns).coalesce(1)).localCheckpoint()
     swap_publish(
         store_path,
-        lambda tmp: merged.write.mode("overwrite").partitionBy("batch").parquet(tmp),
+        lambda tmp: out.write.mode("overwrite").partitionBy("batch").parquet(tmp),
     )
     return 1

@@ -75,11 +75,12 @@ def stream_value_sample(
 
 
 def read_sample(spark: SparkSession, store_path: str) -> DataFrame:
-    """The current merged sample: bottom-K across all partials."""
-    try:
-        parts = spark.read.parquet(store_path).select("hk", "value")
-    except Exception:
-        return spark.createDataFrame([], SAMPLE_SCHEMA)
+    """The current merged sample: bottom-K across all partials.
+    Empty only when the store legitimately has no data; an unreadable
+    or drifted store raises (storeio.read_store discipline)."""
+    from projet_etl_spark.streaming.storeio import read_store
+
+    parts = read_store(spark, store_path, SAMPLE_SCHEMA, ["hk", "value"])
     return parts.orderBy("hk", "value").limit(QSAMPLE_K)
 
 
@@ -92,36 +93,46 @@ def read_quantiles(spark: SparkSession, store_path: str) -> DataFrame:
 
 
 def compact_sample_store(spark: SparkSession, store_path: str) -> int:
-    """Maintenance hook: collapse all per-batch partials into ONE
-    partition holding just the merged bottom-K (the sketch is its own
-    compaction — state shrinks to K rows, not merely fewer files),
-    keyed by the highest batch id seen via the atomic-swap discipline
-    of sources.ingest. Same replay-safety argument as
-    streaming/neardedup.compact_store: run while the stream is
-    stopped; a replayed newer batch still overwrites only its own
-    partition and the merged partition predates it. Returns the row
-    count of the compacted store (<= K)."""
+    """Maintenance hook: collapse the replay-committed per-batch
+    partials (every batch BELOW the highest id — Structured Streaming
+    can only ever replay the newest batch, see storeio) into ONE
+    K-row bottom-K partition under the reserved batch id -1, keeping
+    the newest batch's partition verbatim. The sketch is its own
+    compaction — folded state shrinks to K rows — and the reserved id
+    is one no replay can dynamic-overwrite, so a crash-replay of the
+    newest batch rewrites exactly its own partition and nothing else.
+    Published via the atomic-swap discipline of sources.ingest; safe
+    while the stream is stopped or between triggers. Returns the row
+    count of the compacted store."""
     import os
 
     from projet_etl_spark.sources.ingest import recover_swap, swap_publish
+    from projet_etl_spark.streaming.storeio import (
+        RESERVED_COMPACT_BATCH,
+        split_for_compaction,
+    )
 
     if not os.path.exists(store_path):
         return 0
     recover_swap(store_path)
     df = spark.read.parquet(store_path)
-    maxb = df.agg(F.max("batch")).first()[0]
-    if maxb is None:
-        return 0
+    split = split_for_compaction(df)
+    if split is None:
+        return df.count() if df.columns else 0
+    older, newest = split
     merged = (
-        df.select("hk", "value")
+        older.select("hk", "value")
         .orderBy("hk", "value")
         .limit(QSAMPLE_K)
-        .withColumn("batch", F.lit(int(maxb)))
+        .withColumn("batch", F.lit(RESERVED_COMPACT_BATCH))
         .coalesce(1)
     )
+    out = merged.unionByName(
+        newest.select("hk", "value", "batch").coalesce(1)
+    ).localCheckpoint()
     swap_publish(
         store_path,
-        lambda tmp: merged.write.mode("overwrite")
+        lambda tmp: out.write.mode("overwrite")
         .partitionBy("batch")
         .parquet(tmp),
     )

@@ -1,0 +1,75 @@
+"""Shared read/compact plumbing for the per-batch parquet stores.
+
+Two disciplines live here so every store (postings, bottom-K sample,
+quality budget, neardedup pairs) gets them identically:
+
+**Reads distinguish "empty" from "broken"** (round-7, advisor item).
+A missing store path, or a path holding only zero-row batch markers
+parquet can't infer a schema from, is a legitimately EMPTY store; a
+permission error, corrupt footer, or schema drift is a BROKEN one
+and must propagate — serving an empty ranking because the index is
+unreadable is silent data loss. ``read_store`` therefore catches
+only the no-footers ``AnalysisException`` on the bare read, and runs
+the column projection OUTSIDE the try so drift fails loudly.
+
+**Compaction never touches the newest batch partition** (round-7,
+advisor item). Structured Streaming creates batch N+1 only after
+batch N's offsets are checkpoint-committed, so the one batch a
+restart can ever replay is the HIGHEST id present (it may have
+written its partition and crashed before the commit). Merging that
+partition into a rollup would let its replay — a dynamic partition
+overwrite of its own id — clobber the merged state. So
+``split_for_compaction`` folds only ``batch < max(batch)`` into the
+reserved ``batch = RESERVED_COMPACT_BATCH`` partition (an id the
+stream can never emit, so no replay can ever overwrite it) and
+keeps the newest partition verbatim; a replayed newest batch then
+rewrites exactly its own partition, idempotently, with zero
+double-count exposure.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.errors import AnalysisException
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# merged-rollup partition id: foreachBatch ids are >= 0, so -1 can
+# never collide with (or be replayed over) a real micro-batch
+RESERVED_COMPACT_BATCH = -1
+
+
+def read_store(
+    spark: SparkSession, path: str, schema: str, cols: list[str]
+) -> DataFrame:
+    """Read a per-batch parquet store, or an empty frame when the
+    store legitimately has no data yet. Broken stores raise."""
+    if not os.path.exists(path):
+        return spark.createDataFrame([], schema)
+    try:
+        df = spark.read.parquet(path)
+    except AnalysisException:
+        # directory exists but holds no readable parquet footers
+        # (only zero-row batch markers) -> empty store
+        return spark.createDataFrame([], schema)
+    # projection outside the try: a store with the WRONG columns is
+    # schema drift, not emptiness — let it propagate
+    return df.select(*cols)
+
+
+def split_for_compaction(df: DataFrame) -> tuple[DataFrame, DataFrame] | None:
+    """(older, newest) split of a per-batch store by its ``batch``
+    column: ``older`` is every partition a restart can no longer
+    replay (checkpoint-committed by construction), ``newest`` is the
+    single highest-id partition, kept verbatim. None when there is
+    nothing safe to compact (empty store, or only the newest / only
+    already-compacted partitions)."""
+    maxb = df.agg(F.max("batch")).first()[0]
+    if maxb is None or int(maxb) <= RESERVED_COMPACT_BATCH:
+        return None
+    older = df.filter(F.col("batch") < int(maxb))
+    if older.isEmpty():
+        return None
+    newest = df.filter(F.col("batch") == int(maxb))
+    return older, newest

@@ -206,6 +206,102 @@ def q_neardedup_pairs_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_pairs(spark, pairs).orderBy("doc_a", "doc_b")
 
 
+# --- SCD2 user-state-history store ------------------------------------
+
+HISTORY_ROOT = os.path.join(os.path.dirname(STORE_ROOT), "user_state_history")
+
+
+def _stage_ordered_event_chunks(sf_dir: str, chunk_dir: str) -> None:
+    """Event chunks for ORDER-SENSITIVE streams: same global
+    (ts, event_id)-sorted row slices as _stage_event_chunks, plus
+    strictly increasing mtimes so the file source triggers them in
+    sequence — SCD2 drops cross-batch out-of-order events at the
+    high-water mark (the documented CDC ordering contract), so the
+    feed must deliver chunks in event order to equal the batch
+    rebuild."""
+    import time
+
+    _stage_event_chunks(sf_dir, chunk_dir)
+    base = time.time()
+    for i, f in enumerate(sorted(os.listdir(chunk_dir))):
+        os.utime(os.path.join(chunk_dir, f), (base + i, base + i))
+
+
+def ensure_user_state_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse) the streaming-maintained SCD2 history store
+    for ``sf_dir``: events flow through the real
+    applyInPandasWithState path (streaming/history.py) in availableNow
+    micro-batches; every emission lands idempotently under its batch
+    partition. Fingerprint-keyed — build is refresh cost."""
+    from projet_etl_spark.streaming.history import user_state_history_stream
+    from projet_etl_spark.streaming.neardedup import _write_batch_partition
+
+    name = os.path.basename(os.path.normpath(sf_dir)) or "root"
+    root = os.path.join(HISTORY_ROOT, name)
+    marker = os.path.join(root, "_SOURCE")
+    store = os.path.join(root, "store")
+    fp = _source_fingerprint(sf_dir)
+    try:
+        with open(marker, encoding="utf-8") as f:
+            if f.read() == fp:
+                return store
+    except OSError:
+        pass
+    shutil.rmtree(root, ignore_errors=True)
+    chunks = os.path.join(root, "chunks")
+    _stage_ordered_event_chunks(sf_dir, chunks)
+    out = user_state_history_stream(
+        read_events_stream(spark, chunks, max_files_per_trigger=1)
+    )
+    q = (
+        out.writeStream.foreachBatch(
+            lambda df, bid: _write_batch_partition(df, store, bid)
+        )
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    with open(marker, "w", encoding="utf-8") as f:
+        f.write(fp)
+    return store
+
+
+def q_user_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 user-state history served from the store the
+    applyInPandasWithState stream maintains — the stateful-operator
+    twin of the three existing store-backed rows (counts, neardedup,
+    postings). The stream emits closed versions once and re-emits the
+    open version each touched batch; the serving fold is the upsert
+    (per (user_id, version_no): from_us is fixed at open, max(to_us)
+    keeps the closing timestamp if one exists, duplicates from
+    replays collapse), after which the output must equal the batch
+    window rebuild exactly — so this query SHARES
+    user-state-history's oracle, making stateful-streaming parity a
+    hard driver fact."""
+    from projet_etl_spark.operators.events_windows import TS_FMT
+
+    store = ensure_user_state_store(spark, sf_dir)
+    folded = (
+        spark.read.parquet(store)
+        .groupBy("user_id", "version_no")
+        .agg(
+            F.first("state").alias("state"),  # invariant per version
+            F.min("from_us").alias("from_us"),  # fixed at version open
+            F.max("to_us").alias("to_us"),  # null until closed
+        )
+    )
+    return folded.select(
+        "user_id",
+        "state",
+        F.col("version_no").cast("long").alias("version_no"),
+        F.date_format(F.timestamp_micros("from_us"), TS_FMT).alias("valid_from"),
+        F.date_format(F.timestamp_micros("to_us"), TS_FMT).alias("valid_to"),
+        F.isnull("to_us").cast("long").alias("is_current"),
+    ).orderBy("user_id", "version_no")
+
+
 # --- BM25 over the streaming postings store --------------------------
 
 POSTINGS_ROOT = os.path.join(os.path.dirname(STORE_ROOT), "bm25_postings")
@@ -244,6 +340,67 @@ def ensure_postings_store(spark: SparkSession, sf_dir: str) -> str:
     with open(marker, "w", encoding="utf-8") as f:
         f.write(fp)
     return store
+
+
+COMPACTED_POSTINGS_ROOT = os.path.join(
+    os.path.dirname(STORE_ROOT), "bm25_postings_compacted"
+)
+
+
+def ensure_compacted_postings_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse) a postings store AND run the token-bucketed
+    compaction over it — its own root, so ``bm25-store`` keeps
+    serving the uncompacted layout (each query's cost stays
+    independent of which ran first)."""
+    from projet_etl_spark.streaming.postings import (
+        compact_postings_store,
+        stream_postings,
+    )
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    fp = f"{st.st_size}:{st.st_mtime_ns}"
+    name = os.path.basename(os.path.normpath(sf_dir)) or "root"
+    root = os.path.join(COMPACTED_POSTINGS_ROOT, name)
+    marker = os.path.join(root, "_SOURCE")
+    store = os.path.join(root, "store")
+    try:
+        with open(marker, encoding="utf-8") as f:
+            if f.read() == fp:
+                return store
+    except OSError:
+        pass
+    shutil.rmtree(root, ignore_errors=True)
+    chunks = os.path.join(root, "chunks")
+    _stage_doc_chunks(sf_dir, chunks)
+    q = stream_postings(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunks),
+        store,
+        os.path.join(root, "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination()
+    compact_postings_store(spark, store)
+    with open(marker, "w", encoding="utf-8") as f:
+        f.write(fp)
+    return store
+
+
+def q_bm25_store_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k served from the COMPACTED incremental index: the
+    replay-committed batches folded into token-bucket-partitioned
+    files, so the term probe lists only the buckets the query terms
+    hash into (file pruning, not just row pruning) plus the small
+    uncovered live tail. Layout changes where postings live, never
+    what they are — the query shares bm25-topk's oracle, so a green
+    driver row proves the compacted layout serves the identical
+    ranking (the orders-bucketed-join discipline, applied to the
+    streaming index)."""
+    from projet_etl_spark.streaming.postings import bm25_from_store
+
+    store = ensure_compacted_postings_store(spark, sf_dir)
+    return bm25_from_store(spark, store)
 
 
 def q_bm25_store(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,293 @@
+"""Round-7 guards: the decimal-vs-double output-contract twins, the
+fixed-point runtime bound guard, replay-safe store compaction, the
+empty-vs-broken store-read distinction, and the wscsv task-temp
+commit protocol."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from projet_etl_spark.plans.registry import REGISTRY
+from tests.conftest import SF_SMALL, assert_matches_oracle
+
+
+# --- decimal/double A/B twins ----------------------------------------
+
+
+@pytest.mark.parametrize("name", ["money-twin-decimal", "money-twin-double"])
+def test_money_twins_match_oracle(spark, duck, name):
+    spec = REGISTRY[name]
+    assert_matches_oracle(spec.fn(spark, SF_SMALL), duck, spec.oracle, name)
+
+
+def test_money_twins_agree_on_values(spark):
+    """The two arms differ ONLY in output type: float(decimal arm)
+    must equal the double arm bit-for-bit."""
+    dec = {
+        r["o_orderpriority"]: (r["n_orders"], float(r["total_price"]))
+        for r in REGISTRY["money-twin-decimal"].fn(spark, SF_SMALL).collect()
+    }
+    dbl = {
+        r["o_orderpriority"]: (r["n_orders"], r["total_price"])
+        for r in REGISTRY["money-twin-double"].fn(spark, SF_SMALL).collect()
+    }
+    assert dec == dbl and len(dec) >= 2
+
+
+def test_output_contract_no_decimal_in_final_projections(spark):
+    """Engine output contract (round 7): no registry query except the
+    deliberate decimal twin presents a DECIMAL column — exact decimal
+    stays internal, final projections are DOUBLE/LONG/STRING/DATE."""
+    # money-twin-decimal is the deliberate A/B arm;
+    # lineitem-salted-join keeps its decimal(18,4) output as the
+    # positive control (the one decimal-emitting query that has a
+    # GREEN driver row — scale 4, not the suspect scale 2)
+    allowed = {"money-twin-decimal", "lineitem-salted-join"}
+    offenders = []
+    for name, spec in REGISTRY.items():
+        if name in allowed:
+            continue
+        df = spec.fn(spark, SF_SMALL)
+        for f in df.schema.fields:
+            if f.dataType.typeName() == "decimal":
+                offenders.append((name, f.name, str(f.dataType)))
+    assert not offenders, f"decimal output columns: {offenders}"
+
+
+# --- fixed-point runtime bound guard ----------------------------------
+
+
+def test_fixed_point_guard_raises_on_understated_bound(spark):
+    from projet_etl_spark.functions.fixedpoint import (
+        UnitSum,
+        fixed_point_agg,
+        units,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.00), (1, 99999.99), (2, 5.00)], "k long, v double"
+    )
+    ok = fixed_point_agg(
+        df, ["k"], [UnitSum("s", units("v"), 2, 10_000_000)]
+    ).collect()
+    assert {(r["k"], float(r["s"])) for r in ok} == {(1, 100009.99), (2, 5.0)}
+    # declared bound understates the 99999.99 row -> loud failure,
+    # never a silently-wrapped "exact" result
+    with pytest.raises(Exception, match="max_units"):
+        fixed_point_agg(
+            df, ["k"], [UnitSum("s", units("v"), 2, 100)]
+        ).collect()
+
+
+# --- replay-safe compaction (the advisor's crash-replay scenario) -----
+
+
+def test_sample_compaction_survives_newest_batch_replay(spark, tmp_path):
+    """Crash scenario: the stream wrote batch 2's partition, crashed
+    BEFORE the checkpoint commit, the operator compacted, the stream
+    restarted and replayed batch 2. The replay must not destroy the
+    merged pre-compaction state (the old max(batch)-keyed layout lost
+    every earlier batch's sample here)."""
+    from projet_etl_spark.streaming.quantiles import (
+        compact_sample_store,
+        read_sample,
+        upsert_bottomk_batch,
+    )
+    from projet_etl_spark.streaming.storeio import RESERVED_COMPACT_BATCH
+
+    store = str(tmp_path / "bottomk")
+    batches = {
+        b: spark.createDataFrame(
+            [(b * 1000 + i, float(b * 1000 + i)) for i in range(50)],
+            "event_id long, value double",
+        )
+        for b in range(3)
+    }
+    for b, df in batches.items():
+        upsert_bottomk_batch(df, b, store)
+    before = sorted(map(tuple, read_sample(spark, store).collect()))
+
+    compact_sample_store(spark, store)
+    parts = {
+        r["batch"]
+        for r in spark.read.parquet(store).select("batch").distinct().collect()
+    }
+    # batches 0,1 folded under the reserved id; newest kept verbatim
+    assert parts == {RESERVED_COMPACT_BATCH, 2}
+
+    # the replay: batch 2 arrives again, dynamic-overwrites its own
+    # partition only — the merged sample must be unchanged
+    upsert_bottomk_batch(batches[2], 2, store)
+    after = sorted(map(tuple, read_sample(spark, store).collect()))
+    assert after == before
+
+
+# --- empty vs broken store reads --------------------------------------
+
+
+def test_read_store_empty_vs_broken(spark, tmp_path):
+    from pyspark.errors import AnalysisException
+
+    from projet_etl_spark.streaming.storeio import read_store
+
+    missing = str(tmp_path / "nope")
+    assert read_store(spark, missing, "a long, b string", ["a", "b"]).count() == 0
+
+    # schema drift is BROKEN, not empty: the store exists and reads,
+    # but lacks the expected column -> must raise, never serve empty
+    drifted = str(tmp_path / "drifted")
+    spark.createDataFrame([(1,)], "wrong long").write.parquet(drifted)
+    with pytest.raises(AnalysisException):
+        read_store(spark, drifted, "a long, b string", ["a", "b"]).count()
+
+
+# --- round-7 registry queries ------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name", ["lineitem-zorder-scan", "user-state-store", "bm25-store-compacted"]
+)
+def test_round7_queries_match_oracle(spark, duck, name):
+    spec = REGISTRY[name]
+    assert_matches_oracle(spec.fn(spark, SF_SMALL), duck, spec.oracle, name)
+
+
+def test_compacted_postings_prunes_files(spark, tmp_path):
+    """Token-bucketed compaction must turn a term probe into a
+    FILE-level prune: the pruned read touches fewer parquet files
+    than the compacted table holds (the zorder test discipline
+    applied to the postings store)."""
+    import glob
+
+    from projet_etl_spark.streaming.postings import (
+        TOKEN_BUCKETS,
+        compact_postings_store,
+        read_postings,
+        upsert_postings_batch,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    store = str(tmp_path / "poststore")
+    for b in range(3):
+        upsert_postings_batch(docs.filter(F.col("doc_id") % 3 == b), b, store)
+    before = sorted(
+        map(tuple, read_postings(spark, store).collect())
+    )
+
+    cov = compact_postings_store(spark, store)
+    assert cov == 1  # batches 0,1 folded; newest (2) kept live
+    after = sorted(map(tuple, read_postings(spark, store).collect()))
+    assert after == before  # layout invariance
+
+    comp_dir = os.path.join(store, "postings_compacted")
+    total_files = len(
+        glob.glob(os.path.join(comp_dir, "**", "*.parquet"), recursive=True)
+    )
+    assert total_files >= TOKEN_BUCKETS // 2  # fan-out actually happened
+    probe = ["hash", "join"]  # 2 terms -> at most 2 buckets listed
+    touched = (
+        read_postings(spark, store, terms=probe)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    # pruned read lists <= |probe| buckets of the compacted table
+    # (plus the single live batch-2 file)
+    assert touched < total_files
+    assert touched <= len(probe) + 1
+
+    # and the pruned read still carries every probe-term posting
+    full = {
+        t for t in before if t[1] in probe
+    }
+    pruned = {
+        tuple(r)
+        for r in read_postings(spark, store, terms=probe)
+        .filter(F.col("token").isin(probe))
+        .collect()
+    }
+    assert pruned == full
+
+
+# --- pluggable image decode hook ---------------------------------------
+
+
+def test_image_codec_hook(spark, monkeypatch):
+    """SPARK_GRAFT_IMAGE_CODEC=module:function lights up the decode
+    path with no code change; unset, the stub stays loud. json:loads
+    is the dependency-free fake codec: payload b'[640,480]' decodes
+    to a (width, height)-indexable value through a REAL executor
+    import."""
+    from pyspark.errors import PythonException
+
+    from projet_etl_spark.operators.multimodal import (
+        DECODED_SCHEMA,
+        IMAGE_CODEC_ENV,
+        decode_image,
+        make_decoded_features,
+    )
+
+    monkeypatch.delenv(IMAGE_CODEC_ENV, raising=False)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8")
+    df = spark.createDataFrame(
+        [(1, bytearray(b"[640,480]"))], "doc_id long, payload binary"
+    )
+    with pytest.raises(PythonException, match="NotImplementedError"):
+        df.mapInPandas(make_decoded_features(), schema=DECODED_SCHEMA).collect()
+
+    monkeypatch.setenv(IMAGE_CODEC_ENV, "json:loads")
+    assert decode_image(b"[640,480]") == [640, 480]
+    rows = df.mapInPandas(make_decoded_features(), schema=DECODED_SCHEMA).collect()
+    assert [(r.doc_id, r.width, r.height) for r in rows] == [(1, 640, 480)]
+
+
+# --- wscsv task-temp commit protocol -----------------------------------
+
+
+def test_wscsv_failed_task_temp_never_visible(spark, tmp_path):
+    """A dead task attempt's output (referenced by no commit message)
+    must stay invisible to readers in APPEND mode and get swept by
+    the next commit — the advisor's partial/duplicate-file leak."""
+    from projet_etl_spark.sources.pyds import register
+
+    register(spark)
+    out = str(tmp_path / "ws")
+    a = spark.createDataFrame([(1,), (2,)], "k long")
+    a.write.format("wscsv").mode("overwrite").save(out)
+
+    # simulate a failed/speculative attempt's leftover temp file
+    orphan = os.path.join(out, ".part-deadbeef.txt.tmp")
+    with open(orphan, "w") as fh:
+        fh.write("K\n999\n")
+    back = spark.read.format("wscsv").schema("k long").load(out)
+    assert sorted(r.k for r in back.collect()) == [1, 2]
+
+    # append publishes its own files and sweeps the orphan
+    spark.createDataFrame([(3,)], "k long").coalesce(1).write.format(
+        "wscsv"
+    ).mode("append").save(out)
+    assert not os.path.exists(orphan)
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+    back = spark.read.format("wscsv").schema("k long").load(out)
+    assert sorted(r.k for r in back.collect()) == [1, 2, 3]
+
+
+def test_wscsv_append_preserves_existing_files(spark, tmp_path):
+    from projet_etl_spark.sources.pyds import register
+
+    register(spark)
+    out = str(tmp_path / "ws")
+    spark.createDataFrame([(1,)], "k long").write.format("wscsv").mode(
+        "overwrite"
+    ).save(out)
+    spark.createDataFrame([(2,)], "k long").write.format("wscsv").mode(
+        "append"
+    ).save(out)
+    back = spark.read.format("wscsv").schema("k long").load(out)
+    assert sorted(r.k for r in back.collect()) == [1, 2]

@@ -130,14 +130,30 @@ def test_compact_store_collapses_files_and_preserves_results(spark, tmp_path):
 
     written = compact_store(spark, store, pairs)
     assert set(written) == {bands, os.path.join(store, "docs"), pairs}
-    assert n_files(bands) == 1
-    assert n_files(os.path.join(store, "docs")) == 1
+    # round-7 contract: batches BELOW the highest id fold into the
+    # reserved partition -1; the newest batch partition (the only one
+    # a restart can replay) is kept verbatim -> exactly 2 files
+    assert n_files(bands) == 2
+    assert n_files(os.path.join(store, "docs")) == 2
+    assert {
+        r.batch for r in spark.read.parquet(bands).select("batch").distinct().collect()
+    } == {-1, 2}
     after_pairs = {
         (r.doc_a, r.doc_b, r.jaccard) for r in read_pairs(spark, pairs).collect()
     }
     assert after_pairs == before_pairs
 
-    # incremental behavior preserved: the merged partition (batch=2)
+    # replay safety: a crash-replay of the newest batch (id 2 — the
+    # one batch whose checkpoint commit may be missing) must rewrite
+    # only its own partition, leaving the merged history intact
+    near_dedup_batch(
+        spark.createDataFrame(batches[2], DOC_STREAM_SCHEMA), 2, store, pairs
+    )
+    assert {
+        (r.doc_a, r.doc_b, r.jaccard) for r in read_pairs(spark, pairs).collect()
+    } == before_pairs
+
+    # incremental behavior preserved: the merged partition (batch=-1)
     # still predates batch 3, so cross-batch pairs keep arriving
     near_dedup_batch(
         spark.createDataFrame(batches[3], DOC_STREAM_SCHEMA), 3, store, pairs
