@@ -1,0 +1,140 @@
+"""Embedding-quality audits over the embeddings table — the vector
+hygiene checks a training pipeline runs before trusting similarity
+search or clustering (degenerate near-zero vectors, exploding norms,
+per-class drift).
+
+Float discipline (what makes these oracle-exact): distributed SUMs of
+doubles are order-dependent, so no query here ever hash-aggregates a
+raw float. `embedding-norm-extremes` only COMPARES per-row doubles
+(identical expression → identical values → identical order in both
+engines); `embedding-centroid-shift` quantizes components to 1e-6
+fixed point and sums exact BIGINTs (the kmeans-clusters discipline,
+operators/kmeans.py), dividing once per (label, dim) cell at the end;
+the final distance folds the 64 dims in fixed order (the BM25 fold
+discipline).
+
+At 100 TB: the norm audit is a map-only expression plus two top-k
+passes (TakeOrderedAndProject — never a global sort); the centroid
+audit explodes to (label, dim) grain with map-side combine, so the
+shuffle carries |labels| × 64 partials, not vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projet_etl_spark.functions.vectors import fold_norm2
+from projet_etl_spark.sources.tables import load_table
+
+NORM_EXTREME_K = 10
+CENTROID_UNIT = 1_000_000  # 1e-6 fixed point, the kmeans grid
+
+
+def q_embedding_norm_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NORM_EXTREME_K largest and smallest vectors by squared L2
+    norm — the exploding/degenerate-vector audit. Rank-based, so the
+    only cross-row operation is comparison of identically-computed
+    doubles: no float aggregation anywhere.
+
+    Scale shape: one map-only norm² expression (JVM fold, no UDF),
+    then two TakeOrderedAndProject top-ks; the union is 2K rows.
+    """
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", fold_norm2("embedding").alias("n2")
+    )
+    hi = (
+        vecs.orderBy(F.desc("n2"), F.asc("vec_id"))
+        .limit(NORM_EXTREME_K)
+        .withColumn("side", F.lit("high"))
+    )
+    lo = (
+        vecs.orderBy(F.asc("n2"), F.asc("vec_id"))
+        .limit(NORM_EXTREME_K)
+        .withColumn("side", F.lit("low"))
+    )
+    return (
+        hi.unionByName(lo)
+        .select("side", "vec_id", F.round("n2", 6).alias("norm2"))
+        .orderBy("side", "vec_id")
+    )
+
+
+def q_embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift from the global centroid (squared L2
+    distance) — the class-balance / embedding-drift audit behind
+    SemDeDup-style curation: a label whose centroid sits far from the
+    corpus centre is a candidate domain shift.
+
+    Exactness: components quantize to 1e-6 fixed point ONCE per value
+    (floor(x·1e6 + 0.5), identical in DuckDB), all sums are exact
+    BIGINTs, each centroid cell divides once to double, and the
+    64-dim distance folds in ascending-dim order — every float op is
+    a single deterministic expression shared with the oracle.
+
+    Scale shape: posexplode → (label, dim) hash aggregate with
+    map-side combine (shuffle carries |labels|×64 partials); global
+    centroid re-aggregates those partials, never the vectors; the
+    fold runs on |labels| rows.
+    """
+    cells = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("label", F.posexplode("embedding").alias("dim", "x"))
+        .select(
+            "label",
+            "dim",
+            F.floor(
+                F.col("x").cast("double") * F.lit(float(CENTROID_UNIT))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("u"),
+        )
+        .groupBy("label", "dim")
+        .agg(F.sum("u").alias("su"), F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    per_label = cells.select(
+        "label",
+        "dim",
+        (
+            F.col("su").cast("double")
+            / F.col("n").cast("double")
+            / F.lit(float(CENTROID_UNIT))
+        ).alias("m"),
+        "su",
+        "n",
+    )
+    glob = (
+        cells.groupBy("dim")
+        .agg(F.sum("su").alias("gsu"), F.sum("n").alias("gn"))
+        .select(
+            "dim",
+            (
+                F.col("gsu").cast("double")
+                / F.col("gn").cast("double")
+                / F.lit(float(CENTROID_UNIT))
+            ).alias("gm"),
+        )
+    )
+    diffs = per_label.join(F.broadcast(glob), "dim").select(
+        "label",
+        "dim",
+        ((F.col("m") - F.col("gm")) * (F.col("m") - F.col("gm"))).alias("d2"),
+        "n",
+    )
+    return (
+        diffs.groupBy("label")
+        .agg(
+            F.max("n").cast("long").alias("n_vecs"),  # same n for every dim
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("dim", "d2"))),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t["d2"],
+                ),
+                6,
+            ).alias("centroid_shift2"),
+        )
+        .select(F.col("label").cast("long").alias("label"), "n_vecs", "centroid_shift2")
+        .orderBy("label")
+    )

@@ -1499,3 +1499,369 @@ def q_dominant_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# --- Q2 shape: cheapest supplier per part (decorrelated MIN) ----------
+
+MINCOST_REGION = "EUROPE"
+MINCOST_TYPE = "STANDARD"
+MINCOST_MAX_SIZE = 10
+MINCOST_TOPN = 25
+
+
+def q_min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest supplier(s) per part — TPC-H Q2's correlated MIN
+    subquery shape, adapted to this schema (no partsupp table: the
+    part×supplier cost relation is the observed discounted lineitem
+    spend): for STANDARD parts of size ≤ 10 supplied from EUROPE,
+    keep the supplier(s) whose total discounted cost for the part is
+    the per-part minimum.
+
+    Scale shape: the correlated `cost = (SELECT MIN ...)` decorrelates
+    into one aggregate at (part, supplier) grain, a second tiny MIN at
+    part grain, and an equality join-back — never a per-row subquery.
+    Region prunes suppliers on the broadcast dim chain BEFORE the fact
+    join; the part filter prunes the other side; both reach the scans.
+    Cost compares as EXACT decimal, so per-part ties are
+    engine-independent; the final top-k is TakeOrderedAndProject.
+    """
+    regions = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == MINCOST_REGION
+    )
+    nations = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(regions), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_type") == MINCOST_TYPE)
+            & (F.col("p_size") <= MINCOST_MAX_SIZE)
+        )
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (units("l_extendedprice") * (100 - units("l_discount"))).alias("rev_units"),
+    )
+    cost = (
+        fixed_point_agg(
+            li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+            .join(F.broadcast(supp.select("s_suppkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("l_partkey", "l_suppkey", "rev_units"),
+            ["l_partkey", "l_suppkey"],
+            [UnitSum("ucost", F.col("rev_units"), 4, U4_MONEY)],
+        )
+        .select(
+            "l_partkey", "l_suppkey", F.col("ucost").cast("decimal(18,4)").alias("cost_dec")
+        )
+    )
+    mins = cost.groupBy("l_partkey").agg(F.min("cost_dec").alias("min_cost"))
+    return (
+        cost.join(F.broadcast(mins), "l_partkey")
+        .filter(F.col("cost_dec") == F.col("min_cost"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            F.col("cost_dec").cast("double").alias("cost"),
+        )
+        .orderBy(F.desc("cost"), F.asc("p_partkey"), F.asc("s_suppkey"))
+        .limit(MINCOST_TOPN)
+    )
+
+
+# --- Q8 shape: nation market share ------------------------------------
+
+MKT_REGION = "ASIA"
+MKT_NATION = "NATION_2"
+
+
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_2's share of the revenue ASIA-region customers spend,
+    per order year (TPC-H Q8 shape): numerator and denominator come
+    from ONE conditional aggregation over the star join — no second
+    pass, no window.
+
+    Scale shape: the region filter prunes customers through the
+    broadcast nation dim before the orders join; the supplier side
+    joins broadcast to tag each line with its supplier nation; both
+    the share's numerator (supplier-nation-conditional) and
+    denominator are exact fixed-point sums in the same aggregate, and
+    the share divides once per year-row. Group count = years.
+    """
+    regions = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == MKT_REGION
+    )
+    r_nations = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(regions), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(r_nations.select("n_nationkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.year(F.to_date("o_orderdate")).cast("long").alias("o_year"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (units("l_extendedprice") * (100 - units("l_discount"))).alias("rev_units"),
+    )
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    agg = fixed_point_agg(
+        joined,
+        ["o_year"],
+        [
+            UnitSum(
+                "unat",
+                F.when(F.col("supp_nation") == MKT_NATION, F.col("rev_units"))
+                .otherwise(F.lit(0)),
+                4,
+                U4_MONEY,
+            ),
+            UnitSum("utot", F.col("rev_units"), 4, U4_MONEY),
+        ],
+    )
+    return agg.select(
+        "o_year",
+        F.round(
+            F.col("unat").cast("double") / F.col("utot").cast("double"), 6
+        ).alias("mkt_share"),
+        F.col("utot").cast("double").alias("total_revenue"),
+    ).orderBy("o_year")
+
+
+# --- Q9 shape: part-type profit by supplier nation and year -----------
+
+PROFIT_NAME_PATTERN = "%widget%"
+
+
+def q_part_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit on widget parts per supplier nation and order year
+    (TPC-H Q9 shape, adapted: no partsupp supplycost — the cost side
+    is the part's retail price × quantity, the catalog-cost proxy this
+    schema affords). Profit = discounted revenue − retail cost, both
+    exact integer units at scale 4, summed in one fixed-point
+    aggregate (negative-margin lines stay exact too).
+
+    Scale shape: the part-name filter prunes the broadcast part dim
+    before the fact join; supplier-nation tagging is a broadcast; one
+    (nation, year)-grain aggregate over the filtered lines. The
+    classic Q9 plan with the catalog join folded into the fact scan.
+    """
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like(PROFIT_NAME_PATTERN))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year(F.to_date("o_orderdate")).cast("long").alias("o_year")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    joined = (
+        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    profit_units = units("l_extendedprice") * (100 - units("l_discount")) - units(
+        "p_retailprice"
+    ) * units("l_quantity")
+    return (
+        fixed_point_agg(
+            joined.select("nation", "o_year", profit_units.alias("pu")),
+            ["nation", "o_year"],
+            [UnitSum("uprofit", F.col("pu"), 4, U4_MONEY)],
+            counts=[("n_items", None)],
+        )
+        .select(
+            "nation",
+            "o_year",
+            F.col("uprofit").cast("double").alias("profit"),
+            "n_items",
+        )
+        .orderBy("nation", "o_year")
+    )
+
+
+# --- Q12 shape: shipping-delay bands vs order priority ----------------
+
+DELAY_BANDS = ((None, -1, "early"), (0, 30, "0-30d"), (31, 90, "31-90d"), (91, None, "90d+"))
+URGENT_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+
+def q_shipping_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Urgent-vs-other order counts per shipping-delay band (TPC-H
+    Q12 shape, adapted: no l_shipmode column — the band of
+    ship-minus-order days plays the mode's role). The classic
+    "did high-priority orders actually ship faster" audit.
+
+    Scale shape: one fact-fact equi-join on orderkey (co-located and
+    shuffle-free on the bucketed warehouse), per-row band arithmetic,
+    and a bands×2 aggregate with map-side combine. CASE counts make
+    numerator and denominator one pass.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.to_date("o_orderdate").alias("od")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("sd")
+    )
+    delay = F.datediff(F.col("sd"), F.col("od"))
+    band = F.lit(None).cast("string")
+    for lo, hi, label in reversed(DELAY_BANDS):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (delay >= lo)
+        if hi is not None:
+            cond = cond & (delay <= hi)
+        band = F.when(cond, F.lit(label)).otherwise(band)
+    urgent = F.col("o_orderpriority").isin(*URGENT_PRIORITIES)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(band.alias("delay_band"), urgent.alias("u"))
+        .groupBy("delay_band")
+        .agg(
+            F.sum(F.when(F.col("u"), 1).otherwise(0)).cast("long").alias("n_urgent"),
+            F.sum(F.when(F.col("u"), 0).otherwise(1)).cast("long").alias("n_other"),
+        )
+        .orderBy("delay_band")
+    )
+
+
+# --- Q16 shape: supplier diversity per brand (NOT IN -> anti-join) ----
+
+DIVERSITY_TYPE = "PROMO"
+
+
+def q_part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct suppliers per brand for PROMO parts, EXCLUDING
+    suppliers with negative account balance (TPC-H Q16 shape: the
+    complaints NOT IN subquery becomes a broadcast LEFT ANTI join —
+    never a per-row membership probe).
+
+    Scale shape: the part filter prunes the broadcast dim before the
+    fact join; the exclusion list is dimension-sized and broadcast;
+    COUNT(DISTINCT supplier) runs at brand grain after the semi/anti
+    pruning. Order by diversity desc — the sourcing-risk ranking.
+    """
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == DIVERSITY_TYPE)
+        .select("p_partkey", "p_brand")
+    )
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
+            F.countDistinct("l_partkey").cast("long").alias("n_parts"),
+        )
+        .orderBy(F.desc("n_suppliers"), F.asc("p_brand"))
+    )
+
+
+# --- Q21 shape: sole late supplier in multi-supplier orders ------------
+
+LATE_SHIP_DAYS = 60
+SOLE_LATE_TOPN = 25
+
+
+def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who were the ONLY late shipper in multi-supplier
+    orders (TPC-H Q21 shape, adapted: lateness = shipped more than
+    LATE_SHIP_DAYS after the order date — this schema has no
+    commit/receipt dates). The EXISTS (another supplier) and NOT
+    EXISTS (another LATE supplier) pair decorrelates into per-order
+    counts: n_suppliers >= 2 AND n_late_suppliers == 1 AND this
+    supplier late.
+
+    Scale shape: lineitem⋈orders reduces to (order, supplier) grain
+    with a MAX(late) flag — the only data-sized aggregate; per-order
+    stats are a second aggregate on the reduced grain; the candidate
+    filter is a broadcast-joinable order-grain frame; top-k is
+    TakeOrderedAndProject. No correlated re-scan of lineitem, which
+    is how Q21 degenerates on naive planners.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("od")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", F.to_date("l_shipdate").alias("sd")
+    )
+    per_os = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.datediff(F.col("sd"), F.col("od")) > LATE_SHIP_DAYS)
+            .cast("int")
+            .alias("late"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late").alias("late"))
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_supp"),
+        F.sum("late").cast("long").alias("n_late"),
+    )
+    culprits = (
+        per_os.filter(F.col("late") == 1)
+        .join(per_o, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        culprits.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.col("l_suppkey").alias("s_suppkey"), "s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+        .limit(SOLE_LATE_TOPN)
+    )

@@ -3022,6 +3022,198 @@ SELECT o_orderpriority,
 FROM orders GROUP BY 1 ORDER BY 1
 """
 
+# round-7 TPC-H shape adaptations (no partsupp / shipmode /
+# commit-receipt dates in this schema — each oracle mirrors the
+# adapted semantics documented on the operator)
+
+_REV4 = (
+    "CAST(l_extendedprice AS DECIMAL(18,4)) "
+    "* (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"
+)
+
+_MINCOST_SQL = f"""
+WITH eligible AS (
+    SELECT p_partkey FROM part
+    WHERE p_type = '{star.MINCOST_TYPE}' AND p_size <= {star.MINCOST_MAX_SIZE}
+),
+supp AS (
+    SELECT s_suppkey, s_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = '{star.MINCOST_REGION}'
+),
+cost AS (
+    SELECT l_partkey, l_suppkey,
+           CAST(SUM({_REV4}) AS DECIMAL(18,4)) AS cost_dec
+    FROM lineitem
+    JOIN eligible ON l_partkey = p_partkey
+    JOIN supp ON l_suppkey = s_suppkey
+    GROUP BY 1, 2
+),
+mins AS (SELECT l_partkey, MIN(cost_dec) AS min_cost FROM cost GROUP BY 1)
+SELECT c.l_partkey AS p_partkey, c.l_suppkey AS s_suppkey, s.s_name,
+       CAST(c.cost_dec AS DOUBLE) AS cost
+FROM cost c
+JOIN mins m ON c.l_partkey = m.l_partkey AND c.cost_dec = m.min_cost
+JOIN supp s ON c.l_suppkey = s.s_suppkey
+ORDER BY cost DESC, p_partkey, s_suppkey
+LIMIT {star.MINCOST_TOPN}
+"""
+
+_MKTSHARE_SQL = f"""
+WITH cust AS (
+    SELECT c_custkey FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = '{star.MKT_REGION}'
+),
+supp AS (
+    SELECT s_suppkey, n_name AS supp_nation FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+),
+agg AS (
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CASE WHEN supp_nation = '{star.MKT_NATION}'
+                         THEN {_REV4} ELSE CAST(0 AS DECIMAL(18,4)) END)
+                AS DECIMAL(18,4)) AS unat,
+           CAST(SUM({_REV4}) AS DECIMAL(18,4)) AS utot
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supp ON l_suppkey = s_suppkey
+    WHERE o_custkey IN (SELECT c_custkey FROM cust)
+    GROUP BY 1
+)
+SELECT o_year,
+       ROUND(CAST(unat AS DOUBLE) / CAST(utot AS DOUBLE), 6) AS mkt_share,
+       CAST(utot AS DOUBLE) AS total_revenue
+FROM agg ORDER BY o_year
+"""
+
+_PROFIT_SQL = f"""
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(CAST(SUM({_REV4}
+                     - CAST(p.p_retailprice AS DECIMAL(18,2))
+                       * CAST(l.l_quantity AS DECIMAL(18,2)))
+                 AS DECIMAL(18,4)) AS DOUBLE) AS profit,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '{star.PROFIT_NAME_PATTERN}'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+_DELAY_SQL = f"""
+WITH j AS (
+    SELECT date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+               AS delay,
+           o_orderpriority IN {star.URGENT_PRIORITIES!r} AS u
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT CASE WHEN delay <= -1 THEN 'early'
+            WHEN delay <= 30 THEN '0-30d'
+            WHEN delay <= 90 THEN '31-90d'
+            ELSE '90d+' END AS delay_band,
+       CAST(SUM(CASE WHEN u THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+       CAST(SUM(CASE WHEN u THEN 0 ELSE 1 END) AS BIGINT) AS n_other
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+_DIVERSITY_SQL = f"""
+SELECT p_brand,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_type = '{star.DIVERSITY_TYPE}'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1 ORDER BY n_suppliers DESC, p_brand
+"""
+
+_SOLE_LATE_SQL = f"""
+WITH per_os AS (
+    SELECT l_orderkey, l_suppkey,
+           MAX(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                   CAST(l_shipdate AS DATE))
+                         > {star.LATE_SHIP_DAYS}
+                    THEN 1 ELSE 0 END) AS late
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+),
+per_o AS (
+    SELECT l_orderkey, COUNT(*) AS n_supp, SUM(late) AS n_late
+    FROM per_os GROUP BY 1
+)
+SELECT c.l_suppkey AS s_suppkey, s.s_name,
+       CAST(COUNT(*) AS BIGINT) AS numwait
+FROM per_os c
+JOIN per_o o USING (l_orderkey)
+JOIN supplier s ON c.l_suppkey = s.s_suppkey
+WHERE c.late = 1 AND o.n_supp >= 2 AND o.n_late = 1
+GROUP BY 1, 2
+ORDER BY numwait DESC, s_suppkey
+LIMIT {star.SOLE_LATE_TOPN}
+"""
+
+# embedding-quality audits (operators/embaudit.py): rank-based norm
+# extremes (no float aggregation anywhere) and 1e-6-fixed-point
+# centroid drift (exact BIGINT sums, one division per cell)
+from projet_etl_spark.operators import embaudit as _embaudit  # noqa: E402
+
+_NORM_EXTREMES_SQL = f"""
+WITH v AS (
+    SELECT vec_id, ({VEC.sql_norm2("embedding")}) AS n2 FROM embeddings
+),
+hi AS (
+    SELECT 'high' AS side, vec_id, n2 FROM v
+    ORDER BY n2 DESC, vec_id LIMIT {_embaudit.NORM_EXTREME_K}
+),
+lo AS (
+    SELECT 'low' AS side, vec_id, n2 FROM v
+    ORDER BY n2 ASC, vec_id LIMIT {_embaudit.NORM_EXTREME_K}
+)
+SELECT side, vec_id, ROUND(n2, 6) AS norm2
+FROM (SELECT * FROM hi UNION ALL SELECT * FROM lo)
+ORDER BY side, vec_id
+"""
+
+_CENTROID_SHIFT_SQL = f"""
+WITH cells AS (
+    SELECT label, CAST(t.i AS BIGINT) AS dim,
+           CAST(floor(embedding[CAST(t.i AS INT) + 1]::DOUBLE
+                      * {float(_embaudit.CENTROID_UNIT)!r} + 0.5) AS BIGINT) AS u
+    FROM embeddings, range({VEC.DIM}) t(i)
+),
+agg AS (
+    SELECT label, dim, SUM(u) AS su, COUNT(*) AS n FROM cells GROUP BY 1, 2
+),
+perl AS (
+    SELECT label, dim,
+           CAST(su AS DOUBLE) / CAST(n AS DOUBLE)
+               / {float(_embaudit.CENTROID_UNIT)!r} AS m,
+           n
+    FROM agg
+),
+gcent AS (
+    SELECT dim,
+           CAST(SUM(su) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+               / {float(_embaudit.CENTROID_UNIT)!r} AS gm
+    FROM agg GROUP BY 1
+),
+d AS (
+    SELECT label, p.dim, (m - gm) * (m - gm) AS d2, n
+    FROM perl p JOIN gcent g ON p.dim = g.dim
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(MAX(n) AS BIGINT) AS n_vecs,
+       ROUND(list_reduce(list_prepend(0.0, list(d2 ORDER BY dim)),
+                         (a, b) -> a + b), 6) AS centroid_shift2
+FROM d GROUP BY label ORDER BY label
+"""
+
 # layout-invariance contract for the Z-ORDER copy: the oracle is the
 # plain scan of raw lineitem over the same supplier band
 from projet_etl_spark.sources import zorder as _zorder  # noqa: E402
@@ -3714,6 +3906,54 @@ def build():
             storequery.q_bm25_store_compacted,
             retrieval.BM25_ORACLE_SQL,
             ("streaming", "retrieval", "layout"),
+        ),
+        (
+            "min-cost-supplier-per-part",
+            star.q_min_cost_supplier_per_part,
+            _MINCOST_SQL,
+            ("olap", "join"),
+        ),
+        (
+            "nation-market-share",
+            star.q_nation_market_share,
+            _MKTSHARE_SQL,
+            ("olap", "join"),
+        ),
+        (
+            "part-type-profit",
+            star.q_part_type_profit,
+            _PROFIT_SQL,
+            ("olap", "join"),
+        ),
+        (
+            "shipping-delay-priority",
+            star.q_shipping_delay_priority,
+            _DELAY_SQL,
+            ("olap",),
+        ),
+        (
+            "part-supplier-diversity",
+            star.q_part_supplier_diversity,
+            _DIVERSITY_SQL,
+            ("olap", "join"),
+        ),
+        (
+            "sole-late-supplier",
+            star.q_sole_late_supplier,
+            _SOLE_LATE_SQL,
+            ("olap", "join"),
+        ),
+        (
+            "embedding-norm-extremes",
+            _embaudit.q_embedding_norm_extremes,
+            _NORM_EXTREMES_SQL,
+            ("ann", "curation"),
+        ),
+        (
+            "embedding-centroid-shift",
+            _embaudit.q_embedding_centroid_shift,
+            _CENTROID_SHIFT_SQL,
+            ("ann", "curation", "stats"),
         ),
     ]
     return {

@@ -92,6 +92,14 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "lineitem-zorder-scan",
     "user-state-store",
     "bm25-store-compacted",
+    "min-cost-supplier-per-part",
+    "nation-market-share",
+    "part-type-profit",
+    "shipping-delay-priority",
+    "part-supplier-diversity",
+    "sole-late-supplier",
+    "embedding-norm-extremes",
+    "embedding-centroid-shift",
     # (5) downstream of this round's shared-module edits
     "pricing-summary",
     "revenue-by-nation",
@@ -111,20 +119,13 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "neardedup-pairs-store",
     "bm25-store",
     "quantiles-hash-sample",
-    # oldest green rows (r1-r4) — periodic refresh
-    "dedup-exact",
-    "dedup-minhash-lsh",
-    "dedup-lsh-recall",
+    # oldest green rows (r1-r4) — periodic refresh (capped so the
+    # round-7 additions above all fit in the 50-row window)
     "ann-cosine-topk",
-    "ann-ivf-topk",
     "pack-sequences",
-    "retention-cohorts",
-    "events-asof-click",
     "kmeans-clusters",
     "multimodal-bytes",
-    "text-quality",
     "embed-score-jvm",
-    "score-evolution-rollup",
 )
 
 

@@ -97,15 +97,33 @@ def zorder_write(
     """Write ``df`` to parquet z-ordered by ``cols``: one range
     exchange on the Morton key, per-partition sort, one file per
     partition (AQE left off the final exchange by the explicit
-    partition count so the file count is the caller's contract)."""
+    partition count so the file count is the caller's contract).
+
+    The range exchange's boundary SAMPLE is widened for the write
+    (sampleSizePerPartition, restored after): the default 100-row
+    sample jitters boundaries run to run (the sampler seeds off the
+    RDD id), which moves a boundary file's min/max and with it the
+    measured pruning — a layout writer is refresh cost, so paying one
+    denser sampling pass for stable, well-placed boundaries is the
+    right trade at every scale."""
     keyed = zorder_by(df, cols, bits=bits)
-    (
-        keyed.repartitionByRange(n_files, ZKEY)
-        .sortWithinPartitions(ZKEY)
-        .drop(ZKEY)
-        .write.mode(mode)
-        .parquet(path)
-    )
+    conf = df.sparkSession.conf
+    key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    old = conf.get(key, None)
+    conf.set(key, "20000")
+    try:
+        (
+            keyed.repartitionByRange(n_files, ZKEY)
+            .sortWithinPartitions(ZKEY)
+            .drop(ZKEY)
+            .write.mode(mode)
+            .parquet(path)
+        )
+    finally:
+        if old is None:
+            conf.unset(key)
+        else:
+            conf.set(key, old)
 
 
 # --- registry query over a z-ordered lineitem copy --------------------

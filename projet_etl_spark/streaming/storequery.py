@@ -281,11 +281,21 @@ def q_user_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     user-state-history's oracle, making stateful-streaming parity a
     hard driver fact."""
     from projet_etl_spark.operators.events_windows import TS_FMT
+    from projet_etl_spark.streaming.history import OUTPUT_SCHEMA
+    from projet_etl_spark.streaming.storeio import read_store
 
     store = ensure_user_state_store(spark, sf_dir)
+    # empty events -> the stream commits no rows and the store dir has
+    # no footers; read_store serves the legitimately-empty frame while
+    # still raising on a genuinely broken store
+    rows = read_store(
+        spark,
+        store,
+        OUTPUT_SCHEMA,
+        ["user_id", "state", "version_no", "from_us", "to_us"],
+    )
     folded = (
-        spark.read.parquet(store)
-        .groupBy("user_id", "version_no")
+        rows.groupBy("user_id", "version_no")
         .agg(
             F.first("state").alias("state"),  # invariant per version
             F.min("from_us").alias("from_us"),  # fixed at version open

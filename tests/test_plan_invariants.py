@@ -61,6 +61,8 @@ BNLJ_ALLOWED = {
     "bm25-topk",
     # same scoring subtree served from the postings store
     "bm25-store",
+    # same again, over the token-bucketed compacted layout
+    "bm25-store-compacted",
     # 1-row broadcast of the max supplier revenue (ties kept)
     "top-supplier-revenue",
     # event-type-count broadcast cross (pair enumeration)

@@ -148,7 +148,20 @@ def test_read_store_empty_vs_broken(spark, tmp_path):
 
 
 @pytest.mark.parametrize(
-    "name", ["lineitem-zorder-scan", "user-state-store", "bm25-store-compacted"]
+    "name",
+    [
+        "lineitem-zorder-scan",
+        "user-state-store",
+        "bm25-store-compacted",
+        "min-cost-supplier-per-part",
+        "nation-market-share",
+        "part-type-profit",
+        "shipping-delay-priority",
+        "part-supplier-diversity",
+        "sole-late-supplier",
+        "embedding-norm-extremes",
+        "embedding-centroid-shift",
+    ],
 )
 def test_round7_queries_match_oracle(spark, duck, name):
     spec = REGISTRY[name]
