@@ -1865,3 +1865,145 @@ def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
         .limit(SOLE_LATE_TOPN)
     )
+
+
+# --- customer cohort LTV matrix ---------------------------------------
+
+
+def q_customer_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: customers cohorted by first-order
+    month; for each (cohort, months-since-first) cell, the cohort's
+    cumulative revenue and cumulative revenue per cohort customer —
+    the standard warehouse LTV triangle.
+
+    Scale shape: first-order month is one min() aggregate at customer
+    grain; cell revenue is one exact fixed-point aggregate at
+    (cohort, k) grain; the cumulative sum is a window over the
+    REDUCED cohort×months series (cohorts × ~80 rows, partitioned by
+    cohort — never over orders); cohort sizes broadcast back. Exact
+    decimal end to end, DOUBLE in the final projection.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+        F.col("o_totalprice").alias("p"),
+    )
+    first = orders.groupBy("o_custkey").agg(F.min("m").alias("cm"))
+    sizes = first.groupBy("cm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+    cells = fixed_point_agg(
+        orders.join(first, "o_custkey").select(
+            F.col("cm"),
+            F.months_between(F.col("m"), F.col("cm")).cast("long").alias("k"),
+            "p",
+        ),
+        ["cm", "k"],
+        [UnitSum("urev", units("p"), 2, TP2_MAX)],
+    ).select("cm", "k", F.col("urev").cast("decimal(18,2)").alias("rev_dec"))
+    w = (
+        Window.partitionBy("cm")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cells.withColumn(
+        "cum_dec", F.sum("rev_dec").over(w).cast("decimal(18,2)")
+    )
+    return (
+        cum.join(F.broadcast(sizes), "cm")
+        .select(
+            F.date_format("cm", "yyyy-MM").alias("cohort"),
+            F.col("k").alias("months_since"),
+            "n_customers",
+            F.col("cum_dec").cast("double").alias("cum_revenue"),
+            F.round(
+                F.col("cum_dec").cast("double")
+                / F.col("n_customers").cast("double"),
+                6,
+            ).alias("ltv_per_customer"),
+        )
+        .orderBy("cohort", "months_since")
+    )
+
+
+# --- supplier lead-time percentiles -----------------------------------
+
+
+def q_supplier_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier p50/p95 of ship-minus-order days — the
+    fulfillment-SLA audit (which suppliers are slow, and how heavy is
+    their tail). Exact percentiles at supplier grain: each group
+    holds one supplier's lineitems, so order-statistics state is
+    group-bounded (the daily-value-percentiles discipline; swap for
+    approx_percentile when groups stop fitting).
+
+    Scale shape: one fact-fact equi-join on orderkey (shuffle-free on
+    the bucketed warehouse), integer delay arithmetic per row, one
+    supplier-grain aggregate, broadcast name enrichment.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("od")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", F.to_date("l_shipdate").alias("sd")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    delays = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_suppkey", F.datediff(F.col("sd"), F.col("od")).alias("delay")
+    )
+    return (
+        delays.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.round(F.expr("percentile(delay, 0.5)"), 6).alias("p50_days"),
+            F.round(F.expr("percentile(delay, 0.95)"), 6).alias("p95_days"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            "n_items",
+            "p50_days",
+            "p95_days",
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# --- brand basket affinity --------------------------------------------
+
+AFFINITY_TOPN = 25
+
+
+def q_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand co-occurrence within orders: the AFFINITY_TOPN brand
+    pairs most often bought together — market-basket analysis at
+    brand grain.
+
+    Scale shape: lineitem reduces to DISTINCT (order, brand) FIRST —
+    the brand dimension is small (~25 values), so each order
+    contributes at most |brands| rows and the self-join's per-order
+    fan-out is bounded by |brands|² regardless of order size (the
+    property that makes basket self-joins survive 100 TB: reduce to
+    the coarse grain BEFORE pairing, never pair raw items). Pair
+    counting is one aggregate at brand-pair grain (≤ |brands|²/2
+    groups); top-k is TakeOrderedAndProject.
+    """
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
+    b = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("brand_a"), F.asc("brand_b"))
+        .limit(AFFINITY_TOPN)
+    )

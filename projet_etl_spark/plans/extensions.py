@@ -3158,6 +3158,71 @@ ORDER BY numwait DESC, s_suppkey
 LIMIT {star.SOLE_LATE_TOPN}
 """
 
+_LTV_SQL = """
+WITH orders_m AS (
+    SELECT o_custkey, date_trunc('month', o_orderdate) AS m,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS p
+    FROM orders
+),
+first_m AS (
+    SELECT o_custkey, MIN(m) AS cm FROM orders_m GROUP BY 1
+),
+sizes AS (
+    SELECT cm, CAST(COUNT(*) AS BIGINT) AS n_customers FROM first_m GROUP BY 1
+),
+cells AS (
+    SELECT f.cm,
+           CAST(date_diff('month', f.cm, o.m) AS BIGINT) AS k,
+           CAST(SUM(o.p) AS DECIMAL(18,2)) AS rev_dec
+    FROM orders_m o JOIN first_m f ON o.o_custkey = f.o_custkey
+    GROUP BY 1, 2
+),
+cum AS (
+    SELECT cm, k,
+           CAST(SUM(rev_dec) OVER (
+               PARTITION BY cm ORDER BY k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DECIMAL(18,2)) AS cum_dec
+    FROM cells
+)
+SELECT strftime(c.cm, '%Y-%m') AS cohort,
+       c.k AS months_since,
+       s.n_customers,
+       CAST(c.cum_dec AS DOUBLE) AS cum_revenue,
+       ROUND(CAST(c.cum_dec AS DOUBLE) / CAST(s.n_customers AS DOUBLE), 6)
+           AS ltv_per_customer
+FROM cum c JOIN sizes s ON c.cm = s.cm
+ORDER BY cohort, months_since
+"""
+
+_LEADTIME_SQL = """
+WITH delays AS (
+    SELECT l_suppkey,
+           date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+               AS delay
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT d.l_suppkey AS s_suppkey, s.s_name,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(quantile_cont(delay, 0.5), 6) AS p50_days,
+       ROUND(quantile_cont(delay, 0.95), 6) AS p95_days
+FROM delays d JOIN supplier s ON d.l_suppkey = s.s_suppkey
+GROUP BY 1, 2 ORDER BY 1
+"""
+
+_AFFINITY_SQL = f"""
+WITH ob AS (
+    SELECT DISTINCT l_orderkey, p_brand
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+GROUP BY 1, 2
+ORDER BY n_orders DESC, brand_a, brand_b
+LIMIT {star.AFFINITY_TOPN}
+"""
+
 # embedding-quality audits (operators/embaudit.py): rank-based norm
 # extremes (no float aggregation anywhere) and 1e-6-fixed-point
 # centroid drift (exact BIGINT sums, one division per cell)
@@ -3954,6 +4019,24 @@ def build():
             _embaudit.q_embedding_centroid_shift,
             _CENTROID_SHIFT_SQL,
             ("ann", "curation", "stats"),
+        ),
+        (
+            "customer-ltv-cohorts",
+            star.q_customer_ltv_cohorts,
+            _LTV_SQL,
+            ("olap", "windows", "analytics"),
+        ),
+        (
+            "supplier-lead-time",
+            star.q_supplier_lead_time,
+            _LEADTIME_SQL,
+            ("olap", "stats"),
+        ),
+        (
+            "brand-affinity",
+            star.q_brand_affinity,
+            _AFFINITY_SQL,
+            ("olap", "join", "analytics"),
         ),
     ]
     return {

@@ -100,6 +100,9 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "sole-late-supplier",
     "embedding-norm-extremes",
     "embedding-centroid-shift",
+    "customer-ltv-cohorts",
+    "supplier-lead-time",
+    "brand-affinity",
     # (5) downstream of this round's shared-module edits
     "pricing-summary",
     "revenue-by-nation",
@@ -121,10 +124,7 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "quantiles-hash-sample",
     # oldest green rows (r1-r4) — periodic refresh (capped so the
     # round-7 additions above all fit in the 50-row window)
-    "ann-cosine-topk",
-    "pack-sequences",
     "kmeans-clusters",
-    "multimodal-bytes",
     "embed-score-jvm",
 )
 

@@ -161,6 +161,9 @@ def test_read_store_empty_vs_broken(spark, tmp_path):
         "sole-late-supplier",
         "embedding-norm-extremes",
         "embedding-centroid-shift",
+        "customer-ltv-cohorts",
+        "supplier-lead-time",
+        "brand-affinity",
     ],
 )
 def test_round7_queries_match_oracle(spark, duck, name):
