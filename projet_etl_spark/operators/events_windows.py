@@ -215,6 +215,61 @@ def q_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "version_no")
 
 
+ASOF_SNAPSHOT = "2024-01-15 12:00:00"  # mid-fixture instant, UTC
+
+
+def q_user_state_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time snapshot of the SCD2 user-state dimension: each
+    user's state AS OF a fixed instant — the time-travel read every
+    type-2 history table exists to serve (pick the version whose
+    [valid_from, valid_to) interval contains the instant).
+
+    Scale shape: identical single-shuffle window plan as the history
+    build, then a map-side interval filter — the snapshot never
+    materializes the full history, and at 100 TB the filter prunes to
+    at most one row per user before any downstream join. The
+    interval comparison runs in integer microseconds on both engines
+    (no timestamp-encoding skew).
+    """
+    from datetime import datetime, timezone
+
+    asof_us = int(
+        datetime.strptime(ASOF_SNAPSHOT, "%Y-%m-%d %H:%M:%S")
+        .replace(tzinfo=timezone.utc)
+        .timestamp()
+        * 1_000_000
+    )
+    ev = events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.withColumn(
+        "prev_state", F.lag("event_type").over(by_user)
+    ).filter(
+        F.col("prev_state").isNull() | (F.col("prev_state") != F.col("event_type"))
+    )
+    versioned = changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.row_number().over(by_user).cast("long").alias("version_no"),
+        F.unix_micros(F.col("ts")).alias("from_us"),
+        F.unix_micros(F.lead("ts").over(by_user)).alias("to_us"),
+    )
+    return (
+        versioned.filter(
+            (F.col("from_us") <= F.lit(asof_us))
+            & (F.col("to_us").isNull() | (F.col("to_us") > F.lit(asof_us)))
+        )
+        .select(
+            "user_id",
+            "state",
+            "version_no",
+            F.date_format(F.timestamp_micros("from_us"), TS_FMT).alias(
+                "valid_from"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
 def q_events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user time-weighted average of ``value``: each observation
     weighs by its holding time (microseconds until the user's next

@@ -2212,6 +2212,35 @@ FROM versioned
 ORDER BY user_id, version_no
 """
 
+_ASOF_SQL = f"""
+WITH changes AS (
+    SELECT user_id, ts, event_id, event_type
+    FROM (
+        SELECT user_id, ts, event_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
+        FROM events)
+    WHERE prev_state IS NULL OR prev_state <> event_type
+),
+versioned AS (
+    SELECT user_id, event_type AS state,
+           CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+               AS version_no,
+           epoch_us(ts) AS from_us,
+           epoch_us(lead(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS to_us
+    FROM changes
+)
+SELECT user_id, state, version_no,
+       strftime(make_timestamp(from_us), '%Y-%m-%d %H:%M:%S') AS valid_from
+FROM versioned
+WHERE from_us <= epoch_us(TIMESTAMP '{events_windows.ASOF_SNAPSHOT}')
+  AND (to_us IS NULL
+       OR to_us > epoch_us(TIMESTAMP '{events_windows.ASOF_SNAPSHOT}'))
+ORDER BY user_id
+"""
+
 # KMV distinct sketch: estimate = (K-1)/u_(K) on portable md5 hashes
 _KMV_POW60 = float(1 << 60)
 _KMV_SQL = f"""
@@ -3963,6 +3992,20 @@ def build():
             "user-state-store",
             storequery.q_user_state_store,
             _SCD2_SQL,
+            ("streaming", "windows"),
+        ),
+        (
+            "user-state-asof",
+            events_windows.q_user_state_asof,
+            _ASOF_SQL,
+            ("windows", "olap"),
+        ),
+        # the sessionization store fold must equal the batch
+        # gaps-and-islands rebuild — shares events-session's oracle
+        (
+            "sessions-store",
+            storequery.q_sessions_store,
+            _SESSION_SQL,
             ("streaming", "windows"),
         ),
         # compacted-layout invariance: shares bm25-topk's oracle

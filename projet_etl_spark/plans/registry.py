@@ -103,6 +103,8 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "customer-ltv-cohorts",
     "supplier-lead-time",
     "brand-affinity",
+    "sessions-store",
+    "user-state-asof",
     # (5) downstream of this round's shared-module edits
     "pricing-summary",
     "revenue-by-nation",
@@ -122,10 +124,6 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "neardedup-pairs-store",
     "bm25-store",
     "quantiles-hash-sample",
-    # oldest green rows (r1-r4) — periodic refresh (capped so the
-    # round-7 additions above all fit in the 50-row window)
-    "kmeans-clusters",
-    "embed-score-jvm",
 )
 
 

@@ -426,3 +426,92 @@ def q_bm25_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     store = ensure_postings_store(spark, sf_dir)
     return bm25_from_store(spark, store)
+
+
+# --- gap sessions from the stateful sessionization stream ------------
+
+SESSIONS_ROOT = os.path.join(os.path.dirname(STORE_ROOT), "user_sessions")
+
+
+def ensure_sessions_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse) the streaming-maintained session store for
+    ``sf_dir``: events flow through the real applyInPandasWithState
+    sessionization (streaming/sessions.py) in availableNow
+    micro-batches delivered in event order (the SCD2 ordering
+    contract); every emission lands idempotently under its batch
+    partition. Fingerprint-keyed — build is refresh cost."""
+    from projet_etl_spark.streaming.neardedup import _write_batch_partition
+    from projet_etl_spark.streaming.sessions import sessionize_stream
+
+    name = os.path.basename(os.path.normpath(sf_dir)) or "root"
+    root = os.path.join(SESSIONS_ROOT, name)
+    marker = os.path.join(root, "_SOURCE")
+    store = os.path.join(root, "store")
+    fp = _source_fingerprint(sf_dir)
+    try:
+        with open(marker, encoding="utf-8") as f:
+            if f.read() == fp:
+                return store
+    except OSError:
+        pass
+    shutil.rmtree(root, ignore_errors=True)
+    chunks = os.path.join(root, "chunks")
+    _stage_ordered_event_chunks(sf_dir, chunks)
+    out = sessionize_stream(
+        read_events_stream(spark, chunks, max_files_per_trigger=1)
+    )
+    q = (
+        out.writeStream.foreachBatch(
+            lambda df, bid: _write_batch_partition(df, store, bid)
+        )
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    with open(marker, "w", encoding="utf-8") as f:
+        f.write(fp)
+    return store
+
+
+def q_sessions_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessions served from the store the stateful
+    sessionization stream maintains — the session twin of
+    ``user-state-store``. The stream emits each closed session once
+    (final) and re-emits the open session every batch its user
+    appears in, so the serving fold is last-batch-wins per
+    (user_id, session_no): ``max_by`` over the store's batch column
+    picks the newest emission, whose aggregates are final. The
+    folded store must equal the batch gaps-and-islands rebuild
+    exactly, so this query SHARES events-session's oracle — a green
+    driver row proves streaming sessionization converges to the
+    batch answer end to end."""
+    from projet_etl_spark.operators.events_windows import TS_FMT
+    from projet_etl_spark.streaming.sessions import OUTPUT_SCHEMA
+    from projet_etl_spark.streaming.storeio import read_store
+
+    store = ensure_sessions_store(spark, sf_dir)
+    rows = read_store(
+        spark,
+        store,
+        OUTPUT_SCHEMA + ", batch long",
+        ["user_id", "session_no", "start_us", "end_us",
+         "n_events", "sum_value", "batch"],
+    )
+    latest = F.max_by(
+        F.struct("start_us", "end_us", "n_events", "sum_value"), F.col("batch")
+    ).alias("v")
+    folded = rows.groupBy("user_id", "session_no").agg(latest)
+    return folded.select(
+        "user_id",
+        F.col("session_no").cast("long").alias("session_no"),
+        F.date_format(F.timestamp_micros("v.start_us"), TS_FMT).alias(
+            "session_start"
+        ),
+        F.date_format(F.timestamp_micros("v.end_us"), TS_FMT).alias(
+            "session_end"
+        ),
+        F.col("v.n_events").cast("long").alias("n_events"),
+        F.round(F.col("v.sum_value"), 6).alias("sum_value"),
+    ).orderBy("user_id", "session_no")

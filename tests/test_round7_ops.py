@@ -164,6 +164,8 @@ def test_read_store_empty_vs_broken(spark, tmp_path):
         "customer-ltv-cohorts",
         "supplier-lead-time",
         "brand-affinity",
+        "sessions-store",
+        "user-state-asof",
     ],
 )
 def test_round7_queries_match_oracle(spark, duck, name):
