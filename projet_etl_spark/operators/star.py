@@ -2007,3 +2007,86 @@ def q_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), F.asc("brand_a"), F.asc("brand_b"))
         .limit(AFFINITY_TOPN)
     )
+
+
+# --- daily order backlog (delta accounting) ---------------------------
+
+
+def q_orders_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily order backlog: for every calendar day, how many orders
+    are placed but not yet fully shipped, and the open value — the
+    operations dashboard every fulfillment org runs.
+
+    Scale shape: an order is open on [orderdate, last_shipdate), and
+    on this fixture the average open interval is ~700 days — so the
+    interval-explode trick (rolling-active-users) would multiply
+    orders by hundreds. Instead, DELTA ACCOUNTING: each order emits
+    +1/-1 (and +cents/-cents) at its endpoints, deltas reduce to the
+    day grain (O(orders) rows in, |days| out), and one cumulative
+    window over the tiny dense day spine reconstructs the level.
+    That is the O(n) -> O(days) rewrite that survives any interval
+    length at 100 TB. Money runs in exact integer cents (the 2-dp
+    double fixture values integerize exactly; bounded well under
+    2^63), presented as DOUBLE per the output contract.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("day_o"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    last_ship = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max(F.to_date("l_shipdate")).alias("day_s"))
+    )
+    # inner join: orders with no lineitems never ship and would hold
+    # the backlog open forever — excluded by construction
+    spans = orders.join(
+        last_ship, F.col("o_orderkey") == F.col("l_orderkey")
+    ).select("day_o", "day_s", "cents")
+    deltas = spans.select(
+        F.col("day_o").alias("day"),
+        F.lit(1).alias("dn"),
+        F.col("cents").alias("dc"),
+    ).unionAll(
+        spans.select(
+            F.col("day_s").alias("day"),
+            F.lit(-1).alias("dn"),
+            (-F.col("cents")).alias("dc"),
+        )
+    )
+    per_day = deltas.groupBy("day").agg(
+        F.sum("dn").cast("long").alias("dn"),
+        F.sum("dc").cast("long").alias("dc"),
+    )
+    bounds = spans.agg(
+        F.min("day_o").alias("lo"), F.max("day_s").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+    )
+    series = (
+        spine.join(per_day, "day", "left")
+        .select(
+            "day",
+            F.coalesce("dn", F.lit(0)).alias("dn"),
+            F.coalesce("dc", F.lit(0)).alias("dc"),
+        )
+    )
+    # the cumulative window runs over the DAY-GRAIN series (a few
+    # thousand rows at any corpus size) — a deliberate 1-partition
+    # window over bounded data, like the month-spine queries
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        series.withColumn("open_orders", F.sum("dn").over(w).cast("long"))
+        .withColumn(
+            "open_value",
+            F.round(F.sum("dc").over(w).cast("double") / 100.0, 2),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "open_orders",
+            "open_value",
+        )
+        .orderBy("day")
+    )

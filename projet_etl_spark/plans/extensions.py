@@ -3252,6 +3252,55 @@ ORDER BY n_orders DESC, brand_a, brand_b
 LIMIT {star.AFFINITY_TOPN}
 """
 
+# layout-invariance: the JSONL round-trip changes nothing, so the
+# oracle is the plain parquet scan
+_JSONL_SCAN_SQL = """
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+           AS avg_chars
+FROM documents
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+_BACKLOG_SQL = """
+WITH spans AS (
+    SELECT CAST(o.o_orderdate AS DATE) AS day_o, ls.day_s,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders o JOIN (
+        SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS day_s
+        FROM lineitem GROUP BY 1) ls
+    ON o.o_orderkey = ls.l_orderkey
+),
+deltas AS (
+    SELECT day_o AS day, 1 AS dn, cents AS dc FROM spans
+    UNION ALL
+    SELECT day_s, -1, -cents FROM spans
+),
+per_day AS (
+    SELECT day, CAST(SUM(dn) AS BIGINT) AS dn, CAST(SUM(dc) AS BIGINT) AS dc
+    FROM deltas GROUP BY 1
+),
+spine AS (
+    SELECT CAST(UNNEST(generate_series(
+        (SELECT MIN(day_o) FROM spans),
+        (SELECT MAX(day_s) FROM spans),
+        INTERVAL 1 DAY)) AS DATE) AS day
+),
+series AS (
+    SELECT s.day, COALESCE(p.dn, 0) AS dn, COALESCE(p.dc, 0) AS dc
+    FROM spine s LEFT JOIN per_day p USING (day)
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(SUM(dn) OVER w AS BIGINT) AS open_orders,
+       ROUND(CAST(SUM(dc) OVER w AS DOUBLE) / 100.0, 2) AS open_value
+FROM series
+WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY day
+"""
+
 # embedding-quality audits (operators/embaudit.py): rank-based norm
 # extremes (no float aggregation anywhere) and 1e-6-fixed-point
 # centroid drift (exact BIGINT sums, one division per cell)
@@ -3310,6 +3359,7 @@ FROM d GROUP BY label ORDER BY label
 
 # layout-invariance contract for the Z-ORDER copy: the oracle is the
 # plain scan of raw lineitem over the same supplier band
+from projet_etl_spark.sources import jsonl as _jsonl  # noqa: E402
 from projet_etl_spark.sources import zorder as _zorder  # noqa: E402
 
 _ZSCAN_SQL = f"""
@@ -4062,6 +4112,18 @@ def build():
             _embaudit.q_embedding_centroid_shift,
             _CENTROID_SHIFT_SQL,
             ("ann", "curation", "stats"),
+        ),
+        (
+            "documents-jsonl-scan",
+            _jsonl.q_documents_jsonl_scan,
+            _JSONL_SCAN_SQL,
+            ("sources", "text", "layout"),
+        ),
+        (
+            "orders-backlog-daily",
+            star.q_orders_backlog_daily,
+            _BACKLOG_SQL,
+            ("olap", "windows", "analytics"),
         ),
         (
             "customer-ltv-cohorts",

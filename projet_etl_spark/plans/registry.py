@@ -67,7 +67,9 @@ _PARITY_FNS: dict[str, Callable] = {
 # shared modules), (4) round-7 additions, (5) queries downstream of
 # this round's shared-module edits (fixed_point_agg overflow guard,
 # heavy-hitter threshold, store reads) so the touched code re-earns
-# hard rows.
+# hard rows.  lineitem-salted-join and quantiles-hash-sample rotate
+# OUT (green r6, modules untouched this round) to make room for the
+# late round-7 additions.
 _DRIVER_PREFIX: tuple[str, ...] = (
     # (1) representation A/B pair — identical plan and values
     "money-twin-decimal",
@@ -105,6 +107,8 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "brand-affinity",
     "sessions-store",
     "user-state-asof",
+    "orders-backlog-daily",
+    "documents-jsonl-scan",
     # (5) downstream of this round's shared-module edits
     "pricing-summary",
     "revenue-by-nation",
@@ -118,12 +122,10 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "late-shipment-priority",
     "customer-order-distribution",
     "events-type-counts-salted",
-    "lineitem-salted-join",
     "events-heavy-hitters",
     "daily-counts-store",
     "neardedup-pairs-store",
     "bm25-store",
-    "quantiles-hash-sample",
 )
 
 

@@ -166,6 +166,8 @@ def test_read_store_empty_vs_broken(spark, tmp_path):
         "brand-affinity",
         "sessions-store",
         "user-state-asof",
+        "orders-backlog-daily",
+        "documents-jsonl-scan",
     ],
 )
 def test_round7_queries_match_oracle(spark, duck, name):
