@@ -3252,6 +3252,51 @@ ORDER BY n_orders DESC, brand_a, brand_b
 LIMIT {star.AFFINITY_TOPN}
 """
 
+def _profile_branch(col: str, kind: str) -> str:
+    base = (
+        f"SELECT '{col}' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,\n"
+        f"       CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_nulls,\n"
+        f"       CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,\n"
+    )
+    if kind == "num":
+        ext = (
+            f"       CAST(MIN({col}) AS DOUBLE) AS min_num,\n"
+            f"       CAST(MAX({col}) AS DOUBLE) AS max_num,\n"
+            "       CAST(NULL AS VARCHAR) AS min_str,\n"
+            "       CAST(NULL AS VARCHAR) AS max_str\n"
+        )
+    elif kind == "ts":
+        ext = (
+            "       CAST(NULL AS DOUBLE) AS min_num,\n"
+            "       CAST(NULL AS DOUBLE) AS max_num,\n"
+            f"       strftime(MIN({col}), '%Y-%m-%d %H:%M:%S') AS min_str,\n"
+            f"       strftime(MAX({col}), '%Y-%m-%d %H:%M:%S') AS max_str\n"
+        )
+    else:
+        ext = (
+            "       CAST(NULL AS DOUBLE) AS min_num,\n"
+            "       CAST(NULL AS DOUBLE) AS max_num,\n"
+            f"       MIN({col}) AS min_str,\n"
+            f"       MAX({col}) AS max_str\n"
+        )
+    return base + ext + "FROM events"
+
+
+_PROFILE_SQL = (
+    "\nUNION ALL\n".join(
+        _profile_branch(c, k)
+        for c, k in [
+            ("event_id", "num"),
+            ("ts", "ts"),
+            ("user_id", "num"),
+            ("event_type", "str"),
+            ("value", "num"),
+            ("props", "str"),
+        ]
+    )
+    + "\nORDER BY col"
+)
+
 # layout-invariance: the JSONL round-trip changes nothing, so the
 # oracle is the plain parquet scan
 _JSONL_SCAN_SQL = """
@@ -3359,6 +3404,7 @@ FROM d GROUP BY label ORDER BY label
 
 # layout-invariance contract for the Z-ORDER copy: the oracle is the
 # plain scan of raw lineitem over the same supplier band
+from projet_etl_spark.operators import profile as _profile  # noqa: E402
 from projet_etl_spark.sources import jsonl as _jsonl  # noqa: E402
 from projet_etl_spark.sources import zorder as _zorder  # noqa: E402
 
@@ -4112,6 +4158,12 @@ def build():
             _embaudit.q_embedding_centroid_shift,
             _CENTROID_SHIFT_SQL,
             ("ann", "curation", "stats"),
+        ),
+        (
+            "events-profile",
+            _profile.q_events_profile,
+            _PROFILE_SQL,
+            ("stats", "pipeline"),
         ),
         (
             "documents-jsonl-scan",

@@ -67,9 +67,9 @@ _PARITY_FNS: dict[str, Callable] = {
 # shared modules), (4) round-7 additions, (5) queries downstream of
 # this round's shared-module edits (fixed_point_agg overflow guard,
 # heavy-hitter threshold, store reads) so the touched code re-earns
-# hard rows.  lineitem-salted-join and quantiles-hash-sample rotate
-# OUT (green r6, modules untouched this round) to make room for the
-# late round-7 additions.
+# hard rows.  lineitem-salted-join, quantiles-hash-sample and
+# neardedup-pairs-store rotate OUT (green r6, their read paths
+# untouched this round) to make room for the late round-7 additions.
 _DRIVER_PREFIX: tuple[str, ...] = (
     # (1) representation A/B pair — identical plan and values
     "money-twin-decimal",
@@ -109,6 +109,7 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "user-state-asof",
     "orders-backlog-daily",
     "documents-jsonl-scan",
+    "events-profile",
     # (5) downstream of this round's shared-module edits
     "pricing-summary",
     "revenue-by-nation",
@@ -124,7 +125,6 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "events-type-counts-salted",
     "events-heavy-hitters",
     "daily-counts-store",
-    "neardedup-pairs-store",
     "bm25-store",
 )
 

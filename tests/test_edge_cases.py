@@ -392,6 +392,8 @@ _EMPTY_NONEMPTY_OK = {
     "parts-pareto",
     # global aggregate: one (null, 0) row on empty input by SQL rule
     "small-order-revenue",
+    # column census: one row per column, zero counts, NULL extremes
+    "events-profile",
 }
 
 

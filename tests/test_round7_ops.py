@@ -168,6 +168,7 @@ def test_read_store_empty_vs_broken(spark, tmp_path):
         "user-state-asof",
         "orders-backlog-daily",
         "documents-jsonl-scan",
+        "events-profile",
     ],
 )
 def test_round7_queries_match_oracle(spark, duck, name):
