@@ -2090,3 +2090,102 @@ def q_orders_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --- RFM customer segmentation ----------------------------------------
+
+RFM_ASOF = "2001-12-31"  # fixed analysis instant, after the fixture's last order
+
+
+def _quintile_bounds(df: DataFrame, col: str, alias: str):
+    """Four DISCRETE quintile boundaries of ``col``: boundary i is
+    the actual value at rank ceil(i*n/5) — the customer-spend-deciles
+    order-statistics pattern (integer ranks, exact values, no
+    interpolation), reduced immediately to a broadcastable 4-value
+    array. The cumulative rank runs over the DISTINCT-value grain."""
+    dist = df.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+    cum = dist.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.orderBy(col).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    ntot = df.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        cum.crossJoin(F.broadcast(ntot))
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.expr(f"({i} * n + 4) DIV 5"),
+                        F.col(col),
+                    )
+                ).alias(f"b{i}")
+                for i in range(1, 5)
+            ]
+        )
+        .select(F.array(*[f"b{i}" for i in range(1, 5)]).alias(alias))
+    )
+
+
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every customer scored 1-5 on Recency (days
+    since last order at a fixed as-of — lower is better), Frequency
+    (order count) and Monetary (lifetime spend), then rolled up per
+    (r, f, m) segment — the classic CRM partition of a customer base.
+
+    Scale shape: three applications of the distributed-quintile
+    pattern (customer-spend-deciles): per-customer metrics are one
+    map-side-combined aggregate; each metric's four boundaries come
+    from a cumulative rank over its DISTINCT-value grain and
+    broadcast as a 4-value array; scoring is a per-row expression (a
+    score is 1 + how many boundaries the value strictly exceeds —
+    ties share a score by construction, engine-neutrally, where
+    NTILE would split them by partition order); the rollup groups
+    <= 125 segment cells. No global sort, no single-partition window
+    over customers. Recency negates into higher-is-better so all
+    three scores share one formula; monetary stays exact DECIMAL
+    until the final DOUBLE projection (engine output contract).
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("od"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    cust = orders.groupBy("o_custkey").agg(
+        (-F.datediff(F.lit(RFM_ASOF).cast("date"), F.max("od")))
+        .cast("long")
+        .alias("r_neg"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("p").cast("decimal(18,2)").alias("mon"),
+    )
+    rb = _quintile_bounds(cust, "r_neg", "rbs")
+    fb = _quintile_bounds(cust, "freq", "fbs")
+    mb = _quintile_bounds(cust, "mon", "mbs")
+    scored = (
+        cust.crossJoin(F.broadcast(rb))
+        .crossJoin(F.broadcast(fb))
+        .crossJoin(F.broadcast(mb))
+        .select(
+            "mon",
+            (
+                1 + F.size(F.filter("rbs", lambda b: F.col("r_neg") > b))
+            ).cast("long").alias("r_score"),
+            (
+                1 + F.size(F.filter("fbs", lambda b: F.col("freq") > b))
+            ).cast("long").alias("f_score"),
+            (
+                1 + F.size(F.filter("mbs", lambda b: F.col("mon") > b))
+            ).cast("long").alias("m_score"),
+        )
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("mon").cast("decimal(18,2)").cast("double").alias("total_spend"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

@@ -3252,6 +3252,65 @@ ORDER BY n_orders DESC, brand_a, brand_b
 LIMIT {star.AFFINITY_TOPN}
 """
 
+def _rfm_metric_ctes(metric: str) -> str:
+    """Boundary CTEs for one RFM metric: distinct-grain cumulative
+    rank -> four discrete quintile boundary values (the deciles
+    order-statistics pattern)."""
+    bounds = ",\n        ".join(
+        f"MIN(CASE WHEN cum >= ({i} * n + 4) // 5 THEN v END) AS b{i}"
+        for i in range(1, 5)
+    )
+    return f"""
+{metric}_cum AS (
+    SELECT v, SUM(c) OVER (ORDER BY v) AS cum
+    FROM (SELECT {metric} AS v, COUNT(*) AS c FROM cust GROUP BY 1)
+),
+{metric}_b AS (
+    SELECT {bounds}
+    FROM {metric}_cum CROSS JOIN nn
+)"""
+
+
+_RFM_SQL = f"""
+WITH cust AS (
+    SELECT o_custkey,
+           CAST(-date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                           DATE '{star.RFM_ASOF}') AS BIGINT) AS r_neg,
+           CAST(COUNT(*) AS BIGINT) AS freq,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS mon
+    FROM orders GROUP BY 1
+),
+nn AS (SELECT COUNT(*) AS n FROM cust),{_rfm_metric_ctes("r_neg")},{_rfm_metric_ctes("freq")},{_rfm_metric_ctes("mon")},
+scored AS (
+    SELECT c.mon,
+           CAST(1 + (CASE WHEN c.r_neg > r.b1 THEN 1 ELSE 0 END
+                   + CASE WHEN c.r_neg > r.b2 THEN 1 ELSE 0 END
+                   + CASE WHEN c.r_neg > r.b3 THEN 1 ELSE 0 END
+                   + CASE WHEN c.r_neg > r.b4 THEN 1 ELSE 0 END) AS BIGINT)
+               AS r_score,
+           CAST(1 + (CASE WHEN c.freq > f.b1 THEN 1 ELSE 0 END
+                   + CASE WHEN c.freq > f.b2 THEN 1 ELSE 0 END
+                   + CASE WHEN c.freq > f.b3 THEN 1 ELSE 0 END
+                   + CASE WHEN c.freq > f.b4 THEN 1 ELSE 0 END) AS BIGINT)
+               AS f_score,
+           CAST(1 + (CASE WHEN c.mon > m.b1 THEN 1 ELSE 0 END
+                   + CASE WHEN c.mon > m.b2 THEN 1 ELSE 0 END
+                   + CASE WHEN c.mon > m.b3 THEN 1 ELSE 0 END
+                   + CASE WHEN c.mon > m.b4 THEN 1 ELSE 0 END) AS BIGINT)
+               AS m_score
+    FROM cust c
+    CROSS JOIN r_neg_b r CROSS JOIN freq_b f CROSS JOIN mon_b m
+)
+SELECT r_score, f_score, m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(CAST(SUM(mon) AS DECIMAL(18,2)) AS DOUBLE) AS total_spend
+FROM scored
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
 def _profile_branch(col: str, kind: str) -> str:
     base = (
         f"SELECT '{col}' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,\n"
@@ -4158,6 +4217,12 @@ def build():
             _embaudit.q_embedding_centroid_shift,
             _CENTROID_SHIFT_SQL,
             ("ann", "curation", "stats"),
+        ),
+        (
+            "customer-rfm-segments",
+            star.q_customer_rfm_segments,
+            _RFM_SQL,
+            ("olap", "stats", "analytics"),
         ),
         (
             "events-profile",

@@ -68,8 +68,9 @@ _PARITY_FNS: dict[str, Callable] = {
 # this round's shared-module edits (fixed_point_agg overflow guard,
 # heavy-hitter threshold, store reads) so the touched code re-earns
 # hard rows.  lineitem-salted-join, quantiles-hash-sample and
-# neardedup-pairs-store rotate OUT (green r6, their read paths
-# untouched this round) to make room for the late round-7 additions.
+# neardedup-pairs-store rotate OUT (green r6, read paths untouched
+# this round), plus sales-cube (green r5, twin of the retained
+# sales-rollup) to make room for the late round-7 additions.
 _DRIVER_PREFIX: tuple[str, ...] = (
     # (1) representation A/B pair — identical plan and values
     "money-twin-decimal",
@@ -110,13 +111,13 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "orders-backlog-daily",
     "documents-jsonl-scan",
     "events-profile",
+    "customer-rfm-segments",
     # (5) downstream of this round's shared-module edits
     "pricing-summary",
     "revenue-by-nation",
     "corr-qty-price",
     "top-unshipped-orders",
     "sales-rollup",
-    "sales-cube",
     "sales-grouping-sets",
     "top-large-orders",
     "orders-above-customer-avg",

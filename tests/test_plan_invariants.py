@@ -45,6 +45,9 @@ BNLJ_ALLOWED = {
     "text-unigram-logprob",
     "events-gap-fill",
     "customer-spend-deciles",
+    # three 1-row quintile-boundary broadcasts + the 1-row count
+    # inside each boundary computation (the deciles pattern, x3)
+    "customer-rfm-segments",
     # 1-row broadcast of the exact decimal grand total
     "revenue-share-by-nation",
     # 1-row broadcast of the corpus size (PSI smoothing denominators)

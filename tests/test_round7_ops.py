@@ -169,6 +169,7 @@ def test_read_store_empty_vs_broken(spark, tmp_path):
         "orders-backlog-daily",
         "documents-jsonl-scan",
         "events-profile",
+        "customer-rfm-segments",
     ],
 )
 def test_round7_queries_match_oracle(spark, duck, name):
