@@ -3252,6 +3252,60 @@ ORDER BY n_orders DESC, brand_a, brand_b
 LIMIT {star.AFFINITY_TOPN}
 """
 
+def _pagerank_sql() -> str:
+    """Unrolled fixed-iteration PageRank oracle mirroring
+    operators/graph.py expression-for-expression: the uniform/base
+    terms divide as DOUBLEs exactly like the Python-side literals,
+    and every iteration is the same join + per-destination sum."""
+    from projet_etl_spark.operators import graph as _g
+
+    base = f"(CAST(1 AS DOUBLE) - CAST({_g.PR_DAMPING!r} AS DOUBLE))"
+    d = f"CAST({_g.PR_DAMPING!r} AS DOUBLE)"
+    iters = ""
+    prev = "r0"
+    for i in range(1, _g.PR_ITERS + 1):
+        iters += f""",
+r{i} AS (
+    SELECT e.dst AS node,
+           {base} / (SELECT nv FROM nn) + {d} * SUM(e.p * r.r) AS r
+    FROM norm e JOIN {prev} r ON e.src = r.node
+    GROUP BY 1
+)"""
+        prev = f"r{i}"
+    return f"""
+WITH pairs AS (
+    SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,
+           CAST(COUNT(*) AS BIGINT) AS w
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+),
+edges AS (
+    SELECT c AS src, s AS dst, w FROM pairs
+    UNION ALL
+    SELECT s AS src, c AS dst, w FROM pairs
+),
+outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY 1),
+norm AS (
+    SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / CAST(o.ow AS DOUBLE) AS p
+    FROM edges e JOIN outw o ON e.src = o.src
+),
+nn AS (SELECT CAST(COUNT(DISTINCT src) AS DOUBLE) AS nv FROM norm),
+r0 AS (
+    SELECT DISTINCT src AS node, CAST(1 AS DOUBLE) / (SELECT nv FROM nn) AS r
+    FROM norm
+){iters}
+SELECT CAST((node - 1) // 2 AS BIGINT) AS s_suppkey, s.s_name,
+       ROUND(r * (SELECT nv FROM nn), 6) AS rank_norm
+FROM {prev} JOIN supplier s ON (node - 1) // 2 = s.s_suppkey
+WHERE node % 2 = 1
+ORDER BY rank_norm DESC, s_suppkey
+LIMIT {_g.PR_TOPN}
+"""
+
+
+_PAGERANK_SQL = _pagerank_sql()
+
+
 def _rfm_metric_ctes(metric: str) -> str:
     """Boundary CTEs for one RFM metric: distinct-grain cumulative
     rank -> four discrete quintile boundary values (the deciles
@@ -3463,6 +3517,7 @@ FROM d GROUP BY label ORDER BY label
 
 # layout-invariance contract for the Z-ORDER copy: the oracle is the
 # plain scan of raw lineitem over the same supplier band
+from projet_etl_spark.operators import graph as _graph  # noqa: E402
 from projet_etl_spark.operators import profile as _profile  # noqa: E402
 from projet_etl_spark.sources import jsonl as _jsonl  # noqa: E402
 from projet_etl_spark.sources import zorder as _zorder  # noqa: E402
@@ -4217,6 +4272,12 @@ def build():
             _embaudit.q_embedding_centroid_shift,
             _CENTROID_SHIFT_SQL,
             ("ann", "curation", "stats"),
+        ),
+        (
+            "supplier-pagerank",
+            _graph.q_supplier_pagerank,
+            _PAGERANK_SQL,
+            ("graph", "join", "analytics"),
         ),
         (
             "customer-rfm-segments",

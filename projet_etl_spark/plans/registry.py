@@ -69,8 +69,8 @@ _PARITY_FNS: dict[str, Callable] = {
 # heavy-hitter threshold, store reads) so the touched code re-earns
 # hard rows.  lineitem-salted-join, quantiles-hash-sample and
 # neardedup-pairs-store rotate OUT (green r6, read paths untouched
-# this round), plus sales-cube (green r5, twin of the retained
-# sales-rollup) to make room for the late round-7 additions.
+# this round), plus sales-cube and sales-grouping-sets (green r5,
+# siblings of the retained sales-rollup) to make room for the late round-7 additions.
 _DRIVER_PREFIX: tuple[str, ...] = (
     # (1) representation A/B pair — identical plan and values
     "money-twin-decimal",
@@ -112,13 +112,13 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "documents-jsonl-scan",
     "events-profile",
     "customer-rfm-segments",
+    "supplier-pagerank",
     # (5) downstream of this round's shared-module edits
     "pricing-summary",
     "revenue-by-nation",
     "corr-qty-price",
     "top-unshipped-orders",
     "sales-rollup",
-    "sales-grouping-sets",
     "top-large-orders",
     "orders-above-customer-avg",
     "late-shipment-priority",

@@ -170,6 +170,7 @@ def test_read_store_empty_vs_broken(spark, tmp_path):
         "documents-jsonl-scan",
         "events-profile",
         "customer-rfm-segments",
+        "supplier-pagerank",
     ],
 )
 def test_round7_queries_match_oracle(spark, duck, name):
