@@ -22,7 +22,7 @@ the registry so no query is perf-invisible.
 
 Round-7 addition — COLD per-query timings ("queries_cold",
 "cold_total", min over $SPARK_GRAFT_BENCH_COLD_REPS passes, default
-2): within a shared pass, a query that reuses an intermediate some
+1): within a shared pass, a query that reuses an intermediate some
 EARLIER query persisted times 5-8x faster than it would standalone,
 so shared per-query numbers are only comparable between runs with
 identical ordering and cache luck — regression tracking on them is
@@ -129,7 +129,7 @@ def main() -> None:
             qs[name](spark, sf_dir).collect()
             samples[name].append(time.perf_counter() - t0)
 
-    cold_reps = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_COLD_REPS", "2")))
+    cold_reps = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_COLD_REPS", "1")))
     cold_samples: dict[str, list[float]] = {n: [] for n in names}
     for _ in range(cold_reps):
         for name in names:
