@@ -2189,3 +2189,62 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+# --- period-over-period part revenue shift (FULL OUTER) ----------------
+
+SHIFT_SPLIT = "1998-01-01"  # period boundary: H1 < split <= H2
+SHIFT_TOPN = 25
+
+
+def q_parts_revenue_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest part-level revenue movers between two periods: revenue
+    per part before/after a boundary date, FULL OUTER joined so parts
+    that vanished or newly appeared still rank (a left join silently
+    drops new parts; an inner join drops both tails — exactly the
+    rows a movers report exists to surface). Absences coalesce to
+    exact zero before the delta.
+
+    Scale shape: two filtered branches of ONE lineitem scan reduce to
+    part grain under fixed-point sums; the full outer join runs at
+    part grain (dimension-sized), the delta is a row expression, and
+    the top-k cut is TakeOrderedAndProject on |delta| with the
+    rounded value + key tiebreak. Money presents as DOUBLE.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.to_date("l_shipdate").alias("sd"),
+        # house unit convention: cents x (100 - discount hundredths)
+        # = exact 1e-4-dollar integers (functions/fixedpoint.units)
+        (units("l_extendedprice") * (100 - units("l_discount"))).alias("rev_u4"),
+    )
+    split = F.lit(SHIFT_SPLIT).cast("date")
+
+    def period(df, cond, alias):
+        return (
+            df.filter(cond)
+            .groupBy("l_partkey")
+            .agg(F.sum("rev_u4").cast("decimal(38,0)").alias(alias))
+        )
+
+    h1 = period(li, F.col("sd") < split, "u1")
+    h2 = period(li, F.col("sd") >= split, "u2")
+    joined = h1.join(h2, "l_partkey", "full_outer").select(
+        "l_partkey",
+        F.coalesce("u1", F.lit(0)).alias("u1"),
+        F.coalesce("u2", F.lit(0)).alias("u2"),
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return (
+        joined.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            (F.col("u1").cast("double") / 10000.0).alias("rev_before"),
+            (F.col("u2").cast("double") / 10000.0).alias("rev_after"),
+            F.round((F.col("u2") - F.col("u1")).cast("double") / 10000.0, 4)
+            .alias("delta"),
+        )
+        .orderBy(F.abs(F.col("delta")).desc(), F.asc("p_partkey"))
+        .limit(SHIFT_TOPN)
+    )

@@ -664,3 +664,42 @@ def q_users_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("streak_days"), F.asc("user_id"))
         .limit(STREAK_TOPN)
     )
+
+
+# --- wide -> long metrics reshaping (UNPIVOT/melt) --------------------
+
+
+def q_daily_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day activity metrics reshaped wide -> long with the native
+    UNPIVOT (DataFrame.unpivot / SQL UNPIVOT): one (day, metric,
+    value) row per metric — the shape metric stores and plotting
+    layers ingest, produced without a per-metric rescan.
+
+    Scale shape: ONE day-grain aggregate computes all three metrics
+    (count, exact distinct, rounded sum) in a single pass; unpivot is
+    an Expand over the day-grain frame (|days| x 3 rows out), the
+    same zero-shuffle operator grouping-sets use. Counts present as
+    DOUBLE because the long value column must be one type.
+    """
+    ev = events(spark, sf_dir)
+    wide = (
+        ev.select(F.to_date("ts").alias("d"), "user_id", "value")
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_events"),
+            F.countDistinct("user_id").cast("double").alias("n_users"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+    return (
+        wide.unpivot(
+            ids=["d"],
+            values=["n_events", "n_users", "sum_value"],
+            variableColumnName="metric",
+            valueColumnName="value",
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"), "metric", "value"
+        )
+        .orderBy("day", "metric")
+    )

@@ -3252,6 +3252,55 @@ ORDER BY n_orders DESC, brand_a, brand_b
 LIMIT {star.AFFINITY_TOPN}
 """
 
+_SHIFT_SQL = f"""
+WITH h1 AS (
+    SELECT l_partkey,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                         AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS r1
+    FROM lineitem WHERE CAST(l_shipdate AS DATE) < DATE '{star.SHIFT_SPLIT}'
+    GROUP BY 1
+),
+h2 AS (
+    SELECT l_partkey,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                         AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS r2
+    FROM lineitem WHERE CAST(l_shipdate AS DATE) >= DATE '{star.SHIFT_SPLIT}'
+    GROUP BY 1
+),
+joined AS (
+    SELECT COALESCE(h1.l_partkey, h2.l_partkey) AS pk,
+           COALESCE(r1, CAST(0 AS DECIMAL(18,4))) AS r1,
+           COALESCE(r2, CAST(0 AS DECIMAL(18,4))) AS r2
+    FROM h1 FULL OUTER JOIN h2 ON h1.l_partkey = h2.l_partkey
+)
+SELECT pk AS p_partkey, p.p_name,
+       CAST(r1 AS DOUBLE) AS rev_before,
+       CAST(r2 AS DOUBLE) AS rev_after,
+       ROUND(CAST(r2 - r1 AS DOUBLE), 4) AS delta
+FROM joined JOIN part p ON pk = p.p_partkey
+ORDER BY ABS(ROUND(CAST(r2 - r1 AS DOUBLE), 4)) DESC, p_partkey
+LIMIT {star.SHIFT_TOPN}
+"""
+
+_UNPIVOT_SQL = """
+WITH wide AS (
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(COUNT(*) AS DOUBLE) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n_users,
+           ROUND(SUM(value), 6) AS sum_value
+    FROM events GROUP BY 1
+)
+SELECT strftime(d, '%Y-%m-%d') AS day, metric, value FROM (
+    SELECT d, 'n_events' AS metric, n_events AS value FROM wide
+    UNION ALL
+    SELECT d, 'n_users', n_users FROM wide
+    UNION ALL
+    SELECT d, 'sum_value', sum_value FROM wide
+)
+ORDER BY day, metric
+"""
+
+
 def _pagerank_sql() -> str:
     """Unrolled fixed-iteration PageRank oracle mirroring
     operators/graph.py expression-for-expression: the uniform/base
@@ -4272,6 +4321,18 @@ def build():
             _embaudit.q_embedding_centroid_shift,
             _CENTROID_SHIFT_SQL,
             ("ann", "curation", "stats"),
+        ),
+        (
+            "parts-revenue-shift",
+            star.q_parts_revenue_shift,
+            _SHIFT_SQL,
+            ("olap", "join", "analytics"),
+        ),
+        (
+            "daily-metrics-unpivot",
+            stats.q_daily_metrics_unpivot,
+            _UNPIVOT_SQL,
+            ("stats", "olap"),
         ),
         (
             "supplier-pagerank",

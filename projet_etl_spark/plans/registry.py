@@ -69,8 +69,9 @@ _PARITY_FNS: dict[str, Callable] = {
 # heavy-hitter threshold, store reads) so the touched code re-earns
 # hard rows.  lineitem-salted-join, quantiles-hash-sample and
 # neardedup-pairs-store rotate OUT (green r6, read paths untouched
-# this round), plus sales-cube and sales-grouping-sets (green r5,
-# siblings of the retained sales-rollup) to make room for the late round-7 additions.
+# this round), plus sales-cube, sales-grouping-sets,
+# orders-above-customer-avg and customer-order-distribution (green
+# r5, code untouched since) to make room for the late round-7 additions.
 _DRIVER_PREFIX: tuple[str, ...] = (
     # (1) representation A/B pair — identical plan and values
     "money-twin-decimal",
@@ -113,6 +114,8 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "events-profile",
     "customer-rfm-segments",
     "supplier-pagerank",
+    "parts-revenue-shift",
+    "daily-metrics-unpivot",
     # (5) downstream of this round's shared-module edits
     "pricing-summary",
     "revenue-by-nation",
@@ -120,9 +123,7 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "top-unshipped-orders",
     "sales-rollup",
     "top-large-orders",
-    "orders-above-customer-avg",
     "late-shipment-priority",
-    "customer-order-distribution",
     "events-type-counts-salted",
     "events-heavy-hitters",
     "daily-counts-store",

@@ -171,6 +171,8 @@ def test_read_store_empty_vs_broken(spark, tmp_path):
         "events-profile",
         "customer-rfm-segments",
         "supplier-pagerank",
+        "parts-revenue-shift",
+        "daily-metrics-unpivot",
     ],
 )
 def test_round7_queries_match_oracle(spark, duck, name):
