@@ -4259,6 +4259,14 @@ def build():
             _ASOF_SQL,
             ("windows", "olap"),
         ),
+        # the stream-stream join store fold must equal the batch
+        # interval join — shares events-click-attribution's oracle
+        (
+            "attribution-store",
+            storequery.q_attribution_store,
+            _ATTRIBUTION_SQL,
+            ("streaming", "join"),
+        ),
         # the sessionization store fold must equal the batch
         # gaps-and-islands rebuild — shares events-session's oracle
         (

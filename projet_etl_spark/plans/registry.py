@@ -71,7 +71,7 @@ _PARITY_FNS: dict[str, Callable] = {
 # neardedup-pairs-store rotate OUT (green r6, read paths untouched
 # this round), plus sales-cube, sales-grouping-sets,
 # orders-above-customer-avg and customer-order-distribution (green
-# r5, code untouched since) to make room for the late round-7 additions.
+# r5, code untouched since) and top-large-orders (same) to make room for the late round-7 additions.
 _DRIVER_PREFIX: tuple[str, ...] = (
     # (1) representation A/B pair — identical plan and values
     "money-twin-decimal",
@@ -116,13 +116,13 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "supplier-pagerank",
     "parts-revenue-shift",
     "daily-metrics-unpivot",
+    "attribution-store",
     # (5) downstream of this round's shared-module edits
     "pricing-summary",
     "revenue-by-nation",
     "corr-qty-price",
     "top-unshipped-orders",
     "sales-rollup",
-    "top-large-orders",
     "late-shipment-priority",
     "events-type-counts-salted",
     "events-heavy-hitters",

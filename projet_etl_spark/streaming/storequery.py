@@ -515,3 +515,85 @@ def q_sessions_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v.n_events").cast("long").alias("n_events"),
         F.round(F.col("v.sum_value"), 6).alias("sum_value"),
     ).orderBy("user_id", "session_no")
+
+
+# --- click->purchase attribution from the stream-stream join ----------
+
+ATTRIB_ROOT = os.path.join(os.path.dirname(STORE_ROOT), "attribution")
+
+
+def ensure_attribution_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse) the attribution store: events flow through
+    the real watermarked stream-stream interval join
+    (streaming/joins.py) in availableNow micro-batches; each batch's
+    matched (click, purchase) pairs land idempotently under the
+    batch partition. An INNER interval join emits a pair exactly
+    when its later side arrives — the watermark only bounds state
+    retention, never emission — so the union of batch partials IS
+    the full match set. Fingerprint-keyed; build is refresh cost."""
+    from projet_etl_spark.streaming.joins import (
+        click_purchase_attribution_stream,
+    )
+    from projet_etl_spark.streaming.neardedup import _write_batch_partition
+
+    name = os.path.basename(os.path.normpath(sf_dir)) or "root"
+    root = os.path.join(ATTRIB_ROOT, name)
+    marker = os.path.join(root, "_SOURCE")
+    store = os.path.join(root, "store")
+    fp = _source_fingerprint(sf_dir)
+    try:
+        with open(marker, encoding="utf-8") as f:
+            if f.read() == fp:
+                return store
+    except OSError:
+        pass
+    shutil.rmtree(root, ignore_errors=True)
+    chunks = os.path.join(root, "chunks")
+    _stage_ordered_event_chunks(sf_dir, chunks)
+    out = click_purchase_attribution_stream(
+        read_events_stream(spark, chunks, max_files_per_trigger=1)
+    )
+    q = (
+        out.writeStream.foreachBatch(
+            lambda df, bid: _write_batch_partition(df, store, bid)
+        )
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    with open(marker, "w", encoding="utf-8") as f:
+        f.write(fp)
+    return store
+
+
+def q_attribution_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click->purchase attribution served from the stream-stream
+    join's store — the fourth store-backed streaming kind next to
+    counts/SCD2/sessions/postings. The fold keys on the natural
+    (click_id, purchase_id) pair so a replayed batch's re-emissions
+    collapse; the result must equal the batch interval join exactly,
+    so this query SHARES events-click-attribution's oracle — a green
+    driver row proves watermarked stream-stream state produces the
+    identical match set end to end."""
+    from projet_etl_spark.streaming.storeio import read_store
+
+    store = ensure_attribution_store(spark, sf_dir)
+    rows = read_store(
+        spark,
+        store,
+        "user_id long, click_id long, purchase_id long, "
+        "amount double, latency_us long",
+        ["user_id", "click_id", "purchase_id", "amount", "latency_us"],
+    )
+    return (
+        rows.groupBy("click_id", "purchase_id")
+        .agg(
+            F.first("user_id").alias("user_id"),
+            F.first("amount").alias("amount"),
+            F.first("latency_us").alias("latency_us"),
+        )
+        .select("user_id", "click_id", "purchase_id", "amount", "latency_us")
+        .orderBy("click_id", "purchase_id")
+    )

@@ -173,6 +173,7 @@ def test_read_store_empty_vs_broken(spark, tmp_path):
         "supplier-pagerank",
         "parts-revenue-shift",
         "daily-metrics-unpivot",
+        "attribution-store",
     ],
 )
 def test_round7_queries_match_oracle(spark, duck, name):
