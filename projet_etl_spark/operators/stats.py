@@ -703,3 +703,86 @@ def q_daily_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "metric")
     )
+
+
+# --- daily-series autocorrelation (exact integer moments) -------------
+
+ACF_LAGS = (1, 7)
+
+
+def q_events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 / lag-7 autocorrelation of each event type's daily count
+    series — does yesterday (or last week) predict today? The
+    weekly-seasonality detector a monitoring pipeline runs over its
+    own counters.
+
+    Exactness: the ACF is a ratio of integer polynomials in the
+    series' exact sums — n, Σx, Σx², and per lag Σ(x_t·x_{t+k}) plus
+    the two truncated edge sums. Every term is integer arithmetic on
+    the DENSE zero-filled day series (a sparse series would misalign
+    lags), so both engines reduce to ONE double division of identical
+    integers — the lineitem-corr-matrix discipline applied to time
+    series. Counts are day-grain; at 100 TB the terms outgrow longs
+    with the corpus, so they widen through DECIMAL(38,0) before the
+    polynomial.
+
+    Scale shape: events reduce to (type, day) counts once; the dense
+    spine is |days| rows per type; lags come from one lead window per
+    type partition (type-bounded, never global); the polynomial is a
+    per-type 1-row aggregate.
+    """
+    ev = events(spark, sf_dir)
+    counts = (
+        ev.select(F.to_date("ts").alias("day"), "event_type")
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+    )
+    types = counts.select("event_type").distinct()
+    dense = (
+        types.crossJoin(spine)
+        .join(counts, ["event_type", "day"], "left")
+        .select(
+            "event_type", "day", F.coalesce("x", F.lit(0)).alias("x")
+        )
+    )
+    by_type = Window.partitionBy("event_type").orderBy("day")
+    big = "decimal(38,0)"
+    lagged = dense.select(
+        "event_type",
+        F.col("x").cast(big).alias("x"),
+        *[
+            F.lead("x", k).over(by_type).cast(big).alias(f"y{k}")
+            for k in ACF_LAGS
+        ],
+    )
+    aggs = [
+        F.count(F.lit(1)).cast(big).alias("n"),
+        F.sum("x").cast(big).alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast(big).alias("sxx"),
+    ]
+    for k in ACF_LAGS:
+        y = F.col(f"y{k}")
+        aggs += [
+            F.sum(F.col("x") * y).cast(big).alias(f"sxy{k}"),
+            F.sum(F.when(y.isNotNull(), F.col("x"))).cast(big).alias(f"sa{k}"),
+            F.sum(y).cast(big).alias(f"sb{k}"),
+        ]
+    m = lagged.groupBy("event_type").agg(*aggs)
+    cols = [F.col("event_type")]
+    for k in ACF_LAGS:
+        num = (
+            F.col("n") * F.col("n") * F.col(f"sxy{k}")
+            - F.col("n") * F.col("sx") * (F.col(f"sa{k}") + F.col(f"sb{k}"))
+            + (F.col("n") - F.lit(k)) * F.col("sx") * F.col("sx")
+        )
+        den = F.col("n") * (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        cols.append(
+            F.round(num.cast("double") / den.cast("double"), 6).alias(f"acf{k}")
+        )
+    return m.select(*cols).orderBy("event_type")

@@ -3252,6 +3252,62 @@ ORDER BY n_orders DESC, brand_a, brand_b
 LIMIT {star.AFFINITY_TOPN}
 """
 
+def _acf_sql() -> str:
+    """Exact-integer ACF oracle: HUGEINT mirrors the plan's
+    DECIMAL(38,0) terms, one double division per (type, lag)."""
+    lag_cols = []
+    selects = []
+    for k in stats.ACF_LAGS:
+        lag_cols.append(f"CAST(lead(x, {k}) OVER w AS HUGEINT) AS y{k}")
+        selects.append(
+            f"SUM(x * y{k}) AS sxy{k}, "
+            f"SUM(CASE WHEN y{k} IS NOT NULL THEN x END) AS sa{k}, "
+            f"SUM(y{k}) AS sb{k}"
+        )
+    outs = []
+    for k in stats.ACF_LAGS:
+        outs.append(
+            f"ROUND(CAST(n * n * sxy{k} - n * sx * (sa{k} + sb{k})"
+            f" + (n - {k}) * sx * sx AS DOUBLE)"
+            f" / CAST(n * (n * sxx - sx * sx) AS DOUBLE), 6) AS acf{k}"
+        )
+    return f"""
+WITH counts AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY 1, 2
+),
+bounds AS (
+    SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi FROM events
+),
+spine AS (
+    SELECT CAST(UNNEST(generate_series(
+        (SELECT lo FROM bounds), (SELECT hi FROM bounds),
+        INTERVAL 1 DAY)) AS DATE) AS day
+),
+types AS (SELECT DISTINCT event_type FROM counts),
+dense AS (
+    SELECT t.event_type, s.day, CAST(COALESCE(c.x, 0) AS HUGEINT) AS x
+    FROM types t CROSS JOIN spine s
+    LEFT JOIN counts c ON t.event_type = c.event_type AND s.day = c.day
+),
+lagged AS (
+    SELECT event_type, x, {", ".join(lag_cols)}
+    FROM dense WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+m AS (
+    SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+           SUM(x) AS sx, SUM(x * x) AS sxx,
+           {", ".join(selects)}
+    FROM lagged GROUP BY 1
+)
+SELECT event_type, {", ".join(outs)}
+FROM m ORDER BY event_type
+"""
+
+
+_ACF_SQL = _acf_sql()
+
 _SHIFT_SQL = f"""
 WITH h1 AS (
     SELECT l_partkey,
@@ -4341,6 +4397,12 @@ def build():
             stats.q_daily_metrics_unpivot,
             _UNPIVOT_SQL,
             ("stats", "olap"),
+        ),
+        (
+            "events-autocorr",
+            stats.q_events_autocorr,
+            _ACF_SQL,
+            ("stats", "windows", "analytics"),
         ),
         (
             "supplier-pagerank",

@@ -71,7 +71,7 @@ _PARITY_FNS: dict[str, Callable] = {
 # neardedup-pairs-store rotate OUT (green r6, read paths untouched
 # this round), plus sales-cube, sales-grouping-sets,
 # orders-above-customer-avg and customer-order-distribution (green
-# r5, code untouched since) and top-large-orders (same) to make room for the late round-7 additions.
+# r5, code untouched since) top-large-orders and late-shipment-priority (same) to make room for the late round-7 additions.
 _DRIVER_PREFIX: tuple[str, ...] = (
     # (1) representation A/B pair — identical plan and values
     "money-twin-decimal",
@@ -117,13 +117,13 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "parts-revenue-shift",
     "daily-metrics-unpivot",
     "attribution-store",
+    "events-autocorr",
     # (5) downstream of this round's shared-module edits
     "pricing-summary",
     "revenue-by-nation",
     "corr-qty-price",
     "top-unshipped-orders",
     "sales-rollup",
-    "late-shipment-priority",
     "events-type-counts-salted",
     "events-heavy-hitters",
     "daily-counts-store",

@@ -44,6 +44,9 @@ BNLJ_ALLOWED = {
     # min/max day bounds, decile boundary array
     "text-unigram-logprob",
     "events-gap-fill",
+    # type-list x dense-day-spine cross (both bounded: |types| build
+    # side, calendar-span probe) before the zero-fill left join
+    "events-autocorr",
     "customer-spend-deciles",
     # three 1-row quintile-boundary broadcasts + the 1-row count
     # inside each boundary computation (the deciles pattern, x3)
@@ -89,6 +92,7 @@ BNLJ_BUILD_ROW_BOUND = {
     "dedup-embedding-cosine": 4096,
     "decontaminate-embedding": 64,  # the EVAL_VECS eval block
     "distinct-kmv-intersect": 64,  # the event-type list (pair cross)
+    "events-autocorr": 4096,  # the dense day spine (calendar-span bounded)
 }
 BNLJ_DEFAULT_BOUND = 1  # everything else broadcasts a 1-row aggregate
 

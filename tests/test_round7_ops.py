@@ -174,6 +174,7 @@ def test_read_store_empty_vs_broken(spark, tmp_path):
         "parts-revenue-shift",
         "daily-metrics-unpivot",
         "attribution-store",
+        "events-autocorr",
     ],
 )
 def test_round7_queries_match_oracle(spark, duck, name):
