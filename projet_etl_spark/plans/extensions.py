@@ -2212,7 +2212,7 @@ FROM versioned
 ORDER BY user_id, version_no
 """
 
-_ASOF_SQL = f"""
+_SCD2_ASOF_SQL = f"""
 WITH changes AS (
     SELECT user_id, ts, event_id, event_type
     FROM (
@@ -4312,7 +4312,7 @@ def build():
         (
             "user-state-asof",
             events_windows.q_user_state_asof,
-            _ASOF_SQL,
+            _SCD2_ASOF_SQL,
             ("windows", "olap"),
         ),
         # the stream-stream join store fold must equal the batch

@@ -318,3 +318,25 @@ def test_wscsv_append_preserves_existing_files(spark, tmp_path):
     ).save(out)
     back = spark.read.format("wscsv").schema("k long").load(out)
     assert sorted(r.k for r in back.collect()) == [1, 2]
+
+
+def test_no_rebound_oracle_constants():
+    """A module-level SQL constant defined twice silently rebinds —
+    every registration after the second definition gets the WRONG
+    oracle (this bit events-asof-click when a new query reused
+    _ASOF_SQL). Walk the extensions module AST and fail on any
+    duplicate top-level assignment target."""
+    import ast
+    import collections
+
+    import projet_etl_spark.plans.extensions as ext
+
+    tree = ast.parse(open(ext.__file__).read())
+    seen = collections.Counter()
+    for node in tree.body:
+        if isinstance(node, ast.Assign):
+            for t in node.targets:
+                if isinstance(t, ast.Name):
+                    seen[t.id] += 1
+    dupes = [n for n, c in seen.items() if c > 1]
+    assert not dupes, f"rebound module-level constants: {dupes}"
