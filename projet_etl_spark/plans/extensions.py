@@ -3639,6 +3639,78 @@ WHERE l_suppkey BETWEEN {_zorder.ZSCAN_SUPP_LO} AND {_zorder.ZSCAN_SUPP_HI}
 GROUP BY 1 ORDER BY 1
 """
 
+from projet_etl_spark.operators import dq as _dq  # noqa: E402
+
+_DQ_SQL = f"""
+WITH o AS (
+    SELECT COUNT(*) AS n, COUNT(DISTINCT o_orderkey) AS dk,
+           COUNT(*) FILTER (WHERE o_custkey IS NULL) AS nn
+    FROM orders
+),
+l AS (
+    SELECT COUNT(*) AS n,
+           COUNT(*) FILTER (WHERE NOT (l_quantity >= {_dq.QTY_MIN}
+                                       AND l_quantity <= {_dq.QTY_MAX})) AS qv,
+           COUNT(*) FILTER (WHERE NOT (
+               CAST(floor(l_discount * 100 + 0.5) AS BIGINT) >= 0
+               AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+                   <= {_dq.DISC_MAX_CENTS})) AS dv
+    FROM lineitem
+),
+fko AS (
+    SELECT COUNT(*) AS n, COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS miss
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+),
+fkl AS (
+    SELECT COUNT(*) AS n, COUNT(*) FILTER (WHERE o.o_orderkey IS NULL) AS miss
+    FROM lineitem li LEFT JOIN orders o ON li.l_orderkey = o.o_orderkey
+),
+c AS (
+    SELECT COUNT(*) AS n, COUNT(*) FILTER (WHERE c_acctbal IS NULL) AS nv
+    FROM customer
+),
+longform AS (
+    SELECT 'orders.pk-unique' AS expectation, n - dk AS violations,
+           n AS checked FROM o
+    UNION ALL SELECT 'orders.custkey-not-null', nn, n FROM o
+    UNION ALL SELECT 'lineitem.qty-range', qv, n FROM l
+    UNION ALL SELECT 'lineitem.discount-range', dv, n FROM l
+    UNION ALL SELECT 'orders.fk-customer', miss, n FROM fko
+    UNION ALL SELECT 'lineitem.fk-orders', miss, n FROM fkl
+    UNION ALL SELECT 'customer.acctbal-not-null', nv, n FROM c
+)
+SELECT expectation, CAST(violations AS BIGINT) AS violations,
+       CAST(checked AS BIGINT) AS checked,
+       ROUND(CAST(violations AS DOUBLE) / CAST(checked AS DOUBLE), 6)
+           AS violation_rate
+FROM longform ORDER BY expectation
+"""
+
+_UPSERT_SQL = f"""
+WITH base AS (
+    SELECT o_orderkey, o_orderstatus,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS pu
+    FROM orders
+),
+changes AS (
+    SELECT o_orderkey, 'U' AS o_orderstatus,
+           pu + {_dq.UPSERT_FEE_CENTS} AS pu
+    FROM base
+    WHERE o_orderkey % {_dq.UPSERT_UPDATE_MOD} = {_dq.UPSERT_UPDATE_RES}
+    UNION ALL
+    SELECT o_orderkey + {_dq.UPSERT_KEY_OFFSET}, 'N', pu
+    FROM base WHERE o_orderkey % {_dq.UPSERT_INSERT_MOD} = 0
+),
+merged AS (
+    SELECT * FROM changes
+    UNION ALL
+    SELECT b.* FROM base b ANTI JOIN changes c ON b.o_orderkey = c.o_orderkey
+)
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(pu) AS DOUBLE) / 100.0, 2) AS revenue
+FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
 # salt-invariance contract: the salted (orderkey, salt) join must
 # equal the plain join bit for bit — so the oracle IS the plain join
 _SALTED_JOIN_SQL = """
@@ -4451,6 +4523,18 @@ def build():
             star.q_brand_affinity,
             _AFFINITY_SQL,
             ("olap", "join", "analytics"),
+        ),
+        (
+            "dq-expectations",
+            _dq.q_dq_expectations,
+            _DQ_SQL,
+            ("pipeline", "stats", "join"),
+        ),
+        (
+            "orders-upsert-type1",
+            _dq.q_orders_upsert_type1,
+            _UPSERT_SQL,
+            ("pipeline", "join", "cdc"),
         ),
     ]
     return {

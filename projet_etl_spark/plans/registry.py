@@ -118,11 +118,15 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "daily-metrics-unpivot",
     "attribution-store",
     "events-autocorr",
+    "dq-expectations",
+    "orders-upsert-type1",
     # (5) downstream of this round's shared-module edits
+    # (revenue-by-nation and top-unshipped-orders rotate out for the
+    # two late additions above: green r1-r4, code untouched since,
+    # and the fixed-point guard stays covered by pricing-summary,
+    # corr-qty-price and sales-rollup)
     "pricing-summary",
-    "revenue-by-nation",
     "corr-qty-price",
-    "top-unshipped-orders",
     "sales-rollup",
     "events-type-counts-salted",
     "events-heavy-hitters",

@@ -394,6 +394,8 @@ _EMPTY_NONEMPTY_OK = {
     "small-order-revenue",
     # column census: one row per column, zero counts, NULL extremes
     "events-profile",
+    # constraint sweep: one row per expectation, zero counts, NULL rate
+    "dq-expectations",
 }
 
 
