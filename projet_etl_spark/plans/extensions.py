@@ -3640,6 +3640,24 @@ GROUP BY 1 ORDER BY 1
 """
 
 from projet_etl_spark.operators import dq as _dq  # noqa: E402
+from projet_etl_spark.sources import evolution as _evo  # noqa: E402
+
+# NULL-vintage semantics derived from the SAME split constant the
+# staged layout uses: early (even-id) shards predate source/n_chars
+_EVOLUTION_SQL = f"""
+WITH ev AS (
+    SELECT doc_id, text, lang,
+           CASE WHEN doc_id % {_evo.EVOLUTION_MOD} = 1 THEN source END AS source,
+           CASE WHEN doc_id % {_evo.EVOLUTION_MOD} = 1 THEN n_chars END AS n_chars
+    FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE source IS NULL) AS BIGINT) AS n_legacy,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars_v2,
+       ROUND(CAST(COUNT(*) FILTER (WHERE source IS NOT NULL) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS migrated_frac
+FROM ev GROUP BY lang ORDER BY lang
+"""
 
 _DQ_SQL = f"""
 WITH o AS (
@@ -4535,6 +4553,12 @@ def build():
             _dq.q_orders_upsert_type1,
             _UPSERT_SQL,
             ("pipeline", "join", "cdc"),
+        ),
+        (
+            "documents-schema-evolution",
+            _evo.q_documents_schema_evolution,
+            _EVOLUTION_SQL,
+            ("sources", "layout", "pipeline"),
         ),
     ]
     return {

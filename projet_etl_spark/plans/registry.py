@@ -120,13 +120,13 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "events-autocorr",
     "dq-expectations",
     "orders-upsert-type1",
+    "documents-schema-evolution",
     # (5) downstream of this round's shared-module edits
-    # (revenue-by-nation and top-unshipped-orders rotate out for the
-    # two late additions above: green r1-r4, code untouched since,
-    # and the fixed-point guard stays covered by pricing-summary,
-    # corr-qty-price and sales-rollup)
+    # (revenue-by-nation, top-unshipped-orders and corr-qty-price
+    # rotate out for the three late additions above: green r1-r4,
+    # code untouched since, and the fixed-point guard stays covered
+    # by pricing-summary and sales-rollup)
     "pricing-summary",
-    "corr-qty-price",
     "sales-rollup",
     "events-type-counts-salted",
     "events-heavy-hitters",

@@ -121,3 +121,37 @@ def test_compact_clears_stale_aside_and_tmp(spark, tmp_path):
     assert spark.read.parquet(path).count() == 500
     assert not os.path.exists(path + "._precompact")
     assert not os.path.exists(path + "._compacting")
+
+
+def test_two_vintage_layout_footers_actually_differ(spark):
+    """The schema-evolution layout is only a test of mergeSchema if
+    the vintages genuinely disagree: v1 footers must carry ONLY the
+    early columns, v2 the full schema, and the merged read the union
+    by NAME (legacy rows NULL in evolved columns)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from projet_etl_spark.sources.evolution import (
+        V1_COLUMNS,
+        ensure_two_vintage_documents,
+        read_two_vintage_documents,
+    )
+    from tests.conftest import SF_SMALL
+
+    root = ensure_two_vintage_documents(spark, SF_SMALL)
+    v1_files = glob.glob(os.path.join(root, "vintage=v1", "*.parquet"))
+    v2_files = glob.glob(os.path.join(root, "vintage=v2", "*.parquet"))
+    assert v1_files and v2_files
+    assert set(pq.read_schema(v1_files[0]).names) == set(V1_COLUMNS)
+    assert set(pq.read_schema(v2_files[0]).names) == {
+        "doc_id", "text", "lang", "source", "n_chars",
+    }
+    merged = read_two_vintage_documents(spark, root)
+    assert set(merged.columns) == set(pq.read_schema(v2_files[0]).names)
+    legacy = merged.filter("source IS NULL")
+    assert legacy.count() == merged.filter("doc_id % 2 = 0").count() > 0
+    # evolved columns are NULL on every legacy row, populated otherwise
+    assert legacy.filter("n_chars IS NOT NULL").count() == 0
+    assert merged.filter("doc_id % 2 = 1 AND source IS NULL").count() == 0
