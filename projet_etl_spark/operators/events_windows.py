@@ -177,13 +177,13 @@ def q_rolling_active_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-def q_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Slowly-changing-dimension (type 2) build from the event
-    stream: each user's event_type acts as their current state; runs
-    of the same state collapse, and each state CHANGE opens a
-    versioned validity interval [valid_from, valid_to) closed by the
-    next change (NULL valid_to = current version) — the standard
-    warehouse history-table shape, built distributively.
+def _versioned_user_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared SCD2 versioning core: collapse same-state runs per
+    user, then open one validity interval per state CHANGE —
+    (user_id, state, version_no, from_ts, to_ts), NULL to_ts =
+    current version. ONE contract for both the history build and the
+    as-of snapshot, so the versioning rules (tie-break order, run
+    collapse) can never desynchronize between them.
 
     Scale shape: both window passes partition by user_id with the
     same (ts, event_id) order, so the change-detection lag and the
@@ -198,13 +198,25 @@ def q_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(
         F.col("prev_state").isNull() | (F.col("prev_state") != F.col("event_type"))
     )
-    versioned = changes.select(
+    return changes.select(
         "user_id",
         F.col("event_type").alias("state"),
         F.row_number().over(by_user).cast("long").alias("version_no"),
         F.col("ts").alias("from_ts"),
         F.lead("ts").over(by_user).alias("to_ts"),
     )
+
+
+def q_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build from the event
+    stream: each user's event_type acts as their current state; runs
+    of the same state collapse, and each state CHANGE opens a
+    versioned validity interval [valid_from, valid_to) closed by the
+    next change (NULL valid_to = current version) — the standard
+    warehouse history-table shape, built distributively (see
+    ``_versioned_user_states`` for the single-shuffle plan shape).
+    """
+    versioned = _versioned_user_states(spark, sf_dir)
     return versioned.select(
         "user_id",
         "state",
@@ -224,8 +236,9 @@ def q_user_state_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     type-2 history table exists to serve (pick the version whose
     [valid_from, valid_to) interval contains the instant).
 
-    Scale shape: identical single-shuffle window plan as the history
-    build, then a map-side interval filter — the snapshot never
+    Scale shape: the exact versioned frame of the history build
+    (``_versioned_user_states`` — shared code, not a re-derivation),
+    then a map-side interval filter — the snapshot never
     materializes the full history, and at 100 TB the filter prunes to
     at most one row per user before any downstream join. The
     interval comparison runs in integer microseconds on both engines
@@ -239,19 +252,12 @@ def q_user_state_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .timestamp()
         * 1_000_000
     )
-    ev = events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
-    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    changes = ev.withColumn(
-        "prev_state", F.lag("event_type").over(by_user)
-    ).filter(
-        F.col("prev_state").isNull() | (F.col("prev_state") != F.col("event_type"))
-    )
-    versioned = changes.select(
+    versioned = _versioned_user_states(spark, sf_dir).select(
         "user_id",
-        F.col("event_type").alias("state"),
-        F.row_number().over(by_user).cast("long").alias("version_no"),
-        F.unix_micros(F.col("ts")).alias("from_us"),
-        F.unix_micros(F.lead("ts").over(by_user)).alias("to_us"),
+        "state",
+        "version_no",
+        F.unix_micros(F.col("from_ts")).alias("from_us"),
+        F.unix_micros(F.col("to_ts")).alias("to_us"),
     )
     return (
         versioned.filter(

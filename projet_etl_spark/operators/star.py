@@ -30,7 +30,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from projet_etl_spark.functions.fixedpoint import UnitSum, fixed_point_agg, units
@@ -1932,14 +1932,23 @@ def q_customer_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_supplier_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-supplier p50/p95 of ship-minus-order days — the
     fulfillment-SLA audit (which suppliers are slow, and how heavy is
-    their tail). Exact percentiles at supplier grain: each group
-    holds one supplier's lineitems, so order-statistics state is
-    group-bounded (the daily-value-percentiles discipline; swap for
-    approx_percentile when groups stop fitting).
+    their tail).
+
+    Exact discrete order statistics, no float interpolation: the
+    linear-interpolated percentile at q/100 sits at integer position
+    ``pos = q*(n-1)`` in hundredths, so the bracketing ranks and the
+    interpolation weight ``k = pos % 100`` are pure integer
+    arithmetic, and the only float op is ONE final division of an
+    integer hundredths value by 100.0 — correctly rounded and
+    therefore engine-identical (Spark `percentile` vs DuckDB
+    `quantile_cont` differ by 1 ulp on knife-edge inputs — the
+    documented cause of the r5 `customer-spend-deciles` driver red).
 
     Scale shape: one fact-fact equi-join on orderkey (shuffle-free on
     the bucketed warehouse), integer delay arithmetic per row, one
-    supplier-grain aggregate, broadcast name enrichment.
+    rank window at supplier grain (state bounded by the largest
+    supplier's item count), one supplier-grain aggregate, broadcast
+    name enrichment.
     """
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", F.to_date("o_orderdate").alias("od")
@@ -1951,20 +1960,53 @@ def q_supplier_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     delays = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
         "l_suppkey", F.datediff(F.col("sd"), F.col("od")).alias("delay")
     )
+    ranked = delays.select(
+        "l_suppkey",
+        "delay",
+        (
+            F.row_number().over(
+                Window.partitionBy("l_suppkey").orderBy("delay")
+            )
+            - 1
+        ).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("l_suppkey"))
+        .alias("n"),
+    )
+
+    def _bracket(q: int, side: str) -> Column:
+        off = 0 if side == "lo" else 1
+        return F.max(
+            F.when(
+                F.col("rn") == F.expr(f"div({q} * (n - 1), 100) + {off}"),
+                F.col("delay"),
+            )
+        ).alias(f"{side}{q}")
+
+    def _hundredths(q: int) -> Column:
+        # lo*100 + (hi-lo)*k is an exact integer; hi is NULL only when
+        # k = 0 (pos on a rank), where the coalesce weight is moot
+        return F.expr(
+            f"(lo{q} * 100 + (coalesce(hi{q}, lo{q}) - lo{q})"
+            f" * (({q} * (n_items - 1)) % 100)) / 100.0"
+        ).alias(f"p{q}_days")
+
     return (
-        delays.groupBy("l_suppkey")
+        ranked.groupBy("l_suppkey")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_items"),
-            F.round(F.expr("percentile(delay, 0.5)"), 6).alias("p50_days"),
-            F.round(F.expr("percentile(delay, 0.95)"), 6).alias("p95_days"),
+            F.max("n").alias("n_items"),
+            _bracket(50, "lo"),
+            _bracket(50, "hi"),
+            _bracket(95, "lo"),
+            _bracket(95, "hi"),
         )
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             F.col("l_suppkey").alias("s_suppkey"),
             "s_name",
             "n_items",
-            "p50_days",
-            "p95_days",
+            _hundredths(50),
+            _hundredths(95),
         )
         .orderBy("s_suppkey")
     )

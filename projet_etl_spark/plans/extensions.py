@@ -3230,13 +3230,30 @@ WITH delays AS (
            date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
                AS delay
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+ranked AS (
+    SELECT l_suppkey, delay,
+           row_number() OVER (PARTITION BY l_suppkey ORDER BY delay) - 1 AS rn,
+           count(*) OVER (PARTITION BY l_suppkey) AS n
+    FROM delays
+),
+stats AS (
+    SELECT l_suppkey,
+           MAX(n) AS n_items,
+           MAX(CASE WHEN rn = (50 * (n - 1)) // 100     THEN delay END) AS lo50,
+           MAX(CASE WHEN rn = (50 * (n - 1)) // 100 + 1 THEN delay END) AS hi50,
+           MAX(CASE WHEN rn = (95 * (n - 1)) // 100     THEN delay END) AS lo95,
+           MAX(CASE WHEN rn = (95 * (n - 1)) // 100 + 1 THEN delay END) AS hi95
+    FROM ranked GROUP BY 1
 )
-SELECT d.l_suppkey AS s_suppkey, s.s_name,
-       CAST(COUNT(*) AS BIGINT) AS n_items,
-       ROUND(quantile_cont(delay, 0.5), 6) AS p50_days,
-       ROUND(quantile_cont(delay, 0.95), 6) AS p95_days
-FROM delays d JOIN supplier s ON d.l_suppkey = s.s_suppkey
-GROUP BY 1, 2 ORDER BY 1
+SELECT st.l_suppkey AS s_suppkey, s.s_name,
+       CAST(n_items AS BIGINT) AS n_items,
+       (lo50 * 100 + (COALESCE(hi50, lo50) - lo50)
+           * ((50 * (n_items - 1)) % 100)) / 100.0 AS p50_days,
+       (lo95 * 100 + (COALESCE(hi95, lo95) - lo95)
+           * ((95 * (n_items - 1)) % 100)) / 100.0 AS p95_days
+FROM stats st JOIN supplier s ON st.l_suppkey = s.s_suppkey
+ORDER BY 1
 """
 
 _AFFINITY_SQL = f"""

@@ -200,6 +200,7 @@ def q_lineitem_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         fixed_point_agg,
         units,
     )
+    from projet_etl_spark.operators.star import U4_MONEY
 
     table = ensure_zordered_lineitem(spark, sf_dir)
     li = (
@@ -216,7 +217,7 @@ def q_lineitem_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         fixed_point_agg(
             li,
             ["l_returnflag"],
-            [UnitSum("urev", F.col("rev_units"), 4, 110 * 10**8)],
+            [UnitSum("urev", F.col("rev_units"), 4, U4_MONEY)],
             counts=[("n_items", None)],
         )
         .select(

@@ -115,8 +115,15 @@ def _covered_batch(store_path: str) -> int:
 def _read_compacted(spark: SparkSession, store_path: str) -> DataFrame:
     import os
 
+    from projet_etl_spark.sources.ingest import recover_swap
     from projet_etl_spark.streaming.storeio import read_store
 
+    # A crash between swap_publish's two renames leaves the ONLY copy
+    # of the compacted table parked aside; recovering here (the shared
+    # read entry, which also runs before _covered_batch in every
+    # caller) restores it before the missing-path branch could
+    # misread "no compacted data yet".
+    recover_swap(os.path.join(store_path, "postings_compacted"))
     return read_store(
         spark,
         os.path.join(store_path, "postings_compacted"),
@@ -198,6 +205,12 @@ def compact_postings_store(spark: SparkSession, store_path: str) -> int:
 
     post_dir = os.path.join(store_path, "postings")
     comp_dir = os.path.join(store_path, "postings_compacted")
+    # recover BEFORE consulting _COVERED: an interrupted swap parks
+    # the only copy of the compacted table aside, and reading the
+    # high-water mark first would treat the store as never-compacted
+    # and rebuild without the folded batches (permanent silent loss
+    # once the stale aside is cleared).
+    recover_swap(comp_dir)
     cov = _covered_batch(store_path)
     if not os.path.exists(post_dir):
         return cov
@@ -229,7 +242,6 @@ def compact_postings_store(spark: SparkSession, store_path: str) -> int:
             fh.write(str(new_cov))
 
     if os.path.exists(comp_dir):
-        recover_swap(comp_dir)
         swap_publish(comp_dir, _write)
     else:
         tmp = comp_dir + "._compacting"

@@ -241,6 +241,53 @@ def test_compacted_postings_prunes_files(spark, tmp_path):
     assert pruned == full
 
 
+def test_compacted_postings_survive_interrupted_swap(spark, tmp_path):
+    """A crash between swap_publish's two renames parks the ONLY copy
+    of the compacted table aside. Both the read path and the next
+    compaction must recover it BEFORE consulting _COVERED — reading
+    the high-water mark first would treat the store as
+    never-compacted and rebuild without the folded batches."""
+    from projet_etl_spark.streaming.postings import (
+        compact_postings_store,
+        read_postings,
+        upsert_postings_batch,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    store = str(tmp_path / "crashstore")
+    for b in range(3):
+        upsert_postings_batch(docs.filter(F.col("doc_id") % 3 == b), b, store)
+    assert compact_postings_store(spark, store) == 1
+    expected = sorted(map(tuple, read_postings(spark, store).collect()))
+    comp_dir = os.path.join(store, "postings_compacted")
+
+    # crash window: old table parked, new one never landed
+    os.rename(comp_dir, comp_dir + "._precompact")
+    assert sorted(map(tuple, read_postings(spark, store).collect())) == expected
+    assert os.path.exists(comp_dir)  # read path restored the table
+
+    # same crash immediately before a re-compaction after new data
+    upsert_postings_batch(docs.filter(F.col("doc_id") % 3 == 0), 3, store)
+    os.rename(comp_dir, comp_dir + "._precompact")
+    assert compact_postings_store(spark, store) == 2
+    after = sorted(map(tuple, read_postings(spark, store).collect()))
+    expected2 = sorted(
+        expected
+        + list(
+            map(
+                tuple,
+                spark.read.parquet(os.path.join(store, "postings"))
+                .filter(F.col("batch") == 3)
+                .select("doc_id", "token", "tf")
+                .collect(),
+            )
+        )
+    )
+    assert after == expected2
+
+
 # --- pluggable image decode hook ---------------------------------------
 
 

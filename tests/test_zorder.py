@@ -105,7 +105,9 @@ def test_zorder_keeps_pruning_on_leading_dimension(spark, layouts):
     probe_lo, probe_hi = lo_p, lo_p + width
     lin = _files_read(_file_ranges(linear, "l_partkey"), probe_lo, probe_hi)
     zrd = _files_read(_file_ranges(zord, "l_partkey"), probe_lo, probe_hi)
-    assert lin <= 2  # the dedicated layout is near-perfect
+    # the dedicated layout is near-perfect: a 1/8-width probe lands
+    # in ~2 of 16 range files, +1 per boundary for sampling jitter
+    assert lin <= 3
     assert zrd <= N_FILES * 3 // 4
 
 
