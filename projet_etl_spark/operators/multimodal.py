@@ -31,24 +31,39 @@ FEATURE_SCHEMA = "doc_id long, n_bytes long, head_hex string"
 # Pluggable codec hook (round 7): an environment WITH image libraries
 # points SPARK_GRAFT_IMAGE_CODEC at a "module:function" decoder (e.g.
 # "my_codecs:decode_jpeg" wrapping PIL) and the decode path lights up
-# with NO code change — resolved lazily per executor process, so the
-# hook works identically under local threads and a real cluster's
-# forked Python workers. Unset, decode_image stays the loud stub.
+# with NO code change. Unset, decode_image stays the loud stub.
+#
+# Resolution rule — ONE rule for both entry points: the env var is
+# read in the process that INVOKES the API. decoded_table captures
+# the spec on the driver at plan-build time (executor Python workers
+# inherit the JVM's environment from session start, so reading it
+# there would see stale state); decode_image reads it at each call
+# site. Set the variable BEFORE starting the session so driver and
+# executors agree; only the codec IMPORT runs in the process that
+# executes the decode.
 IMAGE_CODEC_ENV = "SPARK_GRAFT_IMAGE_CODEC"
+
+
+def _load_codec(spec: str):
+    """Import a "module:function" codec spec (function defaults to
+    ``decode``). Import errors propagate loudly — a declared but
+    unloadable codec is misconfiguration, not absence. NOTE: the
+    mapInPandas closure in make_decoded_features intentionally
+    inlines this parse — the closure pickles BY VALUE so executors
+    need not have this package on sys.path; keep the two in step."""
+    import importlib
+
+    mod, _, attr = spec.partition(":")
+    return getattr(importlib.import_module(mod), attr or "decode")
 
 
 def resolve_image_codec():
     """The configured decoder callable, or None when the environment
-    declares no codec. Import errors propagate loudly — a declared
-    but unloadable codec is misconfiguration, not absence."""
-    import importlib
+    declares no codec (env read here, at the call site)."""
     import os
 
     spec = os.environ.get(IMAGE_CODEC_ENV)
-    if not spec:
-        return None
-    mod, _, attr = spec.partition(":")
-    return getattr(importlib.import_module(mod), attr or "decode")
+    return _load_codec(spec) if spec else None
 
 
 def decode_image(payload: bytes) -> object:
@@ -76,10 +91,12 @@ def make_decoded_features():
     (loudly, never silently empty). Closure-returned for by-value
     pickling (see make_byte_features)."""
 
-    # the codec SPEC resolves on the DRIVER at plan-build time (the
-    # executors' Python workers inherit the JVM's environment from
-    # session start, so reading the env var there would see stale
-    # state); only the import runs executor-side, per worker process
+    # codec SPEC captured on the DRIVER at plan-build time; import
+    # runs executor-side per worker process (the documented
+    # resolution rule, see IMAGE_CODEC_ENV). The spec parse below
+    # mirrors _load_codec — inlined, not shared, because this closure
+    # must pickle by value with no dependency on this package being
+    # importable on executors.
     import os as _os
 
     spec = _os.environ.get(IMAGE_CODEC_ENV)

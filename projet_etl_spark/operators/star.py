@@ -1985,10 +1985,15 @@ def q_supplier_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _hundredths(q: int) -> Column:
         # lo*100 + (hi-lo)*k is an exact integer; hi is NULL only when
-        # k = 0 (pos on a rank), where the coalesce weight is moot
+        # k = 0 (pos on a rank), where the coalesce weight is moot.
+        # Cast to DOUBLE before dividing — `/ 100.0` alone would be a
+        # DECIMAL literal division (decimal output violates the
+        # engine's no-decimal-finals contract); the exact integer
+        # converts losslessly and one correctly-rounded double
+        # division is engine-identical.
         return F.expr(
-            f"(lo{q} * 100 + (coalesce(hi{q}, lo{q}) - lo{q})"
-            f" * (({q} * (n_items - 1)) % 100)) / 100.0"
+            f"cast(lo{q} * 100 + (coalesce(hi{q}, lo{q}) - lo{q})"
+            f" * (({q} * (n_items - 1)) % 100) as double) / 100.0d"
         ).alias(f"p{q}_days")
 
     return (

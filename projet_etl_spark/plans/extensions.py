@@ -3248,10 +3248,10 @@ stats AS (
 )
 SELECT st.l_suppkey AS s_suppkey, s.s_name,
        CAST(n_items AS BIGINT) AS n_items,
-       (lo50 * 100 + (COALESCE(hi50, lo50) - lo50)
-           * ((50 * (n_items - 1)) % 100)) / 100.0 AS p50_days,
-       (lo95 * 100 + (COALESCE(hi95, lo95) - lo95)
-           * ((95 * (n_items - 1)) % 100)) / 100.0 AS p95_days
+       CAST(lo50 * 100 + (COALESCE(hi50, lo50) - lo50)
+           * ((50 * (n_items - 1)) % 100) AS DOUBLE) / 100.0 AS p50_days,
+       CAST(lo95 * 100 + (COALESCE(hi95, lo95) - lo95)
+           * ((95 * (n_items - 1)) % 100) AS DOUBLE) / 100.0 AS p95_days
 FROM stats st JOIN supplier s ON st.l_suppkey = s.s_suppkey
 ORDER BY 1
 """

@@ -51,29 +51,26 @@ def ensure_two_vintage_documents(spark: SparkSession, sf_dir: str) -> str:
     """Stage (or reuse) the two-vintage parquet copy of ``documents``
     for ``sf_dir``: v1 shards carry only the early columns, v2 shards
     the full schema. Fingerprint-keyed on the source parquet."""
-    src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    fp = f"{st.st_size}:{st.st_mtime_ns}"
-    name = os.path.basename(os.path.normpath(sf_dir)) or "root"
-    root = os.path.join(_evolution_root(), name)
-    marker = os.path.join(root, "_SOURCE")
-    data = os.path.join(root, "documents")
-    try:
-        with open(marker, encoding="utf-8") as f:
-            if f.read() == fp:
-                return data
-    except OSError:
-        pass
-    shutil.rmtree(root, ignore_errors=True)
-    os.makedirs(root, exist_ok=True)
-    docs = load_table(spark, sf_dir, "documents")
-    v1 = docs.filter(F.col("doc_id") % EVOLUTION_MOD == 0).select(*V1_COLUMNS)
-    v2 = docs.filter(F.col("doc_id") % EVOLUTION_MOD == 1)
-    v1.write.mode("overwrite").parquet(os.path.join(data, "vintage=v1"))
-    v2.write.mode("overwrite").parquet(os.path.join(data, "vintage=v2"))
-    with open(marker, "w", encoding="utf-8") as f:
-        f.write(fp)
-    return data
+    from projet_etl_spark.sources.staging import (
+        ensure_staged,
+        parquet_fingerprint,
+    )
+
+    def _build(root: str) -> None:
+        data = os.path.join(root, "documents")
+        docs = load_table(spark, sf_dir, "documents")
+        v1 = docs.filter(F.col("doc_id") % EVOLUTION_MOD == 0).select(*V1_COLUMNS)
+        v2 = docs.filter(F.col("doc_id") % EVOLUTION_MOD == 1)
+        v1.write.mode("overwrite").parquet(os.path.join(data, "vintage=v1"))
+        v2.write.mode("overwrite").parquet(os.path.join(data, "vintage=v2"))
+
+    return ensure_staged(
+        _evolution_root(),
+        sf_dir,
+        parquet_fingerprint(sf_dir, "documents.parquet"),
+        "documents",
+        _build,
+    )
 
 
 def read_two_vintage_documents(spark: SparkSession, path: str) -> DataFrame:

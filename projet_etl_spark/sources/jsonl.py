@@ -63,30 +63,26 @@ def _jsonl_root() -> str:
 def ensure_documents_jsonl(spark: SparkSession, sf_dir: str) -> str:
     """Stage (or reuse) the JSONL copy of ``documents`` for
     ``sf_dir``, fingerprint-keyed on the source parquet."""
-    src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    fp = f"{st.st_size}:{st.st_mtime_ns}"
-    name = os.path.basename(os.path.normpath(sf_dir)) or "root"
-    root = os.path.join(_jsonl_root(), name)
-    marker = os.path.join(root, "_SOURCE")
-    data = os.path.join(root, "documents")
-    try:
-        with open(marker, encoding="utf-8") as f:
-            if f.read() == fp:
-                return data
-    except OSError:
-        pass
-    shutil.rmtree(root, ignore_errors=True)
-    os.makedirs(root, exist_ok=True)
-    (
-        load_table(spark, sf_dir, "documents")
-        .repartition(JSONL_SHARDS)
-        .write.mode("overwrite")
-        .json(data)
+    from projet_etl_spark.sources.staging import (
+        ensure_staged,
+        parquet_fingerprint,
     )
-    with open(marker, "w", encoding="utf-8") as f:
-        f.write(fp)
-    return data
+
+    def _build(root: str) -> None:
+        (
+            load_table(spark, sf_dir, "documents")
+            .repartition(JSONL_SHARDS)
+            .write.mode("overwrite")
+            .json(os.path.join(root, "documents"))
+        )
+
+    return ensure_staged(
+        _jsonl_root(),
+        sf_dir,
+        parquet_fingerprint(sf_dir, "documents.parquet"),
+        "documents",
+        _build,
+    )
 
 
 def read_documents_jsonl(spark: SparkSession, path: str) -> DataFrame:

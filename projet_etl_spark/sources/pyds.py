@@ -215,6 +215,13 @@ class WhitespaceCSVWriter(DataSourceWriter):
             raise ValueError("wscsv: 'path' option is required")
         self.date_format = options.get("dateformat", "%Y%m%d")
         self.overwrite = overwrite
+        # per-JOB id, minted on the driver and serialized into every
+        # task: commit() may only sweep temps carrying its own job id
+        # — a concurrent append job's in-flight temps are not ours to
+        # delete (its commit would hit a missing file / redo work)
+        import uuid
+
+        self.job_id = uuid.uuid4().hex[:12]
 
     def write(self, iterator) -> _FileCommit:
         import uuid
@@ -224,9 +231,9 @@ class WhitespaceCSVWriter(DataSourceWriter):
         # files (readers' _list_files skips . and _ names), commit()
         # renames the ones its messages reference. A failed or
         # speculative attempt's file therefore never becomes visible
-        # — in either mode — it just lingers as a temp until the next
-        # commit sweeps stale temps.
-        stem = f"part-{uuid.uuid4().hex}.txt"
+        # — in either mode — it just lingers as a temp until this
+        # job's commit sweeps its own stale temps.
+        stem = f"part-{self.job_id}-{uuid.uuid4().hex}.txt"
         fname = os.path.join(self.path, f".{stem}.tmp")
         names = [f.name for f in self.schema.fields]
         dtypes = [f.dataType for f in self.schema.fields]
@@ -259,8 +266,16 @@ class WhitespaceCSVWriter(DataSourceWriter):
             published.add(final)
         for f in os.listdir(self.path):
             full = os.path.join(self.path, f)
-            if f.startswith(".part-") and f.endswith(".tmp"):
-                # unreferenced temp from a failed/speculative attempt
+            if f.endswith(".tmp") and (
+                f.startswith(f".part-{self.job_id}-")
+                or (self.overwrite and f.startswith(".part-"))
+            ):
+                # unreferenced temp from THIS job's failed/speculative
+                # attempt; append mode leaves other jobs' temps for
+                # their own commit (concurrent appends are legal),
+                # while overwrite — which asserts exclusive ownership
+                # of the directory — also reclaims temps orphaned by
+                # crashed earlier jobs
                 os.remove(full)
             elif self.overwrite and (
                 (f.endswith(".txt") and f not in published) or f == "_SUCCESS"

@@ -156,34 +156,28 @@ def ensure_zordered_lineitem(spark: SparkSession, sf_dir: str) -> str:
     fingerprint-keyed on the source file — layout build is refresh
     cost, exactly like the bucketed warehouse and streaming stores."""
     import os
-    import shutil
 
-    src = os.path.join(sf_dir, "lineitem.parquet")
-    st = os.stat(src)
-    fp = f"{st.st_size}:{st.st_mtime_ns}"
-    name = os.path.basename(os.path.normpath(sf_dir)) or "root"
-    root = os.path.join(_zorder_root(), name)
-    marker = os.path.join(root, "_SOURCE")
-    table = os.path.join(root, "lineitem")
-    try:
-        with open(marker, encoding="utf-8") as f:
-            if f.read() == fp:
-                return table
-    except OSError:
-        pass
-    shutil.rmtree(root, ignore_errors=True)
-    os.makedirs(root, exist_ok=True)
+    from projet_etl_spark.sources.staging import (
+        ensure_staged,
+        parquet_fingerprint,
+    )
     from projet_etl_spark.sources.tables import load_table
 
-    zorder_write(
-        load_table(spark, sf_dir, "lineitem"),
-        table,
-        list(ZORDER_COLS),
-        n_files=ZORDER_FILES,
+    def _build(root: str) -> None:
+        zorder_write(
+            load_table(spark, sf_dir, "lineitem"),
+            os.path.join(root, "lineitem"),
+            list(ZORDER_COLS),
+            n_files=ZORDER_FILES,
+        )
+
+    return ensure_staged(
+        _zorder_root(),
+        sf_dir,
+        parquet_fingerprint(sf_dir, "lineitem.parquet"),
+        "lineitem",
+        _build,
     )
-    with open(marker, "w", encoding="utf-8") as f:
-        f.write(fp)
-    return table
 
 
 def q_lineitem_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:

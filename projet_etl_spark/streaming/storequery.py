@@ -36,6 +36,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from projet_etl_spark.sources.staging import ensure_staged, parquet_fingerprint
 from projet_etl_spark.streaming.dailycounts import (
     read_daily_counts,
     stream_daily_counts,
@@ -76,39 +77,30 @@ def _stage_event_chunks(sf_dir: str, chunk_dir: str) -> None:
 
 
 def _source_fingerprint(sf_dir: str) -> str:
-    st = os.stat(os.path.join(sf_dir, "events.parquet"))
-    return f"{st.st_size}:{st.st_mtime_ns}"
+    return parquet_fingerprint(sf_dir, "events.parquet")
 
 
 def ensure_daily_counts_store(spark: SparkSession, sf_dir: str) -> str:
     """Build (or reuse) the streaming-written daily-count store for
-    ``sf_dir``. The store is keyed by the events file's fingerprint:
-    a regenerated fixture invalidates it, repeat queries reuse it —
-    build is refresh cost, not query cost."""
-    name = os.path.basename(os.path.normpath(sf_dir)) or "root"
-    root = os.path.join(STORE_ROOT, name)
-    marker = os.path.join(root, "_SOURCE")
-    store = os.path.join(root, "store")
-    fp = _source_fingerprint(sf_dir)
-    try:
-        with open(marker, encoding="utf-8") as f:
-            if f.read() == fp:
-                return store
-    except OSError:
-        pass
-    shutil.rmtree(root, ignore_errors=True)
-    chunks = os.path.join(root, "chunks")
-    _stage_event_chunks(sf_dir, chunks)
-    q = stream_daily_counts(
-        read_events_stream(spark, chunks, max_files_per_trigger=1),
-        store,
-        os.path.join(root, "ckpt"),
-        available_now=True,
+    ``sf_dir``. The store is keyed by the events file's fingerprint
+    (the shared ensure_staged protocol): a regenerated fixture
+    invalidates it, repeat queries reuse it — build is refresh cost,
+    not query cost."""
+
+    def _build(root: str) -> None:
+        chunks = os.path.join(root, "chunks")
+        _stage_event_chunks(sf_dir, chunks)
+        q = stream_daily_counts(
+            read_events_stream(spark, chunks, max_files_per_trigger=1),
+            os.path.join(root, "store"),
+            os.path.join(root, "ckpt"),
+            available_now=True,
+        )
+        q.awaitTermination()
+
+    return ensure_staged(
+        STORE_ROOT, sf_dir, _source_fingerprint(sf_dir), "store", _build
     )
-    q.awaitTermination()
-    with open(marker, "w", encoding="utf-8") as f:
-        f.write(fp)
-    return store
 
 
 def q_daily_counts_store(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -158,37 +150,30 @@ def ensure_neardedup_pairs(spark: SparkSession, sf_dir: str) -> str:
     the daily-count store)."""
     from projet_etl_spark.streaming.neardedup import stream_near_dedup
 
-    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-    fp = f"{st.st_size}:{st.st_mtime_ns}"
-    name = os.path.basename(os.path.normpath(sf_dir)) or "root"
-    root = os.path.join(NEARDEDUP_ROOT, name)
-    marker = os.path.join(root, "_SOURCE")
-    pairs = os.path.join(root, "pairs")
-    try:
-        with open(marker, encoding="utf-8") as f:
-            if f.read() == fp:
-                return pairs
-    except OSError:
-        pass
-    shutil.rmtree(root, ignore_errors=True)
-    chunks = os.path.join(root, "chunks")
-    _stage_doc_chunks(sf_dir, chunks)
-    stream = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(chunks)
+    def _build(root: str) -> None:
+        chunks = os.path.join(root, "chunks")
+        _stage_doc_chunks(sf_dir, chunks)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(chunks)
+        )
+        q = stream_near_dedup(
+            stream,
+            os.path.join(root, "store"),
+            os.path.join(root, "pairs"),
+            os.path.join(root, "ckpt"),
+            available_now=True,
+        )
+        q.awaitTermination()
+
+    return ensure_staged(
+        NEARDEDUP_ROOT,
+        sf_dir,
+        parquet_fingerprint(sf_dir, "documents.parquet"),
+        "pairs",
+        _build,
     )
-    q = stream_near_dedup(
-        stream,
-        os.path.join(root, "store"),
-        pairs,
-        os.path.join(root, "ckpt"),
-        available_now=True,
-    )
-    q.awaitTermination()
-    with open(marker, "w", encoding="utf-8") as f:
-        f.write(fp)
-    return pairs
 
 
 def q_neardedup_pairs_store(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -227,6 +212,33 @@ def _stage_ordered_event_chunks(sf_dir: str, chunk_dir: str) -> None:
         os.utime(os.path.join(chunk_dir, f), (base + i, base + i))
 
 
+def _ordered_stream_builder(spark: SparkSession, sf_dir: str, stream_fn):
+    """ensure_staged build step shared by every order-sensitive
+    event-stream store (SCD2 history, sessions, attribution): stage
+    ordered event chunks, run ``stream_fn(stream)`` through
+    availableNow micro-batches, land each batch idempotently under
+    its batch partition."""
+    from projet_etl_spark.streaming.neardedup import _write_batch_partition
+
+    def _build(root: str) -> None:
+        store = os.path.join(root, "store")
+        chunks = os.path.join(root, "chunks")
+        _stage_ordered_event_chunks(sf_dir, chunks)
+        out = stream_fn(read_events_stream(spark, chunks, max_files_per_trigger=1))
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, bid: _write_batch_partition(df, store, bid)
+            )
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    return _build
+
+
 def ensure_user_state_store(spark: SparkSession, sf_dir: str) -> str:
     """Build (or reuse) the streaming-maintained SCD2 history store
     for ``sf_dir``: events flow through the real
@@ -234,38 +246,14 @@ def ensure_user_state_store(spark: SparkSession, sf_dir: str) -> str:
     micro-batches; every emission lands idempotently under its batch
     partition. Fingerprint-keyed — build is refresh cost."""
     from projet_etl_spark.streaming.history import user_state_history_stream
-    from projet_etl_spark.streaming.neardedup import _write_batch_partition
 
-    name = os.path.basename(os.path.normpath(sf_dir)) or "root"
-    root = os.path.join(HISTORY_ROOT, name)
-    marker = os.path.join(root, "_SOURCE")
-    store = os.path.join(root, "store")
-    fp = _source_fingerprint(sf_dir)
-    try:
-        with open(marker, encoding="utf-8") as f:
-            if f.read() == fp:
-                return store
-    except OSError:
-        pass
-    shutil.rmtree(root, ignore_errors=True)
-    chunks = os.path.join(root, "chunks")
-    _stage_ordered_event_chunks(sf_dir, chunks)
-    out = user_state_history_stream(
-        read_events_stream(spark, chunks, max_files_per_trigger=1)
+    return ensure_staged(
+        HISTORY_ROOT,
+        sf_dir,
+        _source_fingerprint(sf_dir),
+        "store",
+        _ordered_stream_builder(spark, sf_dir, user_state_history_stream),
     )
-    q = (
-        out.writeStream.foreachBatch(
-            lambda df, bid: _write_batch_partition(df, store, bid)
-        )
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    with open(marker, "w", encoding="utf-8") as f:
-        f.write(fp)
-    return store
 
 
 def q_user_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -317,39 +305,46 @@ def q_user_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 POSTINGS_ROOT = os.path.join(os.path.dirname(STORE_ROOT), "bm25_postings")
 
 
+def _postings_builder(spark: SparkSession, sf_dir: str, *, compact: bool):
+    """ensure_staged build step for the inverted-postings stores:
+    stream documents into the index in availableNow micro-batches,
+    then (compacted variant) fold the replay-committed batches into
+    the token-bucketed layout."""
+    from projet_etl_spark.streaming.postings import (
+        compact_postings_store,
+        stream_postings,
+    )
+
+    def _build(root: str) -> None:
+        store = os.path.join(root, "store")
+        chunks = os.path.join(root, "chunks")
+        _stage_doc_chunks(sf_dir, chunks)
+        q = stream_postings(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(chunks),
+            store,
+            os.path.join(root, "ckpt"),
+            available_now=True,
+        )
+        q.awaitTermination()
+        if compact:
+            compact_postings_store(spark, store)
+
+    return _build
+
+
 def ensure_postings_store(spark: SparkSession, sf_dir: str) -> str:
     """Build (or reuse) the streaming-written inverted-postings store
     for ``sf_dir`` (fingerprint-keyed on documents.parquet, same
     refresh-cost accounting as the other stores)."""
-    from projet_etl_spark.streaming.postings import stream_postings
-
-    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-    fp = f"{st.st_size}:{st.st_mtime_ns}"
-    name = os.path.basename(os.path.normpath(sf_dir)) or "root"
-    root = os.path.join(POSTINGS_ROOT, name)
-    marker = os.path.join(root, "_SOURCE")
-    store = os.path.join(root, "store")
-    try:
-        with open(marker, encoding="utf-8") as f:
-            if f.read() == fp:
-                return store
-    except OSError:
-        pass
-    shutil.rmtree(root, ignore_errors=True)
-    chunks = os.path.join(root, "chunks")
-    _stage_doc_chunks(sf_dir, chunks)
-    q = stream_postings(
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(chunks),
-        store,
-        os.path.join(root, "ckpt"),
-        available_now=True,
+    return ensure_staged(
+        POSTINGS_ROOT,
+        sf_dir,
+        parquet_fingerprint(sf_dir, "documents.parquet"),
+        "store",
+        _postings_builder(spark, sf_dir, compact=False),
     )
-    q.awaitTermination()
-    with open(marker, "w", encoding="utf-8") as f:
-        f.write(fp)
-    return store
 
 
 COMPACTED_POSTINGS_ROOT = os.path.join(
@@ -362,39 +357,13 @@ def ensure_compacted_postings_store(spark: SparkSession, sf_dir: str) -> str:
     compaction over it — its own root, so ``bm25-store`` keeps
     serving the uncompacted layout (each query's cost stays
     independent of which ran first)."""
-    from projet_etl_spark.streaming.postings import (
-        compact_postings_store,
-        stream_postings,
+    return ensure_staged(
+        COMPACTED_POSTINGS_ROOT,
+        sf_dir,
+        parquet_fingerprint(sf_dir, "documents.parquet"),
+        "store",
+        _postings_builder(spark, sf_dir, compact=True),
     )
-
-    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-    fp = f"{st.st_size}:{st.st_mtime_ns}"
-    name = os.path.basename(os.path.normpath(sf_dir)) or "root"
-    root = os.path.join(COMPACTED_POSTINGS_ROOT, name)
-    marker = os.path.join(root, "_SOURCE")
-    store = os.path.join(root, "store")
-    try:
-        with open(marker, encoding="utf-8") as f:
-            if f.read() == fp:
-                return store
-    except OSError:
-        pass
-    shutil.rmtree(root, ignore_errors=True)
-    chunks = os.path.join(root, "chunks")
-    _stage_doc_chunks(sf_dir, chunks)
-    q = stream_postings(
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(chunks),
-        store,
-        os.path.join(root, "ckpt"),
-        available_now=True,
-    )
-    q.awaitTermination()
-    compact_postings_store(spark, store)
-    with open(marker, "w", encoding="utf-8") as f:
-        f.write(fp)
-    return store
 
 
 def q_bm25_store_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -440,39 +409,15 @@ def ensure_sessions_store(spark: SparkSession, sf_dir: str) -> str:
     micro-batches delivered in event order (the SCD2 ordering
     contract); every emission lands idempotently under its batch
     partition. Fingerprint-keyed — build is refresh cost."""
-    from projet_etl_spark.streaming.neardedup import _write_batch_partition
     from projet_etl_spark.streaming.sessions import sessionize_stream
 
-    name = os.path.basename(os.path.normpath(sf_dir)) or "root"
-    root = os.path.join(SESSIONS_ROOT, name)
-    marker = os.path.join(root, "_SOURCE")
-    store = os.path.join(root, "store")
-    fp = _source_fingerprint(sf_dir)
-    try:
-        with open(marker, encoding="utf-8") as f:
-            if f.read() == fp:
-                return store
-    except OSError:
-        pass
-    shutil.rmtree(root, ignore_errors=True)
-    chunks = os.path.join(root, "chunks")
-    _stage_ordered_event_chunks(sf_dir, chunks)
-    out = sessionize_stream(
-        read_events_stream(spark, chunks, max_files_per_trigger=1)
+    return ensure_staged(
+        SESSIONS_ROOT,
+        sf_dir,
+        _source_fingerprint(sf_dir),
+        "store",
+        _ordered_stream_builder(spark, sf_dir, sessionize_stream),
     )
-    q = (
-        out.writeStream.foreachBatch(
-            lambda df, bid: _write_batch_partition(df, store, bid)
-        )
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    with open(marker, "w", encoding="utf-8") as f:
-        f.write(fp)
-    return store
 
 
 def q_sessions_store(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -534,38 +479,14 @@ def ensure_attribution_store(spark: SparkSession, sf_dir: str) -> str:
     from projet_etl_spark.streaming.joins import (
         click_purchase_attribution_stream,
     )
-    from projet_etl_spark.streaming.neardedup import _write_batch_partition
 
-    name = os.path.basename(os.path.normpath(sf_dir)) or "root"
-    root = os.path.join(ATTRIB_ROOT, name)
-    marker = os.path.join(root, "_SOURCE")
-    store = os.path.join(root, "store")
-    fp = _source_fingerprint(sf_dir)
-    try:
-        with open(marker, encoding="utf-8") as f:
-            if f.read() == fp:
-                return store
-    except OSError:
-        pass
-    shutil.rmtree(root, ignore_errors=True)
-    chunks = os.path.join(root, "chunks")
-    _stage_ordered_event_chunks(sf_dir, chunks)
-    out = click_purchase_attribution_stream(
-        read_events_stream(spark, chunks, max_files_per_trigger=1)
+    return ensure_staged(
+        ATTRIB_ROOT,
+        sf_dir,
+        _source_fingerprint(sf_dir),
+        "store",
+        _ordered_stream_builder(spark, sf_dir, click_purchase_attribution_stream),
     )
-    q = (
-        out.writeStream.foreachBatch(
-            lambda df, bid: _write_batch_partition(df, store, bid)
-        )
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    with open(marker, "w", encoding="utf-8") as f:
-        f.write(fp)
-    return store
 
 
 def q_attribution_store(spark: SparkSession, sf_dir: str) -> DataFrame:

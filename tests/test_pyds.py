@@ -173,3 +173,35 @@ def test_failed_overwrite_preserves_old_data(spark, tmp_path):
         bad.write.format("wscsv").mode("overwrite").save(out)
     back = spark.read.format("wscsv").schema("name string").load(out)
     assert [r.name for r in back.collect()] == ["ok"]
+
+
+def test_append_commit_leaves_foreign_temps(spark, tmp_path):
+    """An append commit may sweep only its OWN job's temp files: a
+    concurrent append job's in-flight `.part-<otherjob>-*.tmp` is not
+    ours to delete (that job's commit still has to rename it).
+    Overwrite asserts exclusive directory ownership and reclaims
+    every orphaned temp."""
+    import os
+
+    register(spark)
+    out = str(tmp_path / "conc")
+    first = spark.createDataFrame([(1,)], "prodid long")
+    first.write.format("wscsv").mode("overwrite").save(out)
+    # simulate another job's in-flight task temp
+    foreign = os.path.join(out, ".part-deadbeef0000-abc.txt.tmp")
+    with open(foreign, "w", encoding="utf-8") as fh:
+        fh.write("PRODID\n99\n")
+
+    spark.createDataFrame([(2,)], "prodid long").write.format("wscsv").mode(
+        "append"
+    ).save(out)
+    assert os.path.exists(foreign)  # append left it for its owner
+    got = spark.read.format("wscsv").schema("prodid long").load(out)
+    assert sorted(r.prodid for r in got.collect()) == [1, 2]
+
+    spark.createDataFrame([(3,)], "prodid long").write.format("wscsv").mode(
+        "overwrite"
+    ).save(out)
+    assert not os.path.exists(foreign)  # overwrite reclaimed the orphan
+    got = spark.read.format("wscsv").schema("prodid long").load(out)
+    assert [r.prodid for r in got.collect()] == [3]

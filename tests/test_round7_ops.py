@@ -326,8 +326,10 @@ def test_image_codec_hook(spark, monkeypatch):
 
 def test_wscsv_failed_task_temp_never_visible(spark, tmp_path):
     """A dead task attempt's output (referenced by no commit message)
-    must stay invisible to readers in APPEND mode and get swept by
-    the next commit — the advisor's partial/duplicate-file leak."""
+    must stay invisible to readers — the advisor's partial/duplicate-
+    file leak. Append may NOT sweep a foreign temp (it could belong
+    to a concurrent append job whose commit still has to rename it);
+    overwrite asserts exclusive ownership and reclaims it."""
     from projet_etl_spark.sources.pyds import register
 
     register(spark)
@@ -335,21 +337,29 @@ def test_wscsv_failed_task_temp_never_visible(spark, tmp_path):
     a = spark.createDataFrame([(1,), (2,)], "k long")
     a.write.format("wscsv").mode("overwrite").save(out)
 
-    # simulate a failed/speculative attempt's leftover temp file
+    # simulate another job's failed/speculative attempt's temp file
     orphan = os.path.join(out, ".part-deadbeef.txt.tmp")
     with open(orphan, "w") as fh:
         fh.write("K\n999\n")
     back = spark.read.format("wscsv").schema("k long").load(out)
     assert sorted(r.k for r in back.collect()) == [1, 2]
 
-    # append publishes its own files and sweeps the orphan
+    # append publishes its own files; the foreign temp stays (its
+    # owner's commit must find it) but never becomes visible
     spark.createDataFrame([(3,)], "k long").coalesce(1).write.format(
         "wscsv"
     ).mode("append").save(out)
-    assert not os.path.exists(orphan)
-    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+    assert os.path.exists(orphan)
     back = spark.read.format("wscsv").schema("k long").load(out)
     assert sorted(r.k for r in back.collect()) == [1, 2, 3]
+
+    # overwrite owns the directory outright and reclaims the orphan
+    spark.createDataFrame([(4,)], "k long").write.format("wscsv").mode(
+        "overwrite"
+    ).save(out)
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+    back = spark.read.format("wscsv").schema("k long").load(out)
+    assert [r.k for r in back.collect()] == [4]
 
 
 def test_wscsv_append_preserves_existing_files(spark, tmp_path):
