@@ -197,3 +197,66 @@ def q_decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("max_cos") >= SEM_CONTAM_THRESHOLD)
         .orderBy("vec_id")
     )
+
+
+# --- train/test split leakage audit -----------------------------------
+
+SPLIT_BUCKETS = 10
+SPLIT_TRAIN = 8  # buckets [0, SPLIT_TRAIN) train, rest test: 80/20
+
+
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate leakage ACROSS a train/test split: hash-split
+    the corpus 80/20 on a portable content-independent key hash,
+    then flag every TEST document with a minhash-LSH near-duplicate
+    (jaccard >= the dedup family's threshold) on the TRAIN side —
+    the audit every eval split needs before its numbers mean
+    anything (a test doc whose near-copy was trained on measures
+    memorization, not generalization).
+
+    Composition, not re-derivation: the pair set IS
+    q_dedup_minhash_lsh's output (banded candidates, exact-jaccard
+    verification, df-capped buckets), so the audit inherits that
+    query's oracle-checked semantics and its 100 TB design — the
+    only additions are two broadcast-sized split joins and a
+    test-grain rollup.
+
+    100 TB design: the split frame is (doc_id, bucket) — key-hash
+    arithmetic, no text — and joins the pair list on its natural
+    keys; pairs are the near-dup output (tiny relative to the
+    corpus), so this stage costs O(|near-dup pairs|) regardless of
+    corpus size.
+    """
+    from projet_etl_spark.functions.text import portable_hash60
+    from projet_etl_spark.operators.dedup import q_dedup_minhash_lsh
+
+    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    split = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (
+            portable_hash60(F.col("doc_id").cast("string"))
+            % F.lit(SPLIT_BUCKETS)
+            < F.lit(SPLIT_TRAIN)
+        ).alias("is_train"),
+    )
+    sa = split.select(
+        F.col("doc_id").alias("doc_a"), F.col("is_train").alias("train_a")
+    )
+    sb = split.select(
+        F.col("doc_id").alias("doc_b"), F.col("is_train").alias("train_b")
+    )
+    crossing = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("train_a") != F.col("train_b"))
+    )
+    test_doc = F.when(F.col("train_a"), F.col("doc_b")).otherwise(F.col("doc_a"))
+    return (
+        crossing.select(test_doc.alias("test_doc_id"), "jaccard")
+        .groupBy("test_doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_train_dups"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+        )
+        .orderBy("test_doc_id")
+    )

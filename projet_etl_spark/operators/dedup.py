@@ -715,3 +715,71 @@ def rp_signatures_fold(emb: DataFrame) -> DataFrame:
         .bitwiseOR(x["key"].cast("long")),
     )
     return bands.groupBy("vec_id").agg(packed.alias("sig"))
+
+
+# --- prefix-filtered exact jaccard join -------------------------------
+
+# JACCARD_THRESHOLD as an exact rational, for integer prefix-length
+# arithmetic (a float ceil can over-shoot on exact multiples and
+# silently shrink the prefix below the exactness bound)
+_JT_NUM, _JT_DEN = 4, 5
+assert _JT_NUM / _JT_DEN == JACCARD_THRESHOLD
+
+
+def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs (threshold 0.8) through PREFIX
+    FILTERING — the AllPairs/PPJoin family, the other standard
+    web-scale set-similarity join next to minhash banding.
+
+    The filter: order every doc's shingles by ascending global
+    document frequency (rarest first, shingle-string tiebreak — ONE
+    total order corpus-wide) and keep only the first
+    ``p = n - ceil(t*n) + 1`` as the doc's prefix. Two sets with
+    Jaccard >= t must overlap in >= ceil(t*n) elements, so they
+    cannot avoid sharing a prefix element — candidates from the
+    prefix-only self-join provably contain every qualifying pair,
+    and exact verification (the shared _jaccard_pairs kernel, full
+    uncapped sets) removes false positives. Result is therefore
+    IDENTICAL to q_dedup_ngram_jaccard and shares its oracle.
+
+    vs banding, at 100 TB: banding's cost is bucket occupancy under
+    a fixed band plan (probabilistic recall); prefix filtering is
+    exact-recall and its join touches only the RAREST ~(1-t)·n
+    shingles of each doc — the equi-join key frequency is bounded by
+    construction (rare-first ordering), where banding needs the df
+    cap to bound it. ceil(t*n) runs in integer arithmetic
+    (t = 4/5): float ceil over-shoots on exact multiples and would
+    silently break the exactness guarantee.
+    """
+    from pyspark.sql import Window
+
+    sh = eager_persist(_doc_shingles(spark, sf_dir))
+    df = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    by_rarity = Window.partitionBy("doc_id").orderBy("df", "s")
+    ranked = (
+        sh.join(df, "s")
+        .select(
+            "doc_id",
+            "s",
+            F.row_number().over(by_rarity).alias("rnk"),
+            F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n"),
+        )
+    )
+    # p = n - ceil(t*n) + 1, exactly: ceil(4n/5) = (4n + 4) div 5
+    prefix = ranked.filter(
+        F.col("rnk")
+        <= F.col("n")
+        - F.expr(f"div(n * {_JT_NUM} + {_JT_DEN - 1}, {_JT_DEN})")
+        + 1
+    )
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "s")
+    b = prefix.select(F.col("doc_id").alias("doc_b"), "s")
+    cands = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _jaccard_pairs(sh, pairs=cands).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )

@@ -2295,3 +2295,98 @@ def q_parts_revenue_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("delta")).desc(), F.asc("p_partkey"))
         .limit(SHIFT_TOPN)
     )
+
+
+# --- Theil-Sen robust revenue trend ------------------------------------
+
+THEILSEN_EPOCH = "1995-01-01"  # fixture span start; any fixed origin works
+
+
+def q_orders_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen estimator of the daily-revenue trend: the MEDIAN of
+    all pairwise slopes between daily revenue points — the robust
+    regression line OLS is not (a single anomalous day moves OLS by
+    leverage; it moves the slope median not at all, up to a 29%
+    breakdown point).
+
+    Exactness: daily revenue reduces to integer cents (exact long
+    sums), day index is an integer datediff, so every pairwise slope
+    is ONE double division of two integers — correctly rounded,
+    engine-identical — and the median is a discrete order statistic
+    over those doubles (avg of the two middle ranks when even, a
+    2-element sum, also engine-identical). No float accumulation
+    anywhere.
+
+    100 TB design: the only data-sized stage is the (day, cents)
+    aggregate — everything after runs on the DAY grain, whose size is
+    bounded by the calendar span, not the data volume (a decade is
+    ~3.7k rows, ~6.8M pairs). The pairwise inequality join broadcasts
+    the day frame (BNLJ allowlisted with an executed-plan row bound,
+    the events-autocorr discipline), and the median rank is computed
+    DISTRIBUTED: range-partition by slope, rank locally, add
+    per-partition cumulative offsets — never a single-partition
+    global sort, so the slope-pair stage parallelizes even when the
+    calendar span grows.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"),
+        units("o_totalprice").alias("u"),
+    )
+    daily = orders.groupBy("d").agg(F.sum("u").alias("cents"))
+    pts = daily.select(
+        F.datediff("d", F.to_date(F.lit(THEILSEN_EPOCH))).alias("x"), "cents"
+    )
+    a = pts.select(F.col("x").alias("xa"), F.col("cents").alias("ca"))
+    b = pts.select(F.col("x").alias("xb"), F.col("cents").alias("cb"))
+    slopes = a.join(F.broadcast(b), F.col("xa") < F.col("xb")).select(
+        ((F.col("cb") - F.col("ca")) / (F.col("xb") - F.col("xa"))).alias("slope")
+    )
+    # distributed exact rank — never a single-partition global sort:
+    # range-partition by slope value, rank locally per partition, add
+    # each partition's cumulative row offset (a |partitions|-row
+    # window). Ranks are globally correct because partitions are
+    # value-ordered; ties may split across a boundary, but any total
+    # order of equal values selects the same middle VALUES.
+    sp = slopes.repartitionByRange(32, "slope").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    cnts = sp.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
+    offsets = cnts.select(
+        "pid",
+        F.coalesce(
+            F.sum("c").over(
+                Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("off"),
+    )
+    total = cnts.agg(F.sum("c").cast("long").alias("n"))  # 1 row
+    ranked = (
+        sp.join(F.broadcast(offsets), "pid")
+        .select(
+            "slope",
+            (
+                F.row_number().over(Window.partitionBy("pid").orderBy("slope"))
+                + F.col("off")
+            ).alias("rn"),
+        )
+        .join(F.broadcast(total))
+    )
+    med = ranked.agg(
+        F.max("n").cast("long").alias("n_pairs"),
+        F.round(
+            F.avg(
+                F.when(
+                    (F.col("rn") == F.expr("div(n + 1, 2)"))
+                    | (F.col("rn") == F.expr("div(n + 2, 2)")),
+                    F.col("slope"),
+                )
+            )
+            / F.lit(100.0),
+            6,
+        ).alias("slope_per_day"),
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return n_days.join(F.broadcast(med)).select(
+        "n_days", "n_pairs", "slope_per_day"
+    )

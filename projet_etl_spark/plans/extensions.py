@@ -3760,6 +3760,68 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# --- train/test split leakage audit ------------------------------------
+# split on the portable key hash (engine-identical md5 arithmetic, the
+# sample-hash discipline); the pair set IS the minhash query's `jac`
+# CTE, so the audit inherits its oracle-checked semantics verbatim
+_LEAKAGE_SQL = (
+    _MINHASH_CTES
+    + f""",
+split AS (
+    SELECT doc_id,
+           ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+             % {decontam.SPLIT_BUCKETS}) < {decontam.SPLIT_TRAIN} AS is_train
+    FROM documents
+),
+leak AS (
+    SELECT CASE WHEN sa.is_train THEN j.doc_b ELSE j.doc_a END AS test_doc_id,
+           j.jaccard
+    FROM jac j
+    JOIN split sa ON j.doc_a = sa.doc_id
+    JOIN split sb ON j.doc_b = sb.doc_id
+    WHERE j.jaccard >= {dedup.JACCARD_THRESHOLD}
+      AND sa.is_train <> sb.is_train
+)
+SELECT test_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_train_dups,
+       ROUND(MAX(jaccard), 6) AS max_jaccard
+FROM leak GROUP BY 1 ORDER BY 1
+"""
+)
+
+# --- Theil-Sen robust daily-revenue trend -------------------------------
+# integer cents + integer day index -> each pairwise slope is one
+# correctly-rounded double division; the median is a discrete order
+# statistic (two middle ranks averaged when even) — engine-identical,
+# the supplier-lead-time discipline applied to a robust regressor
+_THEILSEN_SQL = f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+    FROM orders GROUP BY 1
+),
+pts AS (
+    SELECT date_diff('day', DATE '{star.THEILSEN_EPOCH}', d) AS x, cents
+    FROM daily
+),
+slopes AS (
+    SELECT (b.cents - a.cents) / (b.x - a.x) AS slope
+    FROM pts a JOIN pts b ON a.x < b.x
+),
+ranked AS (
+    SELECT slope,
+           row_number() OVER (ORDER BY slope) AS rn,
+           count(*) OVER () AS n
+    FROM slopes
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+       CAST(MAX(n) AS BIGINT) AS n_pairs,
+       ROUND(AVG(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2)
+                      THEN slope END) / 100.0, 6) AS slope_per_day
+FROM ranked
+"""
+
+
 def build():
     """Registry entries for the extension surface; imported by
     plans.registry at module init."""
@@ -4576,6 +4638,28 @@ def build():
             _evo.q_documents_schema_evolution,
             _EVOLUTION_SQL,
             ("sources", "layout", "pipeline"),
+        ),
+        # prefix filtering is EXACT-recall: identical result set to the
+        # all-pairs ngram query, so it shares that query's oracle — the
+        # value-match pins the algorithm's exactness guarantee, not
+        # just its plumbing
+        (
+            "dedup-prefix-filter",
+            dedup.q_dedup_prefix_filter,
+            _NGRAM_SQL,
+            ("dedup",),
+        ),
+        (
+            "split-leakage-audit",
+            decontam.q_split_leakage_audit,
+            _LEAKAGE_SQL,
+            ("dedup", "pipeline", "curation"),
+        ),
+        (
+            "orders-theilsen-trend",
+            star.q_orders_theilsen_trend,
+            _THEILSEN_SQL,
+            ("olap", "stats", "analytics"),
         ),
     ]
     return {

@@ -121,16 +121,20 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "dq-expectations",
     "orders-upsert-type1",
     "documents-schema-evolution",
+    "dedup-prefix-filter",
+    "split-leakage-audit",
+    "orders-theilsen-trend",
     # (5) downstream of this round's shared-module edits
     # (revenue-by-nation, top-unshipped-orders and corr-qty-price
-    # rotate out for the three late additions above: green r1-r4,
-    # code untouched since, and the fixed-point guard stays covered
-    # by pricing-summary and sales-rollup)
+    # rotated out earlier for late additions: green r1-r4, code
+    # untouched since. sales-rollup, events-type-counts-salted and
+    # daily-counts-store rotate out for the three newest queries:
+    # pricing-summary keeps the fixed-point-guard coverage, the
+    # salted path's join twin lineitem-salted-join was green r6 and
+    # is untouched, and the shared ensure_staged read path stays
+    # covered by five other store-backed prefix entries)
     "pricing-summary",
-    "sales-rollup",
-    "events-type-counts-salted",
     "events-heavy-hitters",
-    "daily-counts-store",
     "bm25-store",
 )
 

@@ -75,6 +75,11 @@ BNLJ_ALLOWED = {
     "distinct-kmv-intersect",
     # 1-row broadcast of the positive-balance average
     "cold-customers-segments",
+    # inherits the minhash pair subtree (df-cap 1-row broadcast)
+    "split-leakage-audit",
+    # day-grain pairwise-slope inequality join (calendar-span bounded
+    # build side) + the 1-row median broadcast
+    "orders-theilsen-trend",
 }
 
 
@@ -93,6 +98,7 @@ BNLJ_BUILD_ROW_BOUND = {
     "decontaminate-embedding": 64,  # the EVAL_VECS eval block
     "distinct-kmv-intersect": 64,  # the event-type list (pair cross)
     "events-autocorr": 4096,  # the dense day spine (calendar-span bounded)
+    "orders-theilsen-trend": 4096,  # day-grain points (calendar-span bounded)
 }
 BNLJ_DEFAULT_BOUND = 1  # everything else broadcasts a 1-row aggregate
 

@@ -175,6 +175,9 @@ def test_read_store_empty_vs_broken(spark, tmp_path):
         "daily-metrics-unpivot",
         "attribution-store",
         "events-autocorr",
+        "dedup-prefix-filter",
+        "split-leakage-audit",
+        "orders-theilsen-trend",
     ],
 )
 def test_round7_queries_match_oracle(spark, duck, name):
