@@ -85,9 +85,30 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_shingles(load_table(spark, sf_dir, "documents"))
 
 
-def _jaccard_pairs(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+def _jaccard_pairs(
+    sh: DataFrame,
+    pairs: DataFrame | None = None,
+    pairs_via_join: bool = False,
+) -> DataFrame:
     """Exact jaccard for doc pairs sharing >= 1 shingle. When
-    ``pairs`` (doc_a, doc_b) is given, only those are scored."""
+    ``pairs`` (doc_a, doc_b) is given, only those are scored.
+
+    Two verification strategies for the pairs case, chosen by the
+    CALLER because the right one depends on candidate density:
+
+    - expand (default): each pair expands by doc_a's shingles, then a
+      semi-join on (doc_b, s) counts the intersection. Cost is
+      O(|pairs| x avg shingles) — the win when candidates are SPARSE
+      (banding with the df cap keeps them sparse by construction).
+    - via-join (``pairs_via_join=True``): intersections come from the
+      shingle equi-join restricted to candidate docs, then a semi-join
+      keeps candidate pairs. Cost is bounded by the all-pairs exact
+      join regardless of |pairs| — the safe choice when candidates can
+      be DENSE (prefix filtering on a small-vocabulary corpus:
+      measured 18M candidates for 2.2k true pairs at sf1-equivalent,
+      where the expand strategy pays |pairs| x shingles = 10x the
+      all-pairs join it was meant to beat).
+    """
     if pairs is not None:
         # candidates-first: restrict the shingle table to docs that
         # appear in any candidate pair (broadcast semi-join = map-side
@@ -103,7 +124,15 @@ def _jaccard_pairs(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "s")
     b = sh.select(F.col("doc_id").alias("doc_b"), "s")
-    if pairs is not None:
+    if pairs is not None and pairs_via_join:
+        inter = (
+            a.join(b, "s")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+            .join(pairs, ["doc_a", "doc_b"], "left_semi")
+        )
+    elif pairs is not None:
         inter = (
             pairs.join(a, "doc_a")
             .join(b, ["doc_b", "s"], "left_semi")
@@ -772,14 +801,30 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.expr(f"div(n * {_JT_NUM} + {_JT_DEN - 1}, {_JT_DEN})")
         + 1
     )
-    a = prefix.select(F.col("doc_id").alias("doc_a"), "s")
-    b = prefix.select(F.col("doc_id").alias("doc_b"), "s")
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"), "s", F.col("n").alias("na")
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"), "s", F.col("n").alias("nb")
+    )
+    # length filter (AllPairs): jaccard >= t forces t*|b| <= |a| <= |b|/t
+    # — |inter| <= min(|a|,|b|) and |union| >= max(|a|,|b|), so
+    # min/max >= t is necessary. Integer form: t = 4/5 ->
+    # 4*max <= 5*min. Applied inside the prefix join it discards
+    # size-incompatible candidates before the dedup/verify stages,
+    # and cannot drop a qualifying pair.
     cands = (
         a.join(b, "s")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (
+                F.greatest("na", "nb") * _JT_NUM
+                <= F.least("na", "nb") * _JT_DEN
+            )
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return _jaccard_pairs(sh, pairs=cands).filter(
+    return _jaccard_pairs(sh, pairs=cands, pairs_via_join=True).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )

@@ -400,3 +400,18 @@ def test_no_rebound_oracle_constants():
                     seen[t.id] += 1
     dupes = [n for n, c in seen.items() if c > 1]
     assert not dupes, f"rebound module-level constants: {dupes}"
+
+
+def test_text_chunks_udtf_twin_equals_sql_chunker(spark):
+    """The Python-UDTF chunker (Spark 4 @udtf + LATERAL, Arrow-batched)
+    must produce row-for-row the pure-SQL posexplode chunker's output —
+    the API-surface twin is pinned, not trusted."""
+    from projet_etl_spark.operators.curation import (
+        q_text_chunks,
+        q_text_chunks_udtf,
+    )
+
+    sql_rows = sorted(map(tuple, q_text_chunks(spark, SF_SMALL).collect()))
+    udtf_rows = sorted(map(tuple, q_text_chunks_udtf(spark, SF_SMALL).collect()))
+    assert udtf_rows == sql_rows
+    assert len(sql_rows) > 0
