@@ -396,6 +396,9 @@ _EMPTY_NONEMPTY_OK = {
     "events-profile",
     # constraint sweep: one row per expectation, zero counts, NULL rate
     "dq-expectations",
+    # grand-aggregate summary: one (0, NULL, NULL) row on empty input,
+    # same as the DuckDB oracle's aggregate-without-GROUP-BY rule
+    "orders-theilsen-trend",
 }
 
 

@@ -415,3 +415,45 @@ def test_text_chunks_udtf_twin_equals_sql_chunker(spark):
     udtf_rows = sorted(map(tuple, q_text_chunks_udtf(spark, SF_SMALL).collect()))
     assert udtf_rows == sql_rows
     assert len(sql_rows) > 0
+
+
+# --- order-statistic percentile formula (property) ---------------------
+
+
+def _hundredths_formula(values: list[int], q: int) -> float:
+    """Pure-python mirror of the supplier-lead-time / theilsen
+    bracketing arithmetic: integer bracket ranks, integer hundredths,
+    one final double division."""
+    xs = sorted(values)
+    n = len(xs)
+    lo_idx = (q * (n - 1)) // 100
+    k = (q * (n - 1)) % 100
+    lo = xs[lo_idx]
+    hi = xs[lo_idx + 1] if k > 0 else lo
+    return (lo * 100 + (hi - lo) * k) / 100.0
+
+
+def test_orderstat_formula_matches_numpy_linear():
+    """The integer bracket/hundredths formula IS numpy's 'linear'
+    interpolated percentile whenever q*(n-1)/100 has an exact
+    2-decimal fraction (q in whole percents always does) — pinned by
+    hypothesis over random integer samples."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=-200, max_value=400), min_size=1,
+                 max_size=60),
+        st.sampled_from([50, 95]),
+    )
+    def check(values, q):
+        got = _hundredths_formula(values, q)
+        want = float(np.percentile(np.array(values, dtype="int64"), q,
+                                   method="linear"))
+        # numpy interpolates in floats, so allow its ulp — the exact
+        # formula sits at the true hundredths value by construction
+        assert abs(got - want) < 1e-9, (values, q, got, want)
+
+    check()
