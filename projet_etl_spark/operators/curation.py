@@ -202,8 +202,15 @@ def q_text_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     class ChunkTokens:
         def eval(self, doc_id, text):
-            # mirrors functions.text.tokens(): split(lower(trim(x)), \s+)
-            toks = re.split(r"\s+", text.strip().lower())
+            if text is None:
+                return  # SQL chunker drops NULL-text rows
+            # mirrors functions.text.tokens() EXACTLY: Spark trim()
+            # strips only ASCII space, and Java \s is the ASCII class
+            # [ \t\n\x0b\f\r] — Python's .strip()/\s are Unicode-wide
+            # and would diverge on tabs at the edges or NBSP inside
+            toks = re.split(
+                "[ \t\n\x0b\f\r]+", text.strip(" ").lower()
+            )
             n = len(toks)
             k = 0
             for start in range(0, n, stride):

@@ -2347,8 +2347,17 @@ def q_orders_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window). Ranks are globally correct because partitions are
     # value-ordered; ties may split across a boundary, but any total
     # order of equal values selects the same middle VALUES.
-    sp = slopes.repartitionByRange(32, "slope").withColumn(
-        "pid", F.spark_partition_id()
+    from projet_etl_spark.cache import eager_persist
+
+    # materialize the range partitioning ONCE: offsets, total, and the
+    # ranked frame all derive from sp, and their pid agreement must be
+    # a guarantee, not an exchange-reuse optimizer side effect (a
+    # re-executed range exchange re-samples boundaries and could
+    # assign different pids per subtree)
+    sp = eager_persist(
+        slopes.repartitionByRange(32, "slope").withColumn(
+            "pid", F.spark_partition_id()
+        )
     )
     cnts = sp.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
     offsets = cnts.select(

@@ -26,7 +26,6 @@ bucketed warehouse / z-order / JSONL layouts).
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

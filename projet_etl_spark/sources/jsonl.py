@@ -28,7 +28,6 @@ cost, exactly like the bucketed warehouse / z-order / stream stores.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

@@ -146,8 +146,14 @@ def read_postings(
     broken index."""
     import os
 
+    from projet_etl_spark.sources.ingest import recover_swap
     from projet_etl_spark.streaming.storeio import read_store
 
+    # the live table is also swap-published (compaction's shrink step);
+    # a crash between its two renames parks the only copy aside, and
+    # reading the missing dir as "no data yet" would silently drop
+    # every uncovered batch from the union below
+    recover_swap(os.path.join(store_path, "postings"))
     comp = _read_compacted(spark, store_path)
     if terms:
         buckets = [
