@@ -155,3 +155,49 @@ def test_two_vintage_layout_footers_actually_differ(spark):
     # evolved columns are NULL on every legacy row, populated otherwise
     assert legacy.filter("n_chars IS NOT NULL").count() == 0
     assert merged.filter("doc_id % 2 = 1 AND source IS NULL").count() == 0
+
+
+def test_ensure_staged_crashed_build_rebuilds(tmp_path):
+    """The _SOURCE marker is stamped only AFTER build() returns: a
+    crashed build leaves no marker, so the next call rebuilds from a
+    wiped root instead of serving a half-written layout."""
+    import os
+
+    from projet_etl_spark.sources.staging import ensure_staged
+
+    root_base = str(tmp_path / "staged")
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+
+    def crashing(root):
+        os.makedirs(os.path.join(root, "out"))
+        with open(os.path.join(root, "out", "partial"), "w") as fh:
+            fh.write("half")
+        raise RuntimeError("build crashed")
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="build crashed"):
+        ensure_staged(root_base, sf, "fp1", "out", crashing)
+
+    built = []
+
+    def good(root):
+        built.append(root)
+        os.makedirs(os.path.join(root, "out"))
+        with open(os.path.join(root, "out", "data"), "w") as fh:
+            fh.write("whole")
+
+    out = ensure_staged(root_base, sf, "fp1", "out", good)
+    assert built, "crashed build must not be mistaken for finished"
+    assert os.path.exists(os.path.join(out, "data"))
+    assert not os.path.exists(os.path.join(out, "partial"))  # wiped
+
+    # marker hit: same fingerprint -> no rebuild
+    built.clear()
+    assert ensure_staged(root_base, sf, "fp1", "out", good) == out
+    assert not built
+
+    # stale fingerprint -> rebuild
+    ensure_staged(root_base, sf, "fp2", "out", good)
+    assert built
