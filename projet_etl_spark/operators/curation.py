@@ -229,3 +229,65 @@ def q_text_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT c.doc_id, c.chunk_idx, c.start_tok, c.n_tokens, c.chunk_fp "
         "FROM _chunk_src m, LATERAL chunk_tokens(m.doc_id, m.text) c"
     )
+
+
+# --- data-mixture resampling weights ------------------------------------
+
+# target language mixture in integer percent (sums to 100) — integer
+# so every derived quantity is a ratio of exact integers
+TARGET_MIX = (("en", 40), ("de", 15), ("es", 15), ("fr", 15), ("zh", 15))
+
+
+def q_corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing manifest: per-language resampling weights that
+    steer the corpus toward a TARGET language mixture — the standard
+    pre-training step between curation and packing (a raw crawl is
+    ~en-dominated; the training mix is a policy decision).
+
+    Per language: observed count and share, the target share, the
+    per-document sampling weight ``w = target_share / actual_share``
+    (expected mixture equals target under weighted sampling), and the
+    expected document budget per language under the NO-UPSAMPLING
+    maximum corpus size (the binding language — the one with the
+    least headroom — caps the total; every other language downsamples
+    to proportion).
+
+    Exactness: counts, the 100×-scaled shares, and the budget are
+    pure integer arithmetic (the binding budget is an integer MIN of
+    integer divisions); the only float ops are three final double
+    divisions of exact integers — correctly rounded, engine-identical
+    (the theilsen/lead-time discipline).
+
+    100 TB design: one language-grain aggregate (map-side combined);
+    the target mix and the two 1-row aggregates (corpus total, budget
+    MIN) broadcast — nothing after the count runs at data size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    mix = spark.createDataFrame(list(TARGET_MIX), "lang string, t long")
+    joined = counts.join(F.broadcast(mix), "lang")
+    total = joined.agg(F.sum("n").cast("long").alias("total"))  # 1 row
+    with_total = joined.join(F.broadcast(total))
+    # no-upsampling budget: max corpus size where every lang can fill
+    # its target share from existing docs = min over langs of n*100/t
+    budget = with_total.agg(
+        F.min(F.expr("div(n * 100, t)")).cast("long").alias("budget")
+    )
+    return (
+        with_total.join(F.broadcast(budget))
+        .select(
+            "lang",
+            F.col("n").cast("long").alias("n_docs"),
+            F.round(F.expr("cast(n * 100 as double) / total"), 6).alias(
+                "actual_pct"
+            ),
+            F.col("t").cast("long").alias("target_pct"),
+            F.round(F.expr("cast(t * total as double) / (100 * n)"), 6).alias(
+                "weight"
+            ),
+            F.round(F.expr("cast(budget * t as double) / 100"), 2).alias(
+                "expected_docs"
+            ),
+        )
+        .orderBy("lang")
+    )

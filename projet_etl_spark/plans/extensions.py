@@ -3822,6 +3822,31 @@ FROM ranked
 """
 
 
+# --- data-mixture resampling weights ------------------------------------
+# integer-percent target mix; every share/weight/budget is a ratio of
+# exact integers with one final correctly-rounded double division
+_MIX_VALUES = ", ".join(f"('{lang}', {t})" for lang, t in curation.TARGET_MIX)
+_MIXTURE_SQL = f"""
+WITH counts AS (
+    SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1
+),
+mix(lang, t) AS (VALUES {_MIX_VALUES}),
+joined AS (
+    SELECT c.lang, c.n, m.t FROM counts c JOIN mix m USING (lang)
+),
+tot AS (SELECT SUM(n) AS total FROM joined),
+bud AS (SELECT MIN((n * 100) // t) AS budget FROM joined)
+SELECT j.lang,
+       CAST(j.n AS BIGINT) AS n_docs,
+       ROUND(CAST(j.n * 100 AS DOUBLE) / total, 6) AS actual_pct,
+       CAST(j.t AS BIGINT) AS target_pct,
+       ROUND(CAST(j.t * total AS DOUBLE) / (100 * j.n), 6) AS weight,
+       ROUND(CAST(budget * j.t AS DOUBLE) / 100, 2) AS expected_docs
+FROM joined j, tot, bud
+ORDER BY j.lang
+"""
+
+
 def build():
     """Registry entries for the extension surface; imported by
     plans.registry at module init."""
@@ -4660,6 +4685,12 @@ def build():
             star.q_orders_theilsen_trend,
             _THEILSEN_SQL,
             ("olap", "stats", "analytics"),
+        ),
+        (
+            "corpus-mixture-weights",
+            curation.q_corpus_mixture_weights,
+            _MIXTURE_SQL,
+            ("curation", "pipeline"),
         ),
     ]
     return {

@@ -124,6 +124,7 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "dedup-prefix-filter",
     "split-leakage-audit",
     "orders-theilsen-trend",
+    "corpus-mixture-weights",
     # (5) downstream of this round's shared-module edits
     # (revenue-by-nation, top-unshipped-orders and corr-qty-price
     # rotated out earlier for late additions: green r1-r4, code
@@ -133,9 +134,11 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     # salted path's join twin lineitem-salted-join was green r6 and
     # is untouched, and the shared ensure_staged read path stays
     # covered by five other store-backed prefix entries)
+    # (bm25-store rotates out for corpus-mixture-weights: the shared
+    # postings read path incl. the live-dir recover stays covered by
+    # bm25-store-compacted)
     "pricing-summary",
     "events-heavy-hitters",
-    "bm25-store",
 )
 
 

@@ -80,6 +80,8 @@ BNLJ_ALLOWED = {
     # day-grain pairwise-slope inequality join (calendar-span bounded
     # build side) + the 1-row median broadcast
     "orders-theilsen-trend",
+    # two 1-row broadcasts (corpus total, no-upsampling budget MIN)
+    "corpus-mixture-weights",
 }
 
 

@@ -178,6 +178,7 @@ def test_read_store_empty_vs_broken(spark, tmp_path):
         "dedup-prefix-filter",
         "split-leakage-audit",
         "orders-theilsen-trend",
+        "corpus-mixture-weights",
     ],
 )
 def test_round7_queries_match_oracle(spark, duck, name):
