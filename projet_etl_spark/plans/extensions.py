@@ -3847,6 +3847,51 @@ ORDER BY j.lang
 """
 
 
+# --- document-quality rule battery ---------------------------------------
+from projet_etl_spark.operators import qualrules as _qr  # noqa: E402
+
+_QUALRULES_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, {TX.SQL_TOKENS.format(col='text')} AS t, text
+    FROM documents
+),
+per_doc AS (
+    SELECT len(t) AS nw,
+           length(array_to_string(t, '')) AS chars,
+           len(list_filter(t, w -> regexp_matches(w, '[a-z]'))) AS alpha,
+           len(regexp_extract_all(text, '#'))
+             + len(regexp_extract_all(text, '\\.\\.\\.')) AS symbols,
+           len(list_filter({list(_qr.STOP_WORDS)},
+                           w -> list_contains(t, w))) AS stops
+    FROM toks
+),
+agg AS (
+    SELECT COUNT(*) AS n_docs,
+           SUM(CASE WHEN nw < {_qr.WORDS_MIN} OR nw > {_qr.WORDS_MAX}
+                    THEN 1 ELSE 0 END) AS f_wordcount,
+           SUM(CASE WHEN chars < 3 * nw OR chars > 10 * nw
+                    THEN 1 ELSE 0 END) AS f_meanwordlen,
+           SUM(CASE WHEN 10 * symbols > nw THEN 1 ELSE 0 END)
+               AS f_symbolratio,
+           SUM(CASE WHEN 5 * alpha < 4 * nw THEN 1 ELSE 0 END)
+               AS f_alphafrac,
+           SUM(CASE WHEN stops < {_qr.STOP_MIN} THEN 1 ELSE 0 END)
+               AS f_stopwords
+    FROM per_doc
+),
+rules AS (
+              SELECT 'word-count-range'     AS rule, f_wordcount   AS n_fail, n_docs FROM agg
+    UNION ALL SELECT 'mean-word-length'     AS rule, f_meanwordlen AS n_fail, n_docs FROM agg
+    UNION ALL SELECT 'symbol-to-word-ratio' AS rule, f_symbolratio AS n_fail, n_docs FROM agg
+    UNION ALL SELECT 'alpha-word-fraction'  AS rule, f_alphafrac   AS n_fail, n_docs FROM agg
+    UNION ALL SELECT 'stopword-floor'       AS rule, f_stopwords   AS n_fail, n_docs FROM agg
+)
+SELECT rule, CAST(n_fail AS BIGINT) AS n_fail,
+       ROUND(CAST(n_fail * 100 AS DOUBLE) / n_docs, 6) AS fail_pct
+FROM rules ORDER BY rule
+"""
+
+
 def build():
     """Registry entries for the extension surface; imported by
     plans.registry at module init."""
@@ -4691,6 +4736,12 @@ def build():
             curation.q_corpus_mixture_weights,
             _MIXTURE_SQL,
             ("curation", "pipeline"),
+        ),
+        (
+            "docs-quality-rules",
+            _qr.q_docs_quality_rules,
+            _QUALRULES_SQL,
+            ("curation", "pipeline", "dq"),
         ),
     ]
     return {

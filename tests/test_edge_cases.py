@@ -399,6 +399,8 @@ _EMPTY_NONEMPTY_OK = {
     # grand-aggregate summary: one (0, NULL, NULL) row on empty input,
     # same as the DuckDB oracle's aggregate-without-GROUP-BY rule
     "orders-theilsen-trend",
+    # rule battery: one row per rule with zero failures on empty input
+    "docs-quality-rules",
 }
 
 

@@ -179,6 +179,7 @@ def test_read_store_empty_vs_broken(spark, tmp_path):
         "split-leakage-audit",
         "orders-theilsen-trend",
         "corpus-mixture-weights",
+        "docs-quality-rules",
     ],
 )
 def test_round7_queries_match_oracle(spark, duck, name):
