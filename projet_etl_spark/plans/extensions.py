@@ -1241,8 +1241,8 @@ ORDER BY 1, 2
 _SLIDING_SQL = """
 WITH starts AS (
     SELECT event_type,
-           unnest([to_timestamp(epoch_us(ts) // 1800000000 * 1800),
-                   to_timestamp(epoch_us(ts) // 1800000000 * 1800 - 1800)])
+           unnest([make_timestamp(epoch_us(ts) // 1800000000 * 1800000000),
+                   make_timestamp(epoch_us(ts) // 1800000000 * 1800000000 - 1800000000)])
                AS ws
     FROM events
 )
