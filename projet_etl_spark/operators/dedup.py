@@ -85,6 +85,13 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_shingles(load_table(spark, sf_dir, "documents"))
 
 
+# expand-path sparsity ceiling: banded-LSH candidates measure ~0.6
+# pairs per candidate doc (df cap bounds bucket width); the known
+# 10x-pathological prefix-filter corpus measured ~8,000 — 64 sits two
+# orders of magnitude from both regimes
+_EXPAND_MAX_PAIRS_PER_DOC = 64
+
+
 def _jaccard_pairs(
     sh: DataFrame,
     pairs: DataFrame | None = None,
@@ -108,7 +115,23 @@ def _jaccard_pairs(
       measured 18M candidates for 2.2k true pairs at sf1-equivalent,
       where the expand strategy pays |pairs| x shingles = 10x the
       all-pairs join it was meant to beat).
+
+    The expand path's sparsity precondition is ASSERTED IN THE PLAN
+    (round-8, r7 verdict item 7), not left as caller folklore: a
+    1-row candidate-density aggregate (|pairs|, |candidate docs|) is
+    broadcast onto the result and ``assert_true`` fails the query
+    when |pairs| > ``_EXPAND_MAX_PAIRS_PER_DOC`` x |docs| — the
+    regime where via-join is the right strategy. Banded LSH with the
+    df cap emits well under 1 candidate pair per doc (measured 0.53
+    at sf0.01, 0.62 at sf0.001); the known-pathological prefix-filter
+    corpus measured ~8,000/doc, so 64 sits two orders of magnitude
+    from both. The guard evaluates with the result rows, so it cannot
+    PREEMPT a mis-chosen plan's cost — it turns the silent 10x into a
+    loud error so the next corpus can't keep shipping on the wrong
+    path. (Lazy-eval caveat: an empty verification result skips the
+    check; misconfiguration only matters when pairs exist.)
     """
+    density = None
     if pairs is not None:
         # candidates-first: restrict the shingle table to docs that
         # appear in any candidate pair (broadcast semi-join = map-side
@@ -121,6 +144,16 @@ def _jaccard_pairs(
             .distinct()
         )
         sh = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        if not pairs_via_join:
+            # 1-row candidate-density audit for the sparsity assert —
+            # one extra pass over the (small) pairs frame, never over
+            # the exploded shingle table
+            density = pairs.select(
+                F.explode(F.array("doc_a", "doc_b")).alias("d")
+            ).agg(
+                (F.count(F.lit(1)) / 2).cast("long").alias("__np"),
+                F.count_distinct("d").alias("__nd"),
+            )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "s")
     b = sh.select(F.col("doc_id").alias("doc_b"), "s")
@@ -148,17 +181,28 @@ def _jaccard_pairs(
         )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
-            ).alias("jaccard"),
-        )
+    scored = inter.join(na, "doc_a").join(nb, "doc_b")
+    jac = F.round(
+        F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
     )
+    if density is not None:
+        # the sparsity precondition, asserted in the plan (same
+        # when(assert_true(...).isNull(), col) idiom as the
+        # fixed-point guard so column pruning can't drop the check)
+        scored = scored.crossJoin(F.broadcast(density))
+        ok = F.assert_true(
+            F.col("__np") <= F.lit(_EXPAND_MAX_PAIRS_PER_DOC) * F.col("__nd"),
+            F.lit(
+                "_jaccard_pairs: candidate density exceeds "
+                f"{_EXPAND_MAX_PAIRS_PER_DOC} pairs/doc — the expand "
+                "verification strategy costs |pairs| x shingles here, "
+                "which this density makes worse than the all-pairs "
+                "join; call with pairs_via_join=True (cost bounded at "
+                "the all-pairs join regardless of |pairs|)"
+            ),
+        )
+        jac = F.when(ok.isNull(), jac)
+    return scored.select("doc_a", "doc_b", jac.alias("jaccard"))
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

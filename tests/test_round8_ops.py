@@ -94,6 +94,68 @@ def test_fixed_point_guard_fires_in_both_shapes(spark, monkeypatch, mode):
         fixedpoint.fixed_point_agg(df, ["k"], bad).collect()
 
 
+# --- r7 verdict item 7: _jaccard_pairs strategy bound in the plan ----
+
+
+def _pairs_fixture(spark, n_docs=6, dense=False):
+    """Tiny corpus + candidate set. dense=True pairs every doc with
+    every other (complete graph), pushing pairs/doc past the expand
+    ceiling once _EXPAND_MAX_PAIRS_PER_DOC is monkeypatched low."""
+    from projet_etl_spark.operators.dedup import doc_shingles
+
+    docs = spark.createDataFrame(
+        [
+            (i, "alpha beta gamma delta epsilon zeta " + ("eta " * (i % 3)))
+            for i in range(n_docs)
+        ],
+        "doc_id long, text string",
+    )
+    sh = doc_shingles(docs)
+    if dense:
+        cand = [(a, b) for a in range(n_docs) for b in range(a + 1, n_docs)]
+    else:
+        cand = [(0, 1)]
+    pairs = spark.createDataFrame(cand, "doc_a long, doc_b long")
+    return sh, pairs
+
+
+def test_jaccard_expand_path_passes_when_sparse(spark):
+    from projet_etl_spark.operators.dedup import _jaccard_pairs
+
+    sh, pairs = _pairs_fixture(spark)
+    rows = _jaccard_pairs(sh, pairs=pairs).collect()
+    assert len(rows) == 1 and 0 < rows[0]["jaccard"] <= 1.0
+
+
+def test_jaccard_expand_path_raises_when_dense(spark, monkeypatch):
+    """Dense candidates on the expand path fail loudly with guidance
+    to switch to pairs_via_join, instead of silently running the
+    |pairs| x shingles plan that the strategy split exists to avoid."""
+    from projet_etl_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "_EXPAND_MAX_PAIRS_PER_DOC", 1)
+    sh, pairs = _pairs_fixture(spark, dense=True)
+    with pytest.raises(Exception, match="pairs_via_join"):
+        dedup._jaccard_pairs(sh, pairs=pairs).collect()
+
+
+def test_jaccard_via_join_path_accepts_dense(spark, monkeypatch):
+    """The same dense candidate set succeeds on the via-join path —
+    its cost bound (the all-pairs join) doesn't depend on |pairs|,
+    so no density precondition applies."""
+    from projet_etl_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "_EXPAND_MAX_PAIRS_PER_DOC", 1)
+    sh, pairs = _pairs_fixture(spark, dense=True)
+    rows = dedup._jaccard_pairs(sh, pairs=pairs, pairs_via_join=True).collect()
+    assert len(rows) == 15  # complete graph on 6 docs, all share shingles
+    # and the two strategies agree on values for the same candidates
+    three = pairs.limit(3)  # 3 pairs over >=3 docs: passes ceiling 1
+    sparse = dedup._jaccard_pairs(sh, pairs=three, pairs_via_join=False)
+    via = dedup._jaccard_pairs(sh, pairs=three, pairs_via_join=True)
+    assert sorted(map(tuple, sparse.collect())) == sorted(map(tuple, via.collect()))
+
+
 def test_fixed_point_guard_off_mode_skips_check(spark, monkeypatch):
     """The measurement-only 'off' arm: no guard columns, no raise —
     exists solely so future bisects can price the guard."""
