@@ -44,7 +44,19 @@ def read_store(
     spark: SparkSession, path: str, schema: str, cols: list[str]
 ) -> DataFrame:
     """Read a per-batch parquet store, or an empty frame when the
-    store legitimately has no data yet. Broken stores raise."""
+    store legitimately has no data yet. Broken stores raise.
+
+    Recovers an interrupted compaction swap first (round-8): a crash
+    between swap_publish's park and publish renames leaves the data
+    parked aside with no live directory — without the recover, that
+    window read as "legitimately empty" and a ranking served from it
+    silently lost the whole store (the exact silent-loss class this
+    module exists to prevent; postings' reader already recovered,
+    the shared path now does it for every store). recover_swap is a
+    no-op for stores with no pending swap."""
+    from projet_etl_spark.sources.ingest import recover_swap
+
+    recover_swap(path)
     if not os.path.exists(path):
         return spark.createDataFrame([], schema)
     try:

@@ -94,6 +94,141 @@ def test_fixed_point_guard_fires_in_both_shapes(spark, monkeypatch, mode):
         fixedpoint.fixed_point_agg(df, ["k"], bad).collect()
 
 
+# --- r7 verdict item 6: crash DURING compaction, per store ------------
+#
+# swap_publish runs: write tmp -> rename(path, aside) -> rename(tmp,
+# path) -> rmtree(aside). The three kill windows a compactor crash can
+# leave behind (tmp written / parked aside with no live dir / published
+# but aside not cleaned) must all read back the exact pre-crash
+# multiset — never empty (the parked-aside window read as "empty store"
+# before storeio.read_store learned to recover_swap) and never
+# double-counted — and a re-run compaction must then converge.
+
+
+def _inject_crash(monkeypatch_ctx, kind):
+    import os as _os
+    import shutil as _shutil
+
+    if kind == "before-park":
+        state = {"n": 0}
+        real = _os.rename
+
+        def cr(a, b):
+            state["n"] += 1
+            if state["n"] == 1:
+                raise RuntimeError("injected crash before park")
+            return real(a, b)
+
+        monkeypatch_ctx.setattr(_os, "rename", cr)
+    elif kind == "between-renames":
+        state = {"n": 0}
+        real = _os.rename
+
+        def cr(a, b):
+            state["n"] += 1
+            if state["n"] == 2:
+                raise RuntimeError("injected crash between renames")
+            return real(a, b)
+
+        monkeypatch_ctx.setattr(_os, "rename", cr)
+    else:  # before-cleanup
+        real = _shutil.rmtree
+
+        def cr(p, *a, **k):
+            if str(p).endswith("._precompact"):
+                raise RuntimeError("injected crash before cleanup")
+            return real(p, *a, **k)
+
+        monkeypatch_ctx.setattr(_shutil, "rmtree", cr)
+
+
+CRASH_KINDS = ["before-park", "between-renames", "before-cleanup"]
+
+
+@pytest.mark.parametrize("kind", CRASH_KINDS)
+def test_neardedup_pairs_survive_crash_during_compaction(
+    spark, tmp_path, monkeypatch, kind
+):
+    from pyspark.sql import functions as F
+
+    from projet_etl_spark.streaming.neardedup import (
+        _write_batch_partition,
+        compact_store,
+        read_pairs,
+    )
+
+    pairs_path = str(tmp_path / "pairs")
+    for b in range(3):
+        df = spark.createDataFrame(
+            [(b * 10 + i, b * 10 + i + 1, 0.9) for i in range(4)],
+            "doc_a long, doc_b long, jaccard double",
+        )
+        _write_batch_partition(df, pairs_path, b)
+    snap = sorted(
+        map(tuple, read_pairs(spark, pairs_path).collect())
+    )
+    assert len(snap) == 12
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        with monkeypatch.context() as m:
+            _inject_crash(m, kind)
+            compact_store(spark, str(tmp_path / "nostore"), pairs_path=pairs_path)
+
+    # a reader right after the crash: exact pre-crash multiset —
+    # no loss, no double count
+    after = sorted(map(tuple, read_pairs(spark, pairs_path).collect()))
+    assert after == snap, f"[{kind}] reader diverged after crash"
+
+    # re-run converges to the clean compacted layout
+    compact_store(spark, str(tmp_path / "nostore"), pairs_path=pairs_path)
+    final = sorted(map(tuple, read_pairs(spark, pairs_path).collect()))
+    assert final == snap
+    batches = sorted(
+        r["batch"]
+        for r in spark.read.parquet(pairs_path).select("batch").distinct().collect()
+    )
+    assert batches == [-1, 2], f"compacted layout: {batches}"
+    assert spark.read.parquet(pairs_path).count() == 12
+
+
+@pytest.mark.parametrize("kind", CRASH_KINDS)
+def test_bottomk_sample_survives_crash_during_compaction(
+    spark, tmp_path, monkeypatch, kind
+):
+    from projet_etl_spark.streaming.quantiles import (
+        compact_sample_store,
+        read_sample,
+        upsert_bottomk_batch,
+    )
+
+    store = str(tmp_path / "bottomk")
+    for b in range(3):
+        df = spark.createDataFrame(
+            [(b * 1000 + i, float(b * 1000 + i)) for i in range(50)],
+            "event_id long, value double",
+        )
+        upsert_bottomk_batch(df, b, store)
+    snap = sorted(map(tuple, read_sample(spark, store).collect()))
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        with monkeypatch.context() as m:
+            _inject_crash(m, kind)
+            compact_sample_store(spark, store)
+
+    after = sorted(map(tuple, read_sample(spark, store).collect()))
+    assert after == snap, f"[{kind}] sample diverged after crash"
+
+    n = compact_sample_store(spark, store)
+    final = sorted(map(tuple, read_sample(spark, store).collect()))
+    assert final == snap
+    # folded partition + the newest batch kept verbatim, nothing else
+    batches = sorted(
+        r["batch"]
+        for r in spark.read.parquet(store).select("batch").distinct().collect()
+    )
+    assert batches == [-1, 2] and n == spark.read.parquet(store).count()
+
+
 # --- r7 verdict item 7: _jaccard_pairs strategy bound in the plan ----
 
 
