@@ -141,3 +141,45 @@ def test_header_validation(spark, tmp_path):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "wat" in str(e)
+
+
+def test_file_uri_probe_through_hadoop_fs(spark, tmp_path):
+    """r7 verdict item 8: URI-scheme paths probe headers through the
+    Hadoop FileSystem API (file:// is the sandbox-testable proxy for
+    s3a/hdfs). Same semantics as the local probe: multi-file dirs
+    with agreeing headers read fine, disagreeing headers raise."""
+    d = tmp_path / "multi"
+    d.mkdir()
+    (d / "a.csv").write_text(CSV)
+    (d / "b.csv").write_text(
+        "DateID ProdID CatID FabID\n20220104 4 30 300\n"
+    )
+    (d / "_SUCCESS").write_text("")  # housekeeping files are skipped
+    df = read_whitespace_csv(spark, f"file://{d}", PRODUITS_SCHEMA)
+    rows = df.collect()
+    assert len(rows) == 4
+    assert sorted(r.prodid for r in rows) == [1, 2, 3, 4]
+
+    # glob form through the same FS layer
+    df2 = read_whitespace_csv(spark, f"file://{d}/*.csv", PRODUITS_SCHEMA)
+    assert df2.count() == 4
+
+
+def test_file_uri_probe_header_mismatch_raises(spark, tmp_path):
+    import pytest
+
+    d = tmp_path / "bad"
+    d.mkdir()
+    (d / "a.csv").write_text(CSV)
+    (d / "b.csv").write_text("FabID CatID ProdID DateID\n300 30 4 20220104\n")
+    with pytest.raises(ValueError, match="disagree on the header"):
+        read_whitespace_csv(spark, f"file://{d}", PRODUITS_SCHEMA)
+
+
+def test_file_uri_probe_missing_path_raises(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(Exception, match="no files match"):
+        read_whitespace_csv(
+            spark, f"file://{tmp_path}/does-not-exist", PRODUITS_SCHEMA
+        )
