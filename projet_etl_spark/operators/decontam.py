@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from projet_etl_spark.functions.text import shingles_k, tokens
+from projet_etl_spark.functions.text import portable_hash60, shingles_k, tokens
 from projet_etl_spark.sources.tables import load_table
 
 EVAL_DOCS = 20  # doc_id < EVAL_DOCS stands in for the benchmark set
@@ -260,3 +260,48 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("test_doc_id")
     )
+
+
+# --- leakage-free split assignment (the fix the audit motivates) -------
+
+CLUSTER_SPLIT_BUCKETS = 10
+CLUSTER_SPLIT_TRAIN = 8  # buckets [0,8) train, 8 val, 9 test: 80/10/10
+
+
+def q_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test assignment: hash the near-dup
+    CLUSTER label, not the document — every near-duplicate class
+    lands in one split whole, so the leakage q_split_leakage_audit
+    measures for doc-level hash splits is zero BY CONSTRUCTION
+    (pinned by tests: no minhash pair ever crosses splits).
+
+    This is the standard eval-hygiene discipline for LLM training
+    corpora: doc-level random splits put near-copies of eval docs in
+    train, and the audit can only report the damage after the fact;
+    assigning by dedup-cluster removes the channel.
+
+    Composition: cluster labels ARE q_dedup_clusters' output
+    (pointer-doubling connected components over the oracle-checked
+    minhash pair graph), so this query inherits that subtree's
+    semantics and scale design; the only additions are one portable
+    key hash and a CASE — map-only at corpus grain, no new shuffle.
+
+    100 TB: split assignment is a pure function of the cluster label
+    (no coordination, no split-size state), deterministic across
+    reruns and engines — the property that lets train/val/test be
+    recomputed from the corpus at any time instead of stored.
+    """
+    from projet_etl_spark.operators.clusters import q_dedup_clusters
+
+    labels = q_dedup_clusters(spark, sf_dir)
+    b = portable_hash60(F.col("cluster_id").cast("string")) % F.lit(
+        CLUSTER_SPLIT_BUCKETS
+    )
+    split = (
+        F.when(b < F.lit(CLUSTER_SPLIT_TRAIN), F.lit("train"))
+        .when(b == F.lit(CLUSTER_SPLIT_TRAIN), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return labels.select(
+        "doc_id", "cluster_id", split.alias("split")
+    ).orderBy("doc_id")

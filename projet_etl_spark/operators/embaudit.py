@@ -138,3 +138,51 @@ def q_embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("label").cast("long").alias("label"), "n_vecs", "centroid_shift2")
         .orderBy("label")
     )
+
+
+def q_embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean and variance of the embedding space — the
+    feature-collapse audit: a dimension whose variance is ~0 carries
+    no information (dead unit upstream), and a handful of dominant
+    variances signals anisotropic collapse, the known failure mode
+    that breaks cosine-similarity curation. Run before trusting ANN
+    or SemDeDup decisions on a new embedding snapshot.
+
+    Exactness: the centroid-shift discipline — components quantize
+    to 1e-6 fixed point once, first and second moments accumulate as
+    exact integers (the squared moment in DECIMAL(38,0): u² ≈ 1e12
+    per row overflows a long sum past ~9e6 rows/dim, well inside
+    100 TB range), and each (mean, variance) cell divides to double
+    once, in the same expression order as the oracle.
+
+    Scale shape: posexplode → (dim,) hash aggregate with map-side
+    combine — the shuffle carries 64 partial rows per map task, and
+    the output is |dims| rows regardless of corpus size.
+    """
+    cells = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(F.posexplode("embedding").alias("dim", "x"))
+        .select(
+            "dim",
+            F.floor(
+                F.col("x").cast("double") * F.lit(float(CENTROID_UNIT))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("u"),
+        )
+    )
+    agg = cells.groupBy("dim").agg(
+        F.sum("u").cast("decimal(38,0)").alias("su"),
+        F.sum((F.col("u") * F.col("u")).cast("decimal(38,0)")).alias("squ"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    mean_u = F.col("su").cast("double") / F.col("n").cast("double")
+    ex2 = F.col("squ").cast("double") / F.col("n").cast("double")
+    unit = float(CENTROID_UNIT)
+    return agg.select(
+        F.col("dim").cast("long").alias("dim"),
+        F.round(mean_u / F.lit(unit), 6).alias("mean_val"),
+        F.round((ex2 - mean_u * mean_u) / F.lit(unit * unit), 6).alias("var_val"),
+        "n",
+    ).orderBy("dim")

@@ -23,7 +23,7 @@ nothing after the scan is data-sized.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from projet_etl_spark.functions.text import tokens
@@ -36,14 +36,13 @@ STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 STOP_MIN = 2
 
 
-def q_docs_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(rule, n_fail, fail_pct) over the documents corpus — the
-    quality-filter audit a curation pipeline runs before dropping
-    anything (see module docstring for the rule set and the
-    integer-exact threshold forms)."""
-    docs = load_table(spark, sf_dir, "documents")
+def per_doc_counters(docs: DataFrame) -> DataFrame:
+    """(doc_id, nw, chars, alpha, symbols, stops) — the one map-only
+    pass every rule evaluates from; shared by the corpus-wide rule
+    sweep and the rules-vs-model agreement audit."""
     t = docs.select("doc_id", tokens(F.col("text")).alias("t"), "text")
-    per_doc = t.select(
+    return t.select(
+        "doc_id",
         F.size("t").alias("nw"),
         F.length(F.concat_ws("", F.col("t"))).alias("chars"),
         F.size(F.filter(F.col("t"), lambda w: w.rlike("[a-z]"))).alias(
@@ -60,6 +59,30 @@ def q_docs_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("stops"),
     )
+
+
+def rules_pass_col() -> Column:
+    """True iff a (nw, chars, alpha, symbols, stops) row fails NONE
+    of the five rules — integer cross-multiplied forms, same as the
+    sweep."""
+    return ~(
+        (F.col("nw") < WORDS_MIN)
+        | (F.col("nw") > WORDS_MAX)
+        | (F.col("chars") < 3 * F.col("nw"))
+        | (F.col("chars") > 10 * F.col("nw"))
+        | (10 * F.col("symbols") > F.col("nw"))
+        | (5 * F.col("alpha") < 4 * F.col("nw"))
+        | (F.col("stops") < STOP_MIN)
+    )
+
+
+def q_docs_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(rule, n_fail, fail_pct) over the documents corpus — the
+    quality-filter audit a curation pipeline runs before dropping
+    anything (see module docstring for the rule set and the
+    integer-exact threshold forms)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = per_doc_counters(docs)
     agg = per_doc.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(
@@ -96,3 +119,35 @@ def q_docs_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cast(n_fail * 100 as double) / n_docs"), 6
         ).alias("fail_pct"),
     ).orderBy("rule")
+
+
+def q_quality_rules_vs_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement audit between the two quality filters the engine
+    ships: the published rule battery above vs the learned
+    (fastText-style) scorer — the confusion table
+    (rules_pass, model_keep, n_docs) a curation team reads before
+    choosing thresholds: heavy off-diagonal mass means the filters
+    disagree about what to drop and the corpus decision is really a
+    policy decision.
+
+    Composition: per-doc rule flags come from per_doc_counters (the
+    sweep's own map pass), model keeps from the JVM scorer twin
+    (oracle-checked expression tree); the join is doc_id equi,
+    co-partitioned by the aggregate shuffles on either side; output
+    is ≤4 rows.
+    """
+    from projet_etl_spark.operators.quality_model import (
+        q_text_quality_model_jvm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rules = per_doc_counters(docs).select(
+        "doc_id", rules_pass_col().alias("rules_pass")
+    )
+    model = q_text_quality_model_jvm(spark, sf_dir).select("doc_id", "keep")
+    return (
+        rules.join(model, "doc_id")
+        .groupBy("rules_pass", F.col("keep").alias("model_keep"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("rules_pass", "model_keep")
+    )

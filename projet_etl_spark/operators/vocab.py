@@ -66,3 +66,68 @@ def q_resample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket") < F.col("keep_pct"))
         .select("doc_id", "lang", "bucket")
     )
+
+
+COVERAGE_BANDS = 10
+COVERAGE_MILLI = 1000  # per-doc coverage in exact integer millis
+# the coverage audit uses a TIGHT vocabulary (top-20 by document
+# frequency) so the banding carries signal on small-vocabulary
+# corpora; production tokenizer vocabs swap K without changing shape
+COVERAGE_VOCAB_K = 20
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of per-document vocabulary coverage under the
+    top-COVERAGE_VOCAB_K token vocabulary: what fraction of each document's
+    token OCCURRENCES the vocabulary covers, banded into deciles —
+    the go/no-go audit before freezing a tokenizer vocab (low-band
+    mass = documents the vocab would shred into unknowns).
+
+    Exactness: per-doc coverage is integerized as
+    div(1000·n_in, n_tot) — pure integer arithmetic — so the band
+    assignment and the banded average are exact-int sums with ONE
+    double division per output row (the fixed-point discipline).
+
+    Scale shape: the vocab is VOCAB_K rows → broadcast; the
+    occurrence explode joins map-side against it (no shuffle of the
+    exploded table beyond the per-doc aggregate); band rollup is
+    |bands| groups. The vocab subtree itself is vocab-top100's
+    oracle-checked plan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    vocab100 = (
+        q_vocab_top100(spark, sf_dir)
+        .filter(F.col("rank") <= COVERAGE_VOCAB_K)
+        .select("token")
+    )
+    occ = docs.select("doc_id", tokens(F.col("text")).alias("t")).select(
+        "doc_id", F.explode(F.col("t")).alias("token")
+    )
+    flagged = occ.join(
+        F.broadcast(vocab100.withColumn("in_vocab", F.lit(1))), "token", "left"
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tot"),
+        F.coalesce(F.sum("in_vocab"), F.lit(0)).alias("n_in"),
+    )
+    milli = F.expr(f"div({COVERAGE_MILLI} * n_in, n_tot)")
+    banded = per_doc.select(
+        F.least(
+            milli / F.lit(COVERAGE_MILLI // COVERAGE_BANDS),
+            F.lit(COVERAGE_BANDS - 1),
+        )
+        .cast("long")
+        .alias("band"),
+        milli.alias("cov_milli"),
+    )
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.sum("cov_milli").cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_cov_milli"),
+        )
+        .orderBy("band")
+    )

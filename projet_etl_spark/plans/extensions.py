@@ -182,6 +182,23 @@ FROM reach GROUP BY vertex
 """
 )
 
+# --- leakage-free split assignment oracle ----------------------------
+# same recursive-CTE components as _CLUSTERS_SQL, then the portable
+# 60-bit key hash of the CLUSTER label picks the split (80/10/10)
+_SPLIT_BY_CLUSTER_SQL = f"""
+SELECT doc_id, cluster_id,
+       CASE WHEN b < {decontam.CLUSTER_SPLIT_TRAIN} THEN 'train'
+            WHEN b = {decontam.CLUSTER_SPLIT_TRAIN} THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+    SELECT doc_id, cluster_id,
+           (('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT
+             % {decontam.CLUSTER_SPLIT_BUCKETS}) AS b
+    FROM ({_CLUSTERS_SQL}) c
+) t
+ORDER BY doc_id
+"""
+
 # --- z-score anomaly oracle ------------------------------------------
 # identical moment casts and expression association as the Spark plan;
 # the GREATEST clamp + var > 0 pre-filter mirror the Spark plan's
@@ -744,6 +761,45 @@ ranked AS (
 )
 SELECT token, doc_freq, "rank" FROM ranked
 WHERE "rank" <= {vocab.VOCAB_K} ORDER BY "rank"
+"""
+
+# coverage integerized as exact milli-ratios; the ranked-vocab CTE is
+# _VOCAB_SQL's, verbatim
+_VOCAB_COVERAGE_SQL = f"""
+WITH tokd AS (
+    SELECT doc_id, unnest(list_distinct({_TOK})) AS token FROM documents
+),
+counts AS (
+    SELECT token, COUNT(*) AS doc_freq FROM tokd GROUP BY token
+),
+ranked AS (
+    SELECT token,
+           ROW_NUMBER() OVER (ORDER BY doc_freq DESC, token) AS r
+    FROM counts
+),
+vocab AS (
+    SELECT token FROM ranked WHERE r <= {vocab.COVERAGE_VOCAB_K}
+),
+occ AS (
+    SELECT doc_id, unnest({_TOK}) AS token FROM documents
+),
+per_doc AS (
+    SELECT o.doc_id,
+           COUNT(*) AS n_tot,
+           SUM(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END) AS n_in
+    FROM occ o LEFT JOIN vocab v USING (token)
+    GROUP BY o.doc_id
+),
+milli AS (
+    SELECT ({vocab.COVERAGE_MILLI} * n_in) // n_tot AS cov_milli
+    FROM per_doc
+)
+SELECT CAST(LEAST(cov_milli // {vocab.COVERAGE_MILLI // vocab.COVERAGE_BANDS},
+                  {vocab.COVERAGE_BANDS - 1}) AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(cov_milli) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+           AS avg_cov_milli
+FROM milli GROUP BY 1 ORDER BY 1
 """
 
 _RESAMPLE_SQL = f"""
@@ -3637,6 +3693,31 @@ SELECT CAST(label AS BIGINT) AS label,
 FROM d GROUP BY label ORDER BY label
 """
 
+# per-dimension moments in exact integer units; the squared moment
+# accumulates as HUGEINT (DuckDB) / DECIMAL(38,0) (Spark) — both exact
+_DIM_VARIANCE_SQL = f"""
+WITH cells AS (
+    SELECT CAST(t.i AS BIGINT) AS dim,
+           CAST(floor(embedding[CAST(t.i AS INT) + 1]::DOUBLE
+                      * {float(_embaudit.CENTROID_UNIT)!r} + 0.5) AS BIGINT) AS u
+    FROM embeddings, range({VEC.DIM}) t(i)
+),
+agg AS (
+    SELECT dim, SUM(u) AS su, SUM(u * u) AS squ,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM cells GROUP BY 1
+)
+SELECT dim,
+       ROUND(CAST(su AS DOUBLE) / CAST(n AS DOUBLE)
+             / {float(_embaudit.CENTROID_UNIT)!r}, 6) AS mean_val,
+       ROUND((CAST(squ AS DOUBLE) / CAST(n AS DOUBLE)
+              - (CAST(su AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(su AS DOUBLE) / CAST(n AS DOUBLE)))
+             / {float(_embaudit.CENTROID_UNIT) ** 2!r}, 6) AS var_val,
+       n
+FROM agg ORDER BY dim
+"""
+
 # layout-invariance contract for the Z-ORDER copy: the oracle is the
 # plain scan of raw lineitem over the same supplier band
 from projet_etl_spark.operators import graph as _graph  # noqa: E402
@@ -3892,6 +3973,44 @@ FROM rules ORDER BY rule
 """
 
 
+# rules-vs-model agreement: per-doc rule flags (the _QUALRULES_SQL
+# counters, doc_id kept) joined with the JVM scorer's keep decision
+# (_QMODEL_SQL nested verbatim, order stripped)
+_RULES_VS_MODEL_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, {TX.SQL_TOKENS.format(col='text')} AS t, text
+    FROM documents
+),
+per_doc AS (
+    SELECT doc_id,
+           len(t) AS nw,
+           length(array_to_string(t, '')) AS chars,
+           len(list_filter(t, w -> regexp_matches(w, '[a-z]'))) AS alpha,
+           len(regexp_extract_all(text, '#'))
+             + len(regexp_extract_all(text, '\\.\\.\\.')) AS symbols,
+           len(list_filter({list(_qr.STOP_WORDS)},
+                           w -> list_contains(t, w))) AS stops
+    FROM toks
+),
+rules AS (
+    SELECT doc_id,
+           NOT (nw < {_qr.WORDS_MIN} OR nw > {_qr.WORDS_MAX}
+                OR chars < 3 * nw OR chars > 10 * nw
+                OR 10 * symbols > nw
+                OR 5 * alpha < 4 * nw
+                OR stops < {_qr.STOP_MIN}) AS rules_pass
+    FROM per_doc
+),
+model AS (
+    SELECT doc_id, keep FROM ({_QMODEL_SQL.replace("ORDER BY doc_id", "")}) m
+)
+SELECT r.rules_pass, m.keep AS model_keep,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM rules r JOIN model m USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def build():
     """Registry entries for the extension surface; imported by
     plans.registry at module init."""
@@ -3999,6 +4118,15 @@ def build():
         # iterative fixpoint on the Spark side; the oracle states the
         # same components as a recursive transitive closure
         ("dedup-clusters", clusters.q_dedup_clusters, _CLUSTERS_SQL, ("dedup",)),
+        # leakage-free splits: hash the CLUSTER label so near-dup
+        # classes land in one split whole (oracle composes the
+        # recursive-CTE components with the same portable key hash)
+        (
+            "split-by-cluster",
+            decontam.q_split_by_cluster,
+            _SPLIT_BY_CLUSTER_SQL,
+            ("dedup", "curation"),
+        ),
         (
             "semantic-clusters",
             clusters.q_semantic_clusters,
@@ -4065,6 +4193,13 @@ def build():
         ("text-chunks", curation.q_text_chunks, _CHUNKS_SQL, ("curation",)),
         ("sample-hash-10pct", curation.q_sample_hash, _SAMPLE_SQL, ("curation",)),
         ("vocab-top100", vocab.q_vocab_top100, _VOCAB_SQL, ("curation",)),
+        # tokenizer-vocab coverage distribution (exact milli-ratios)
+        (
+            "vocab-coverage",
+            vocab.q_vocab_coverage,
+            _VOCAB_COVERAGE_SQL,
+            ("curation", "text"),
+        ),
         ("value-percentiles", stats.q_value_percentiles, _PCTL_SQL, ("stats",)),
         ("events-pivot-daily", stats.q_events_pivot_daily, _PIVOT_SQL, ("stats",)),
         ("bigrams-top50", stats.q_bigrams_top, _BIGRAM_SQL, ("stats",)),
@@ -4418,6 +4553,14 @@ def build():
             _DAILY_STORE_SQL,
             ("streaming", "stats"),
         ),
+        # merged+compacted bottom-K partials must equal the batch
+        # sample bit-identically: shares quantiles-hash-sample's oracle
+        (
+            "bottomk-store",
+            storequery.q_bottomk_store,
+            sketches.QSAMPLE_ORACLE_SQL,
+            ("streaming", "sketch", "stats"),
+        ),
         (
             "events-heavy-hitters",
             stats.q_events_heavy_hitters,
@@ -4625,6 +4768,13 @@ def build():
             _CENTROID_SHIFT_SQL,
             ("ann", "curation", "stats"),
         ),
+        # feature-collapse audit: exact integer first/second moments
+        (
+            "embedding-dim-variance",
+            _embaudit.q_embedding_dim_variance,
+            _DIM_VARIANCE_SQL,
+            ("ann", "curation", "stats"),
+        ),
         (
             "parts-revenue-shift",
             star.q_parts_revenue_shift,
@@ -4742,6 +4892,14 @@ def build():
             _qr.q_docs_quality_rules,
             _QUALRULES_SQL,
             ("curation", "pipeline", "dq"),
+        ),
+        # filter-agreement confusion table (rules battery × learned
+        # scorer)
+        (
+            "quality-rules-vs-model",
+            _qr.q_quality_rules_vs_model,
+            _RULES_VS_MODEL_SQL,
+            ("curation", "dq"),
         ),
     ]
     return {

@@ -115,6 +115,63 @@ def q_daily_counts_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- bottom-K sample store (quantile sketch) ---------------------------
+
+BOTTOMK_ROOT = os.path.join(os.path.dirname(STORE_ROOT), "bottomk_sample")
+
+
+def ensure_bottomk_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse) the streaming-maintained bottom-K value
+    sample for ``sf_dir``, COMPACTED: after the availableNow replay
+    lands one K-row partial per micro-batch, compact_sample_store
+    folds the replay-committed partials into the reserved batch=-1
+    partition (the round-8 crash-hardened path), so the driver row
+    over this store also certifies that compaction is
+    read-invariant. Fingerprint-keyed refresh cost, like every other
+    store."""
+    from projet_etl_spark.streaming.quantiles import (
+        compact_sample_store,
+        stream_value_sample,
+    )
+
+    def _build(root: str) -> None:
+        chunks = os.path.join(root, "chunks")
+        _stage_event_chunks(sf_dir, chunks)
+        q = stream_value_sample(
+            read_events_stream(spark, chunks, max_files_per_trigger=1).select(
+                "event_id", "value"
+            ),
+            os.path.join(root, "store"),
+            os.path.join(root, "ckpt"),
+            available_now=True,
+        )
+        q.awaitTermination()
+        compact_sample_store(spark, os.path.join(root, "store"))
+
+    return ensure_staged(
+        BOTTOMK_ROOT, sf_dir, _source_fingerprint(sf_dir), "store", _build
+    )
+
+
+def q_bottomk_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile estimates served from the incremental bottom-K-by-hash
+    sample store — the streaming twin of quantiles-hash-sample, and
+    a store→rescan parity gate the external driver can value-check:
+    the bottom-K of a union IS the bottom-K of the per-batch
+    bottom-Ks, so the folded (and compacted) store must reproduce
+    the batch operator's sample BIT-IDENTICALLY, deciles included
+    (oracle: sketches.QSAMPLE_ORACLE_SQL, shared verbatim).
+
+    At 100 TB: per-batch state is K rows regardless of arrival
+    volume; the serving fold reads K x n_batches rows and compaction
+    keeps n_batches bounded — the store never stores the value
+    history."""
+    from projet_etl_spark.streaming.quantiles import read_quantiles
+
+    store = ensure_bottomk_store(spark, sf_dir)
+    return read_quantiles(spark, store)
+
+
 # --- near-dedup pairs store ------------------------------------------
 
 NEARDEDUP_ROOT = os.path.join(
