@@ -59,86 +59,81 @@ _PARITY_FNS: dict[str, Callable] = {
 # entries of ``queries()``, keyed by name.  Rotating the dict order
 # therefore costs nothing (every green row from a past round stays
 # keyed by its name) but decides WHICH queries get a hard
-# value-match row this round.  Round-7 rotation, per the r6 verdict:
-# (1) the decimal-vs-double A/B twin pair that adjudicates the
-# scale-2-decimal hash theory, (2) the three r6 reds rewritten to
-# the DOUBLE output contract, (3) the full reference parity surface
-# (last green rows r1-r4, and round 6's fixed-point sweep touched
-# shared modules), (4) round-7 additions, (5) queries downstream of
-# this round's shared-module edits (fixed_point_agg overflow guard,
-# heavy-hitter threshold, store reads) so the touched code re-earns
-# hard rows.  lineitem-salted-join, quantiles-hash-sample and
-# neardedup-pairs-store rotate OUT (green r6, read paths untouched
-# this round), plus sales-cube, sales-grouping-sets,
-# orders-above-customer-avg and customer-order-distribution (green
-# r5, code untouched since) top-large-orders and late-shipment-priority (same) to make room for the late round-7 additions.
+# value-match row this round.
+# Round-8 rotation, per the r7 verdict: (1) docs-quality-rules first
+# (the only entry never driver-checked, r7 item 2) and the
+# make_timestamp-rewritten events-sliding-1h-30m (item 1); (2) the
+# five round-8 additions; (3) the money twins kept one more round for
+# a second same-plan data point (item 4); (4) queries downstream of
+# this round's shared-module edits, which must re-earn hard rows:
+# the fixed_point_agg guard reshape (every fixedpoint consumer class:
+# star plain/rollup/cube finals, warehouse bucketed join, zorder
+# scan, dq sweep, timeseries growth, stats moments), the
+# _jaccard_pairs density guard (minhash subtree inheritors), the
+# storeio.read_store recover fix (every store-backed query), and the
+# qualrules/vocab/embaudit/decontam module edits. The big r7
+# parity-surface refresh and the untouched r7 additions rotate out
+# (all green r7, code untouched this round); top-1 and
+# avg-cat-fab-10-mag stay as the reference-parity sentinels.
 _DRIVER_PREFIX: tuple[str, ...] = (
-    # (1) representation A/B pair — identical plan and values
+    # (1) r7 verdict items 1-2
+    "docs-quality-rules",
+    "events-sliding-1h-30m",
+    # (2) round-8 additions
+    "split-by-cluster",
+    "bottomk-store",
+    "embedding-dim-variance",
+    "vocab-coverage",
+    "quality-rules-vs-model",
+    # (3) the representation A/B pair, round two
     "money-twin-decimal",
     "money-twin-double",
-    # (2) r6 reds, now presenting DOUBLE money columns
+    # (4a) fixed-point guard reshape downstream
+    "pricing-summary",
+    "revenue-by-nation",
     "customer-spend-deciles",
     "orders-yoy-window",
     "orders-bucketed-join",
-    # (3) reference parity surface refresh
-    "top-magasins",
-    "top-magasins-cat",
-    "top-1",
-    "avg-cat-fab-10-mag",
-    "avg-cat-fab-10-mag-avg",
-    "score-sante-touts-les-mois",
-    "score-sante-touts-les-mois-avg",
-    "score-evolution",
-    "nb-mag-cat-date",
-    "fab-cat",
-    "avg-prod-per-fab",
-    # (4) round-7 additions
     "lineitem-zorder-scan",
-    "user-state-store",
-    "bm25-store-compacted",
-    "min-cost-supplier-per-part",
-    "nation-market-share",
-    "part-type-profit",
-    "shipping-delay-priority",
-    "part-supplier-diversity",
-    "sole-late-supplier",
-    "embedding-norm-extremes",
-    "embedding-centroid-shift",
-    "customer-ltv-cohorts",
-    "supplier-lead-time",
-    "brand-affinity",
-    "sessions-store",
-    "user-state-asof",
-    "orders-backlog-daily",
-    "documents-jsonl-scan",
-    "events-profile",
-    "customer-rfm-segments",
-    "supplier-pagerank",
-    "parts-revenue-shift",
-    "daily-metrics-unpivot",
-    "attribution-store",
-    "events-autocorr",
+    "sales-rollup",
+    "sales-cube",
+    "sales-grouping-sets",
+    "corr-qty-price",
+    "top-unshipped-orders",
     "dq-expectations",
-    "orders-upsert-type1",
-    "documents-schema-evolution",
+    "orders-theilsen-trend",
+    "orders-monthly-growth",
+    "events-autocorr",
+    "top-magasins",
+    "score-sante-touts-les-mois",
+    "score-evolution",
+    # (4b) jaccard density-guard downstream (minhash subtree)
+    "dedup-minhash-lsh",
+    "dedup-ngram-jaccard",
     "dedup-prefix-filter",
     "split-leakage-audit",
-    "orders-theilsen-trend",
-    "corpus-mixture-weights",
-    # (5) downstream of this round's shared-module edits
-    # (revenue-by-nation, top-unshipped-orders and corr-qty-price
-    # rotated out earlier for late additions: green r1-r4, code
-    # untouched since. sales-rollup, events-type-counts-salted and
-    # daily-counts-store rotate out for the three newest queries:
-    # pricing-summary keeps the fixed-point-guard coverage, the
-    # salted path's join twin lineitem-salted-join was green r6 and
-    # is untouched, and the shared ensure_staged read path stays
-    # covered by five other store-backed prefix entries)
-    # (bm25-store rotates out for corpus-mixture-weights: the shared
-    # postings read path incl. the live-dir recover stays covered by
-    # bm25-store-compacted)
-    "pricing-summary",
-    "events-heavy-hitters",
+    "dedup-lsh-recall",
+    "dedup-containment",
+    "dedup-edit-distance",
+    "dedup-clusters",
+    "dedup-canonical",
+    # (4c) storeio recover-fix downstream (store-backed reads)
+    "neardedup-pairs-store",
+    "daily-counts-store",
+    "bm25-store",
+    "bm25-store-compacted",
+    "sessions-store",
+    "user-state-store",
+    "attribution-store",
+    "user-state-asof",
+    # (4d) touched-module safety rows
+    "vocab-top100",
+    "resample-by-lang",
+    "embedding-norm-extremes",
+    "embedding-centroid-shift",
+    # reference-parity sentinels
+    "top-1",
+    "avg-cat-fab-10-mag",
 )
 
 
