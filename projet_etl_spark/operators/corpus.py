@@ -173,3 +173,94 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def q_corpus_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hygiene-funnel report: how many documents survive each
+    stage of the clean-corpus chain (raw → eval-excluded → near-dedup
+    canonical → model keep → decontaminated), with retention against
+    raw — the one-page answer to "where did the corpus go?" that
+    every curation run publishes next to its export manifest.
+
+    Plan shape: stage membership is flagged with three LEFT joins on
+    doc_id (each right side is an already-oracled operator's reduced
+    output), then ONE grand aggregate of nested conditional sums and
+    a 5-row stack — the funnel costs one pass over the joined frame,
+    never one scan per stage. Retention divides exact longs once per
+    output row.
+    """
+    from projet_etl_spark.operators.clusters import q_dedup_clusters
+    from projet_etl_spark.operators.decontam import (
+        EVAL_DOCS,
+        q_decontaminate_ngram,
+    )
+    from projet_etl_spark.operators.quality_model import score_documents
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    reps = (
+        q_dedup_clusters(spark, sf_dir)
+        .filter(F.col("doc_id") == F.col("cluster_id"))
+        .select("doc_id", F.lit(1).alias("is_rep"))
+    )
+    keep = (
+        score_documents(docs)
+        .filter(F.col("keep"))
+        .select("doc_id", F.lit(1).alias("is_keep"))
+    )
+    contam = q_decontaminate_ngram(spark, sf_dir).select(
+        "doc_id", F.lit(1).alias("is_contam")
+    )
+    flags = (
+        docs.select("doc_id", (F.col("doc_id") >= EVAL_DOCS).alias("noneval"))
+        .join(reps, "doc_id", "left")
+        .join(keep, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .select(
+            "noneval",
+            F.coalesce(F.col("is_rep"), F.lit(0)).alias("r"),
+            F.coalesce(F.col("is_keep"), F.lit(0)).alias("k"),
+            F.coalesce(F.col("is_contam"), F.lit(0)).alias("c"),
+        )
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("raw"),
+        F.sum(F.when(F.col("noneval"), 1).otherwise(0)).alias("s1"),
+        F.sum(
+            F.when(F.col("noneval") & (F.col("r") == 1), 1).otherwise(0)
+        ).alias("s2"),
+        F.sum(
+            F.when(
+                F.col("noneval") & (F.col("r") == 1) & (F.col("k") == 1), 1
+            ).otherwise(0)
+        ).alias("s3"),
+        F.sum(
+            F.when(
+                F.col("noneval")
+                & (F.col("r") == 1)
+                & (F.col("k") == 1)
+                & (F.col("c") == 0),
+                1,
+            ).otherwise(0)
+        ).alias("s4"),
+    )
+    stages = agg.selectExpr(
+        "raw",
+        "stack(5, "
+        "0L, 'raw', raw, "
+        "1L, 'eval-excluded', s1, "
+        "2L, 'dedup-canonical', s2, "
+        "3L, 'model-keep', s3, "
+        "4L, 'decontaminated', s4"
+        ") AS (stage_ord, stage, n_docs)",
+    )
+    return stages.select(
+        F.col("stage_ord").cast("long").alias("stage_ord"),
+        "stage",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round(
+            F.col("n_docs").cast("double") * 100.0 / F.col("raw").cast("double"),
+            6,
+        ).alias("retained_pct"),
+    ).orderBy("stage_ord")

@@ -291,3 +291,52 @@ def q_corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def q_docs_pii_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII density per language: redaction hits (emails + URLs +
+    long digit runs, the scrub-pii classes) per 1,000 tokens — the
+    privacy-risk profile a corpus review reads per language bucket
+    before release, since PII concentration is rarely uniform across
+    sources.
+
+    Exactness: hit and token counts are exact integers summed per
+    language; the only float op is the one density division per
+    output row. Scale shape: map-only regex counting (the scrub
+    pass's own extractors, no second tokenize), one |langs|-group
+    aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    per_doc = docs.select(
+        "lang",
+        (
+            F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0))
+            + F.size(F.regexp_extract_all(t, F.lit(URL_RE), 0))
+            + F.size(F.regexp_extract_all(t, F.lit(LONG_DIGITS_RE), 0))
+        )
+        .cast("long")
+        .alias("n_pii"),
+        F.size(tokens(t)).cast("long").alias("n_tok"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_pii").cast("long").alias("n_pii"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_pii",
+            "n_tokens",
+            F.round(
+                F.col("n_pii").cast("double")
+                * 1000.0
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("pii_per_kilotoken"),
+        )
+        .orderBy("lang")
+    )

@@ -1228,6 +1228,25 @@ ORDER BY lang
 
 from projet_etl_spark.operators import curation  # noqa: E402
 
+_PII_DENSITY_SQL = f"""
+WITH per_doc AS (
+    SELECT lang,
+           len(regexp_extract_all(text, '{curation.EMAIL_RE}'))
+             + len(regexp_extract_all(text, '{curation.URL_RE}'))
+             + len(regexp_extract_all(text, '{curation.LONG_DIGITS_RE}'))
+               AS n_pii,
+           len({_TOK}) AS n_tok
+    FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_pii) AS BIGINT) AS n_pii,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(n_pii) AS DOUBLE) * 1000.0
+             / CAST(SUM(n_tok) AS DOUBLE), 6) AS pii_per_kilotoken
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
 _SCRUB_SQL = f"""
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '{curation.EMAIL_RE}')) AS BIGINT)
@@ -1894,6 +1913,46 @@ SELECT lang,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_tok) AS BIGINT) AS n_tokens
 FROM survivors GROUP BY lang ORDER BY lang
+"""
+)
+
+# hygiene-funnel: one flags pass + nested conditional sums, then a
+# 5-row unpivot — stage sets are the survivor CTEs' own relations
+_SURVIVORSHIP_SQL = (
+    _SURVIVOR_CTES
+    + f""",
+flags AS (
+    SELECT d.doc_id >= {decontam.EVAL_DOCS} AS noneval,
+           r.doc_id IS NOT NULL AS is_rep,
+           k.doc_id IS NOT NULL AS is_keep,
+           c.doc_id IS NOT NULL AS is_contam
+    FROM documents d
+    LEFT JOIN reps r ON d.doc_id = r.doc_id
+    LEFT JOIN keepers k ON d.doc_id = k.doc_id
+    LEFT JOIN contam c ON d.doc_id = c.doc_id
+),
+agg AS (
+    SELECT COUNT(*) AS raw,
+           SUM(CASE WHEN noneval THEN 1 ELSE 0 END) AS s1,
+           SUM(CASE WHEN noneval AND is_rep THEN 1 ELSE 0 END) AS s2,
+           SUM(CASE WHEN noneval AND is_rep AND is_keep
+                    THEN 1 ELSE 0 END) AS s3,
+           SUM(CASE WHEN noneval AND is_rep AND is_keep AND NOT is_contam
+                    THEN 1 ELSE 0 END) AS s4
+    FROM flags
+),
+stages AS (
+              SELECT 0 AS stage_ord, 'raw' AS stage, raw AS n_docs, raw FROM agg
+    UNION ALL SELECT 1, 'eval-excluded', s1, raw FROM agg
+    UNION ALL SELECT 2, 'dedup-canonical', s2, raw FROM agg
+    UNION ALL SELECT 3, 'model-keep', s3, raw FROM agg
+    UNION ALL SELECT 4, 'decontaminated', s4, raw FROM agg
+)
+SELECT CAST(stage_ord AS BIGINT) AS stage_ord, stage,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       ROUND(CAST(n_docs AS DOUBLE) * 100.0 / CAST(raw AS DOUBLE), 6)
+           AS retained_pct
+FROM stages ORDER BY stage_ord
 """
 )
 
@@ -4101,6 +4160,13 @@ def build():
             _CLEAN_CORPUS_SQL,
             ("pipeline", "dedup", "curation", "inference"),
         ),
+        # per-stage retention funnel over the same hygiene chain
+        (
+            "corpus-survivorship",
+            corpus.q_corpus_survivorship,
+            _SURVIVORSHIP_SQL,
+            ("pipeline", "curation", "dq"),
+        ),
         (
             "pipeline-corpus-stats",
             corpus.q_corpus_stats,
@@ -4157,6 +4223,13 @@ def build():
             ("curation", "text"),
         ),
         ("text-scrub-pii", curation.q_text_scrub_pii, _SCRUB_SQL, ("curation",)),
+        # per-language PII concentration (hits per 1k tokens)
+        (
+            "docs-pii-density",
+            curation.q_docs_pii_density,
+            _PII_DENSITY_SQL,
+            ("curation", "dq"),
+        ),
         (
             "events-click-attribution",
             _attribution_batch,

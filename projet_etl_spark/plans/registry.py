@@ -126,9 +126,10 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "user-state-store",
     "attribution-store",
     "user-state-asof",
+    # (2b) late round-8 additions
+    "docs-pii-density",
+    "corpus-survivorship",
     # (4d) touched-module safety rows
-    "vocab-top100",
-    "resample-by-lang",
     "embedding-norm-extremes",
     "embedding-centroid-shift",
     # reference-parity sentinels
