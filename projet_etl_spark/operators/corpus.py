@@ -245,7 +245,9 @@ def q_corpus_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("s4"),
     )
-    stages = agg.selectExpr(
+    # empty-corpus contract: no rows (not a 0/0 funnel) — the filter
+    # also keeps the retention division away from raw = 0
+    stages = agg.filter(F.col("raw") > 0).selectExpr(
         "raw",
         "stack(5, "
         "0L, 'raw', raw, "

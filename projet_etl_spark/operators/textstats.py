@@ -679,3 +679,58 @@ def q_token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("zipf_slope"),
         F.round((r_num / r_den) * (r_num / r_den), 6).alias("r2"),
     )
+
+
+def q_docs_lang_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confidence audit: per predicted language, how many
+    documents the classifier decided on a ZERO stopword-hit margin
+    (best == second-best — a coin-flip disguised as a prediction) and
+    the average margin — the calibration report that tells a curation
+    run which language buckets to trust before per-language
+    filtering/resampling acts on them.
+
+    Exactness: hit counts and margins are exact integers; the one
+    float op is the per-row average division. Scale shape: the same
+    map-only stopword-count pass as text-lang-id plus a |langs|-group
+    aggregate — nothing data-sized after the scan.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", tokens(F.col("text")).alias("t")
+    )
+    toks = F.col("t")
+    cjk = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), "[一-鿿]", "")
+    )
+    counts = {lang: _count_in(toks, words) for lang, words in STOPWORDS.items()}
+    base = docs.select(
+        cjk.cast("long").alias("cjk_chars"),
+        *[counts[lang].cast("long").alias(f"hits_{lang}") for lang in STOPWORDS],
+    )
+    arr = F.array_sort(
+        F.array(*[F.col(f"hits_{lang}") for lang in STOPWORDS])
+    )
+    n_langs = len(STOPWORDS)
+    margin = F.element_at(arr, n_langs) - F.element_at(arr, n_langs - 1)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in STOPWORDS])
+    pred = (
+        F.when(F.col("cjk_chars") > 0, F.lit("zh"))
+        .when(F.col("hits_en") == best, F.lit("en"))
+        .when(F.col("hits_es") == best, F.lit("es"))
+        .when(F.col("hits_de") == best, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return (
+        base.select(pred.alias("pred_lang"), margin.alias("margin"))
+        .groupBy("pred_lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("margin") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_zero_margin"),
+            F.round(
+                F.sum("margin").cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_margin"),
+        )
+        .orderBy("pred_lang")
+    )

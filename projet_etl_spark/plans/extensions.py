@@ -710,6 +710,38 @@ SELECT doc_id, cjk_chars,
 FROM base
 """
 
+# margin = best - second-best stopword hit count (exact ints); the
+# pred CASE is _LANG_ID_SQL's, verbatim
+_LANG_MARGIN_SQL = f"""
+WITH base AS (
+    SELECT doc_id,
+           CAST(length(text)
+                - length(regexp_replace(text, '[\\x{{4e00}}-\\x{{9fff}}]', '', 'g'))
+                AS BIGINT) AS cjk_chars,
+           {_LANG_HITS}
+    FROM documents
+),
+scored AS (
+    SELECT CASE WHEN cjk_chars > 0 THEN 'zh'
+                WHEN hits_en = {_LANG_GREATEST} THEN 'en'
+                WHEN hits_es = {_LANG_GREATEST} THEN 'es'
+                WHEN hits_de = {_LANG_GREATEST} THEN 'de'
+                ELSE 'fr' END AS pred_lang,
+           list_sort([{", ".join(f"hits_{lang}" for lang in textstats.STOPWORDS)}])
+               AS s
+    FROM base
+)
+SELECT pred_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN s[{len(textstats.STOPWORDS)}]
+                       = s[{len(textstats.STOPWORDS) - 1}]
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_margin,
+       ROUND(CAST(SUM(s[{len(textstats.STOPWORDS)}]
+                      - s[{len(textstats.STOPWORDS) - 1}]) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS avg_margin
+FROM scored GROUP BY pred_lang ORDER BY pred_lang
+"""
+
 _FINGERPRINT_SQL = f"""
 SELECT doc_id, md5({_NORM}) AS fp FROM documents
 """
@@ -1941,12 +1973,15 @@ agg AS (
                     THEN 1 ELSE 0 END) AS s4
     FROM flags
 ),
+nz AS (
+    SELECT * FROM agg WHERE raw > 0
+),
 stages AS (
-              SELECT 0 AS stage_ord, 'raw' AS stage, raw AS n_docs, raw FROM agg
-    UNION ALL SELECT 1, 'eval-excluded', s1, raw FROM agg
-    UNION ALL SELECT 2, 'dedup-canonical', s2, raw FROM agg
-    UNION ALL SELECT 3, 'model-keep', s3, raw FROM agg
-    UNION ALL SELECT 4, 'decontaminated', s4, raw FROM agg
+              SELECT 0 AS stage_ord, 'raw' AS stage, raw AS n_docs, raw FROM nz
+    UNION ALL SELECT 1, 'eval-excluded', s1, raw FROM nz
+    UNION ALL SELECT 2, 'dedup-canonical', s2, raw FROM nz
+    UNION ALL SELECT 3, 'model-keep', s3, raw FROM nz
+    UNION ALL SELECT 4, 'decontaminated', s4, raw FROM nz
 )
 SELECT CAST(stage_ord AS BIGINT) AS stage_ord, stage,
        CAST(n_docs AS BIGINT) AS n_docs,
@@ -4110,6 +4145,13 @@ def build():
         ("text-token-count", textstats.q_text_token_count, _TOKEN_COUNT_SQL, ("text",)),
         ("text-quality", textstats.q_text_quality, _QUALITY_SQL, ("text",)),
         ("text-lang-id", textstats.q_text_lang_id, _LANG_ID_SQL, ("text",)),
+        # lang-id calibration: zero-margin (coin-flip) rate per bucket
+        (
+            "docs-lang-margin",
+            textstats.q_docs_lang_margin,
+            _LANG_MARGIN_SQL,
+            ("text", "dq"),
+        ),
         ("text-fingerprint", textstats.q_text_fingerprint, _FINGERPRINT_SQL, ("text",)),
         (
             "text-bpe-token-count",

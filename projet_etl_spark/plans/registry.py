@@ -129,8 +129,8 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     # (2b) late round-8 additions
     "docs-pii-density",
     "corpus-survivorship",
+    "docs-lang-margin",
     # (4d) touched-module safety rows
-    "embedding-norm-extremes",
     "embedding-centroid-shift",
     # reference-parity sentinels
     "top-1",

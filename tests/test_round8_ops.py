@@ -291,6 +291,46 @@ def test_jaccard_via_join_path_accepts_dense(spark, monkeypatch):
     assert sorted(map(tuple, sparse.collect())) == sorted(map(tuple, via.collect()))
 
 
+# --- round-8 additions: structural invariants beyond the oracles -----
+
+
+def test_split_by_cluster_is_leakage_free(spark):
+    """The property the query exists for: NO near-dup pair may cross
+    splits (cluster-label hashing puts every near-dup class in one
+    split whole). The doc-level hash split this replaces leaks by
+    construction — the split-leakage-audit exists to measure that."""
+    from projet_etl_spark.plans.registry import REGISTRY
+
+    split = {
+        r["doc_id"]: r["split"]
+        for r in REGISTRY["split-by-cluster"].fn(spark, SF_SMALL).collect()
+    }
+    pairs = REGISTRY["dedup-minhash-lsh"].fn(spark, SF_SMALL).collect()
+    assert pairs, "fixture should contain near-dup pairs"
+    crossing = [
+        (p["doc_a"], p["doc_b"])
+        for p in pairs
+        if split[p["doc_a"]] != split[p["doc_b"]]
+    ]
+    assert not crossing, f"near-dup pairs crossing splits: {crossing}"
+
+
+def test_bottomk_store_read_is_compaction_invariant(spark):
+    """The bottomk-store build ends with a compaction; its read must
+    equal the batch quantiles operator exactly (bottom-K of a union
+    = bottom-K of per-batch bottom-Ks, compaction preserving)."""
+    from projet_etl_spark.plans.registry import REGISTRY
+
+    store = [
+        tuple(r) for r in REGISTRY["bottomk-store"].fn(spark, SF_SMALL).collect()
+    ]
+    batch = [
+        tuple(r)
+        for r in REGISTRY["quantiles-hash-sample"].fn(spark, SF_SMALL).collect()
+    ]
+    assert store == batch
+
+
 def test_fixed_point_guard_off_mode_skips_check(spark, monkeypatch):
     """The measurement-only 'off' arm: no guard columns, no raise —
     exists solely so future bisects can price the guard."""
