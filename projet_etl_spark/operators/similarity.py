@@ -104,7 +104,15 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtrees (query set, probe ranking, candidate lookup); persist
     # eagerly exactly as a real deployment materializes the index
     assigned = eager_persist(coarse_assign(base, cents))
+    return ivf_topk_from_assignment(assigned, cents)
 
+
+def ivf_topk_from_assignment(assigned: DataFrame, cents) -> DataFrame:
+    """The IVF SERVE stage: (query_id, cand_id, cos, rank) from a
+    materialized (vec_id, v, n2, cell) index — shared by the batch
+    build above and the streaming-maintained index read
+    (streaming/storequery.q_ann_ivf_store), so the two serve paths
+    cannot drift."""
     # queries probe their NPROBE nearest cells
     queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("n2").alias("qn")

@@ -4130,6 +4130,14 @@ def build():
         ("ann-cosine-topk", similarity.q_ann_cosine_topk, _ANN_BRUTE_SQL, ("ann",)),
         ("ann-quantized-topk", quantized.q_ann_quantized_topk, _QANN_SQL, ("ann",)),
         ("ann-ivf-topk", similarity.q_ann_ivf_topk, _ANN_IVF_SQL, ("ann",)),
+        # same serve stage over the streaming-maintained assignment:
+        # index-maintenance-vs-rebuild parity, batch oracle verbatim
+        (
+            "ann-ivf-store",
+            storequery.q_ann_ivf_store,
+            _ANN_IVF_SQL,
+            ("ann", "streaming"),
+        ),
         (
             "ann-ivf-recall",
             similarity.q_ann_ivf_recall,

@@ -114,7 +114,6 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "split-leakage-audit",
     "dedup-lsh-recall",
     "dedup-containment",
-    "dedup-edit-distance",
     "dedup-clusters",
     "dedup-canonical",
     # (4c) storeio recover-fix downstream (store-backed reads)
@@ -126,6 +125,7 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "user-state-store",
     "attribution-store",
     "user-state-asof",
+    "ann-ivf-store",
     # (2b) late round-8 additions
     "docs-pii-density",
     "corpus-survivorship",
