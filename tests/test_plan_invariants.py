@@ -29,6 +29,9 @@ BNLJ_ALLOWED = {
     "ann-ivf-recall",
     "dedup-lsh-recall",
     "ann-quantized-topk",
+    # the streaming-index twin serves through the same probe/re-rank
+    # stage (centroid-table broadcast cross)
+    "ann-ivf-store",
     "dedup-embedding-cosine",
     # the 1-row corpus-size aggregate broadcast into the shingle
     # document-frequency cap (dedup.df_capped_shingles); the
@@ -94,6 +97,7 @@ BNLJ_ALLOWED = {
 BNLJ_BUILD_ROW_BOUND = {
     "ann-cosine-topk": 64,
     "ann-ivf-topk": 64,
+    "ann-ivf-store": 64,
     "ann-quantized-topk": 64,
     "ann-ivf-recall": 64,
     "dedup-embedding-cosine": 4096,
