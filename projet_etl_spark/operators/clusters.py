@@ -193,3 +193,42 @@ def q_semantic_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
         .orderBy("vec_id")
     )
+
+
+def q_dedup_mass_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate mass per language bucket: how much of each language
+    is NON-canonical (a near-duplicate of some lower-id doc) — the
+    per-source/per-language dedup report that tells a curation run
+    which buckets are copy-heavy before mixing weights are chosen
+    (duplicate-heavy buckets overstate their effective token supply).
+
+    Composition: cluster labels are q_dedup_clusters' oracle-checked
+    output; the additions are one doc_id equi-join to recover lang
+    and a |langs|-group aggregate of exact indicator sums.
+    """
+    labels = q_dedup_clusters(spark, sf_dir)
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        labels.join(langs, "doc_id")
+        .select(
+            "lang",
+            (F.col("doc_id") != F.col("cluster_id")).cast("long").alias("dup"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("dup").cast("long").alias("n_dups"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_dups",
+            F.round(
+                F.col("n_dups").cast("double")
+                * 100.0
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_pct"),
+        )
+        .orderBy("lang")
+    )

@@ -98,3 +98,51 @@ def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "cand_id", "cos_q", "rank")
     )
+
+
+def q_embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much cosine the int8 codes give up, per label: the audit
+    that justifies (or vetoes) serving ANN from quantized codes — run
+    it before flipping a corpus to the 4x-cheaper representation, and
+    per label because quantization error concentrates where vector
+    scale varies (a label with outlier-magnitude components loses
+    more precision than the corpus average suggests).
+
+    cosine is scale-invariant, so cos(v, dequantized(v)) ==
+    cos(v, codes) and the dequantization multiply drops out — the
+    per-vector error is one mixed double/integer fold pair. The
+    error integerizes to the 1e-9 grid (both engines compute the
+    identical double, so the floor agrees bit-for-bit), making the
+    per-label sums exact.
+
+    Scale shape: map-only code + fold expressions (whole-stage
+    codegen, no UDF), one |labels|-group aggregate.
+    """
+    from projet_etl_spark.functions.vectors import fold_dot, fold_norm2
+
+    base = (
+        _with_scale(
+            load_table(spark, sf_dir, "embeddings").select(
+                "vec_id", "label", F.col("embedding").alias("v")
+            ),
+            "v",
+        )
+        .withColumn("qc", _qcodes("v"))
+    )
+    cos = fold_dot("v", "qc") / (
+        F.sqrt(fold_norm2("v"))
+        * F.sqrt(_int_fold_dot(F.col("qc"), F.col("qc")).cast("double"))
+    )
+    err_nano = F.floor((F.lit(1.0) - cos) * F.lit(1e9) + F.lit(0.5)).cast("long")
+    return (
+        base.select(F.col("label").cast("long").alias("label"), err_nano.alias("e"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(
+                F.sum("e").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("avg_err_nano"),
+            F.max("e").cast("long").alias("max_err_nano"),
+        )
+        .orderBy("label")
+    )

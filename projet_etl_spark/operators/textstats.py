@@ -734,3 +734,32 @@ def q_docs_lang_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pred_lang")
     )
+
+
+HIST_BAND_TOKENS = 16
+
+
+def q_tokens_per_doc_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length distribution in fixed 16-token bands — the
+    profile that drives pack-sequences budgeting and curriculum
+    bucketing (token mass per length band, not just doc counts,
+    because packing cost follows tokens). Pure integer banding, one
+    map pass + one |bands|-group aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(F.size(tokens(F.col("text"))).alias("n_tok"))
+    band = F.expr(f"div(n_tok, {HIST_BAND_TOKENS})")
+    return (
+        per_doc.select(band.cast("long").alias("band"), "n_tok")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+        )
+        .select(
+            "band",
+            (F.col("band") * HIST_BAND_TOKENS).cast("long").alias("lo_tokens"),
+            "n_docs",
+            "total_tokens",
+        )
+        .orderBy("band")
+    )

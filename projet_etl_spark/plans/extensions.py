@@ -182,6 +182,22 @@ FROM reach GROUP BY vertex
 """
 )
 
+# duplicate mass per language: clusters CTE + one lang join
+_DUP_MASS_SQL = f"""
+WITH lab AS ({_CLUSTERS_SQL}),
+j AS (
+    SELECT d.lang,
+           CASE WHEN lab.doc_id <> lab.cluster_id THEN 1 ELSE 0 END AS dup
+    FROM lab JOIN documents d USING (doc_id)
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(dup) AS BIGINT) AS n_dups,
+       ROUND(CAST(SUM(dup) AS DOUBLE) * 100.0 / CAST(COUNT(*) AS DOUBLE), 6)
+           AS dup_pct
+FROM j GROUP BY lang ORDER BY lang
+"""
+
 # --- leakage-free split assignment oracle ----------------------------
 # same recursive-CTE components as _CLUSTERS_SQL, then the portable
 # 60-bit key hash of the CLUSTER label picks the split (80/10/10)
@@ -643,6 +659,37 @@ ranked AS (
 SELECT query_id, cand_id, cos_q, "rank" FROM ranked WHERE "rank" <= {quantized.TOP_K}
 """
 
+# per-label int8 cosine loss; cos is scale-invariant so the codes
+# stand in for the dequantized vector, and the mixed double/integer
+# folds associate identically in both engines
+def _sql_qdot_mixed(v: str, scale: str) -> str:
+    return " + ".join(
+        f"{v}[{i}]::DOUBLE * {_sql_qcode(v, scale, i)}"
+        for i in range(1, VEC.DIM + 1)
+    )
+
+
+_QERR_SQL = f"""
+WITH base AS (
+    SELECT label, embedding AS v, {_sql_qscale("embedding")} AS s
+    FROM embeddings
+),
+err AS (
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(floor((1.0 - ({_sql_qdot_mixed("v", "s")})
+                       / (sqrt({VEC.sql_norm2("v")})
+                          * sqrt(CAST({_sql_qnorm2("v", "s")} AS DOUBLE))))
+                      * 1e9 + 0.5) AS BIGINT) AS e
+    FROM base
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(CAST(SUM(e) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+           AS avg_err_nano,
+       CAST(MAX(e) AS BIGINT) AS max_err_nano
+FROM err GROUP BY label ORDER BY label
+"""
+
 # --- text-stats oracles ---------------------------------------------
 
 
@@ -650,6 +697,18 @@ def _sql_count_in(tok_expr: str, words: list[str]) -> str:
     arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
     return f"len(list_filter({tok_expr}, x -> list_contains({arr}, x)))"
 
+
+_TOKENS_HIST_SQL = f"""
+WITH per_doc AS (
+    SELECT len({_TOK}) AS n_tok FROM documents
+)
+SELECT CAST(n_tok // {textstats.HIST_BAND_TOKENS} AS BIGINT) AS band,
+       CAST((n_tok // {textstats.HIST_BAND_TOKENS})
+            * {textstats.HIST_BAND_TOKENS} AS BIGINT) AS lo_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+FROM per_doc GROUP BY 1, 2 ORDER BY 1
+"""
 
 _TOKEN_COUNT_SQL = f"""
 SELECT doc_id,
@@ -4129,6 +4188,13 @@ def build():
         ),
         ("ann-cosine-topk", similarity.q_ann_cosine_topk, _ANN_BRUTE_SQL, ("ann",)),
         ("ann-quantized-topk", quantized.q_ann_quantized_topk, _QANN_SQL, ("ann",)),
+        # per-label int8 cosine-loss audit for the quantized path
+        (
+            "embedding-quantization-error",
+            quantized.q_embedding_quantization_error,
+            _QERR_SQL,
+            ("ann", "dq"),
+        ),
         ("ann-ivf-topk", similarity.q_ann_ivf_topk, _ANN_IVF_SQL, ("ann",)),
         # same serve stage over the streaming-maintained assignment:
         # index-maintenance-vs-rebuild parity, batch oracle verbatim
@@ -4151,6 +4217,13 @@ def build():
             ("dedup", "audit"),
         ),
         ("text-token-count", textstats.q_text_token_count, _TOKEN_COUNT_SQL, ("text",)),
+        # doc-length distribution in 16-token bands (packing input)
+        (
+            "tokens-per-doc-histogram",
+            textstats.q_tokens_per_doc_histogram,
+            _TOKENS_HIST_SQL,
+            ("text", "curation"),
+        ),
         ("text-quality", textstats.q_text_quality, _QUALITY_SQL, ("text",)),
         ("text-lang-id", textstats.q_text_lang_id, _LANG_ID_SQL, ("text",)),
         # lang-id calibration: zero-margin (coin-flip) rate per bucket
@@ -4234,6 +4307,13 @@ def build():
         # iterative fixpoint on the Spark side; the oracle states the
         # same components as a recursive transitive closure
         ("dedup-clusters", clusters.q_dedup_clusters, _CLUSTERS_SQL, ("dedup",)),
+        # duplicate mass per language (mixing-weight hygiene input)
+        (
+            "dedup-mass-by-lang",
+            clusters.q_dedup_mass_by_lang,
+            _DUP_MASS_SQL,
+            ("dedup", "curation"),
+        ),
         # leakage-free splits: hash the CLUSTER label so near-dup
         # classes land in one split whole (oracle composes the
         # recursive-CTE components with the same portable key hash)

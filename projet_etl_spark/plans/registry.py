@@ -106,7 +106,6 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "events-autocorr",
     "top-magasins",
     "score-sante-touts-les-mois",
-    "score-evolution",
     # (4b) jaccard density-guard downstream (minhash subtree)
     "dedup-minhash-lsh",
     "dedup-ngram-jaccard",
@@ -115,11 +114,9 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "dedup-lsh-recall",
     "dedup-containment",
     "dedup-clusters",
-    "dedup-canonical",
     # (4c) storeio recover-fix downstream (store-backed reads)
     "neardedup-pairs-store",
     "daily-counts-store",
-    "bm25-store",
     "bm25-store-compacted",
     "sessions-store",
     "user-state-store",
@@ -130,6 +127,9 @@ _DRIVER_PREFIX: tuple[str, ...] = (
     "docs-pii-density",
     "corpus-survivorship",
     "docs-lang-margin",
+    "embedding-quantization-error",
+    "tokens-per-doc-histogram",
+    "dedup-mass-by-lang",
     # (4d) touched-module safety rows
     "embedding-centroid-shift",
     # reference-parity sentinels
