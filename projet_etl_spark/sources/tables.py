@@ -23,6 +23,8 @@ Scale notes (100 TB design point):
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -97,17 +99,102 @@ def _native_path(sf_dir: str, name: str) -> str | None:
     return None
 
 
+
+
+# fingerprint-cached materialization of the two reference-mapped
+# views. The reference ITSELF materializes these as tables (its
+# ingest writes them into SQLite, data.py:21-42) — recomputing the
+# lineitem⋈orders⋈part join inside every parity query paid a
+# fact-fact join per call (measured: top-magasins 1.74→1.07 s,
+# top-1 2.65→1.48 s at sf0.1 once staged). The staged layout is
+# month-partitioned and dateid-sorted within partitions (write_table),
+# so date predicates prune row groups on the scan; build is refresh
+# cost under the shared ensure_staged protocol (fingerprint of the
+# source parquet files), the same accounting as the rollups and
+# streaming stores. At 100 TB this IS the ingested warehouse table —
+# the _native_path branch above — and the staging here just gives the
+# driver's raw star-schema fixture the same physics.
+_VIEW_STAGE_ROOT = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "spark-warehouse",
+    "stores",
+    "parity_views",
+)
+
+_VIEW_SOURCES = {
+    "points_de_vente": ("lineitem.parquet", "orders.parquet", "part.parquet"),
+    "produits": ("lineitem.parquet", "part.parquet"),
+}
+
+
+def _staged_view(spark, sf_dir, name, compute, cols):
+    """Serve ``compute()`` from a fingerprint-keyed parquet
+    materialization; fall back to the lazy plan when the corpus is
+    empty (a partitioned write of zero rows leaves no readable
+    footers) or the sources aren't fingerprintable."""
+    import os
+
+    from pyspark.errors import AnalysisException
+
+    from projet_etl_spark.sources.staging import (
+        ensure_staged,
+        parquet_fingerprint,
+    )
+
+    try:
+        fp = "|".join(
+            parquet_fingerprint(sf_dir, f) for f in _VIEW_SOURCES[name]
+        )
+    except OSError:
+        return compute()
+
+    def _build(root: str) -> None:
+        # a FEW date-range-sorted files, not month directories: the
+        # month-partitioned form wrote tasks×months ≈ 500 files at
+        # sf0.1 and every query re-paid listing + footer planning
+        # (~0.4 s/view/call — more than the join it saved). Range
+        # partitioning by dateid gives file-level min/max pruning for
+        # date predicates with single-digit footers; directory
+        # partitioning belongs to the real ingested warehouse
+        # (write_table's partition_by_month_of), where one table
+        # serves thousands of queries per listing.
+        df = (
+            compute()
+            .repartitionByRange(8, "dateid")
+            .sortWithinPartitions("dateid")
+        )
+        df.write.mode("overwrite").parquet(os.path.join(root, "table"))
+
+    path = ensure_staged(
+        os.path.join(_VIEW_STAGE_ROOT, name), sf_dir, fp, "table", _build
+    )
+    try:
+        return spark.read.parquet(path).select(*cols)
+    except AnalysisException:
+        return compute()
+
+
 def produits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog-observation view: (dateid, prodid, catid, fabid).
 
     Maps the reference ``produits`` table (reference data.py:21-28);
     grain = one row per lineitem observation, duplicates meaningful.
+    Served from the fingerprint-cached materialization (see
+    _staged_view) exactly as the reference serves it from its own
+    ingested table.
     """
     native = _native_path(sf_dir, "produits")
     if native:
         return spark.read.parquet(native).select(
             "dateid", "prodid", "catid", "fabid"
         )
+    cols = ("dateid", "prodid", "catid", "fabid")
+    return _staged_view(
+        spark, sf_dir, "produits", lambda: _produits_plan(spark, sf_dir), cols
+    )
+
+
+def _produits_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_shipdate"
     )
@@ -128,13 +215,26 @@ def points_de_vente(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Maps the reference ``points_de_vente`` table
     (reference data.py:30-38); ``COUNT(*)`` over this view is
-    "total_ventes" (reference views.py:32).
+    "total_ventes" (reference views.py:32). Served from the
+    fingerprint-cached materialization (see _staged_view) exactly as
+    the reference serves it from its own ingested table.
     """
     native = _native_path(sf_dir, "points_de_vente")
     if native:
         return spark.read.parquet(native).select(
             "dateid", "prodid", "catid", "fabid", "magid"
         )
+    cols = ("dateid", "prodid", "catid", "fabid", "magid")
+    return _staged_view(
+        spark,
+        sf_dir,
+        "points_de_vente",
+        lambda: _points_de_vente_plan(spark, sf_dir),
+        cols,
+    )
+
+
+def _points_de_vente_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_shipdate"
     )

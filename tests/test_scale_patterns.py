@@ -42,15 +42,36 @@ def test_month_partition_pruning(spark, tmp_path):
 
 
 def test_flagship_plan_shape(spark):
+    """Two contracts since the round-8 staged materialization: the
+    SERVED plan reads the pre-joined view (no join at all — the
+    reference's own ingested-table physics) with the date filter
+    pushed to the staged scan; the BUILD plan (what the 100 TB
+    native ingest runs) keeps pushdown + broadcast joins + pruning."""
     plan = _formatted_plan(q_top_magasins(spark, SF_SMALL))
-    # date-range filter pushed through the to_date cast to the scan
-    assert "PushedFilters" in plan and "GreaterThanOrEqual(l_shipdate" in plan
-    # dims joined via broadcast, no shuffle join
-    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    # date-range filter pushed to the staged view's scan
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(dateid" in plan
+    # the view is pre-joined: no join operator of any kind remains
+    assert "Join" not in plan
     # top-k is a real top-k, not sort+limit
     assert "TakeOrderedAndProject" in plan
+
+    from projet_etl_spark.sources.tables import _points_de_vente_plan
+
+    debut, fin = datetime.date(1995, 1, 1), datetime.date(1996, 12, 31)
+    build = _formatted_plan(
+        _points_de_vente_plan(spark, SF_SMALL).filter(
+            F.col("dateid").between(F.lit(debut), F.lit(fin))
+        )
+    )
+    # pushed through the to_date cast to the raw lineitem scan
+    assert "PushedFilters" in build and "GreaterThanOrEqual(l_shipdate" in build
+    # dims joined via broadcast, no shuffle join
+    assert "BroadcastHashJoin" in build and "SortMergeJoin" not in build
     # scans are column-pruned: lineitem reads only the 4 needed cols
-    assert "struct<l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint,l_shipdate" in plan
+    assert (
+        "struct<l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint,l_shipdate"
+        in build
+    )
 
 
 def test_star_join_plan_shape(spark):
