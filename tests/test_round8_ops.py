@@ -342,3 +342,45 @@ def test_fixed_point_guard_off_mode_skips_check(spark, monkeypatch):
     fixedpoint.fixed_point_agg(df, ["k"], bad).collect()
     ok = fixedpoint.fixed_point_agg(df, ["k"], good).collect()
     assert {(r["k"], float(r["s"])) for r in ok} == {(1, 100009.99), (2, 5.0)}
+
+
+# --- staged parity views: refresh contract ----------------------------
+
+
+def test_staged_view_rebuilds_when_source_changes(spark, tmp_path):
+    """The fingerprint-cached parity-view materialization must serve
+    fresh data after the source parquet is regenerated (the driver
+    rewrites testdata between rounds) and reuse the staged layout
+    otherwise — stale serving would be silent wrong answers."""
+    import datetime
+    import os
+
+    from projet_etl_spark.sources.tables import points_de_vente
+
+    sfd = str(tmp_path / "sf")
+    os.makedirs(sfd)
+
+    def write_fixture(n_orders):
+        spark.createDataFrame(
+            [(i, datetime.date(1996, 1, 1 + i), i, i) for i in range(n_orders)],
+            "l_orderkey long, l_shipdate date, l_partkey long, l_suppkey long",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{sfd}/lineitem.parquet")
+        spark.createDataFrame(
+            [(i, 100 + i) for i in range(n_orders)],
+            "o_orderkey long, o_custkey long",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{sfd}/orders.parquet")
+        spark.createDataFrame(
+            [(i, f"B{i}") for i in range(n_orders)],
+            "p_partkey long, p_brand string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{sfd}/part.parquet")
+
+    write_fixture(3)
+    assert points_de_vente(spark, sfd).count() == 3
+    # regenerated (bigger) source -> fingerprint mismatch -> rebuild
+    write_fixture(5)
+    assert points_de_vente(spark, sfd).count() == 5
+    rows = {
+        (r["magid"], r["catid"])
+        for r in points_de_vente(spark, sfd).collect()
+    }
+    assert rows == {(100 + i, f"B{i}") for i in range(5)}
