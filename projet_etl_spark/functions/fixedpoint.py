@@ -71,8 +71,28 @@ __all__ = ["UnitSum", "units", "fixed_point_agg"]
 import os
 
 # bisect switch (round-8): "persum" = r7 per-sum violation counters,
-# "combined" = one OR-fused counter, "off" = no guard (measurement only)
+# "combined" = one OR-fused counter, "off" = no guard (measurement only).
+# Validated at import (round-9, advisor item): an unknown value used to
+# add no __v_* partials yet still take the combined assert branch, so
+# every sums query died with a confusing unresolved-column error — and
+# a leaked bisect "off" could silently disable the overflow guard.
 _GUARD_MODE = os.environ.get("SPARK_GRAFT_FXP_GUARD", "combined")
+if _GUARD_MODE not in ("combined", "persum", "off"):
+    raise ValueError(
+        f"SPARK_GRAFT_FXP_GUARD={_GUARD_MODE!r} is not one of "
+        "combined/persum/off (case-sensitive) — refusing to guess "
+        "which overflow-guard shape was meant"
+    )
+if _GUARD_MODE == "off":
+    import warnings
+
+    warnings.warn(
+        "SPARK_GRAFT_FXP_GUARD=off: the fixed-point overflow guard is "
+        "DISABLED — long partials can wrap silently if a declared "
+        "max_units understates the data. Measurement runs only.",
+        RuntimeWarning,
+        stacklevel=1,
+    )
 
 _BLOCK_COL = "__fxp_blk"
 # monotonically_increasing_id: partition id << 33 | per-partition seq

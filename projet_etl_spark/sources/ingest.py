@@ -250,7 +250,13 @@ def recover_swap(path: str) -> None:
     parked aside with no live directory means the crash hit between
     the two renames — restore it; a stale aside next to a live table
     is a finished swap whose cleanup died — just clear it. Call
-    before reading a table that may have a pending swap."""
+    before reading a table that may have a pending swap.
+
+    SINGLE-WRITER ONLY: this mutates the table directory, so callers
+    on the read path (storeio.read_store) are safe only while one
+    driver owns the store — a concurrent compactor could see its
+    in-flight swap artifacts recovered out from under it (see the
+    storeio module docstring)."""
     import os
     import shutil
 

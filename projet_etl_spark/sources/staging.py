@@ -22,10 +22,26 @@ from collections.abc import Callable
 
 
 def parquet_fingerprint(sf_dir: str, filename: str) -> str:
-    """size:mtime_ns of one source parquet — cheap, and the driver
-    regenerates fixtures in place so mtime moves when content does."""
-    st = os.stat(os.path.join(sf_dir, filename))
-    return f"{st.st_size}:{st.st_mtime_ns}"
+    """Fingerprint of one source parquet — cheap, and the driver
+    regenerates fixtures in place so mtime moves when content does.
+
+    Regular file: ``size:mtime_ns``. Directory-shaped source (a
+    ``{name}.parquet/`` of part files): the sorted relative
+    names+sizes+mtimes of every file beneath it — rewriting a part
+    file in place need not move the directory inode's own stat, so
+    fingerprinting the dir stat alone would serve stale staged views
+    (round-9 advisor item)."""
+    path = os.path.join(sf_dir, filename)
+    st = os.stat(path)
+    if not os.path.isdir(path):
+        return f"{st.st_size}:{st.st_mtime_ns}"
+    parts = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            fs = os.stat(os.path.join(root, f))
+            rel = os.path.relpath(os.path.join(root, f), path)
+            parts.append(f"{rel}={fs.st_size}:{fs.st_mtime_ns}")
+    return "dir[" + ",".join(sorted(parts)) + "]"
 
 
 def ensure_staged(

@@ -67,11 +67,17 @@ def stream_daily_counts(
 def read_daily_counts(spark: SparkSession, store_path: str) -> DataFrame:
     """Current (event_type, d, n) daily counts: partials folded
     across batch partitions — the detectors' input frame (empty when
-    no batch has written yet)."""
-    try:
-        raw = spark.read.parquet(store_path)
-    except Exception:
-        return spark.createDataFrame([], "event_type string, d date, n long")
+    no batch has written yet). Routed through the shared
+    storeio.read_store (round-9): a BROKEN store (corrupt footer,
+    permission error, schema drift) raises instead of feeding the
+    drift detectors a silently-empty count table; only the
+    legitimately-empty cases read as empty, and an interrupted
+    compaction swap is recovered first."""
+    from projet_etl_spark.streaming.storeio import read_store
+
+    raw = read_store(
+        spark, store_path, DAILY_SCHEMA, ["event_type", "day", "n"]
+    )
     return (
         raw.groupBy("event_type", F.col("day").alias("d"))
         .agg(F.sum("n").cast("long").alias("n"))

@@ -80,8 +80,14 @@ def stream_ivf_assign(
 
 def read_assignment(spark: SparkSession, store_path: str) -> DataFrame:
     """The current index: every vector's cell (empty frame when no
-    batch has written yet)."""
-    try:
-        return spark.read.parquet(store_path).select("vec_id", "cell")
-    except Exception:
-        return spark.createDataFrame([], ASSIGN_SCHEMA)
+    batch has written yet). Routed through the shared
+    storeio.read_store (round-9): an UNREADABLE store — corrupt
+    footer, permission error, schema drift — RAISES instead of
+    serving an empty index, because an empty ann-ivf-store ranking
+    built from a broken index is silent data loss (the exact class
+    storeio's docstring condemns); only the legitimately-empty cases
+    (no path yet, zero-row batch markers) read as empty, and an
+    interrupted compaction swap is recovered first."""
+    from projet_etl_spark.streaming.storeio import read_store
+
+    return read_store(spark, store_path, ASSIGN_SCHEMA, ["vec_id", "cell"])

@@ -17,8 +17,6 @@ however much text arrives, no unbounded token-level state anywhere.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -71,11 +69,14 @@ def stream_token_cms(
 
 
 def read_cms(spark: SparkSession, store_path: str) -> DataFrame:
-    """The current sketch: partial cells folded across batches."""
-    try:
-        parts = spark.read.parquet(store_path)
-    except Exception:
-        return spark.createDataFrame([], CELLS_SCHEMA)
+    """The current sketch: partial cells folded across batches.
+    Routed through the shared storeio.read_store (round-9): a BROKEN
+    store raises instead of serving an all-zero sketch (a CMS that
+    silently under-counts everything is worse than one that fails);
+    only the legitimately-empty cases read as empty."""
+    from projet_etl_spark.streaming.storeio import read_store
+
+    parts = read_store(spark, store_path, CELLS_SCHEMA, ["r", "bucket", "c"])
     return parts.groupBy("r", "bucket").agg(
         F.sum("c").cast("long").alias("c")
     )

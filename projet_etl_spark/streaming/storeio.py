@@ -25,6 +25,19 @@ stream can never emit, so no replay can ever overwrite it) and
 keeps the newest partition verbatim; a replayed newest batch then
 rewrites exactly its own partition, idempotently, with zero
 double-count exposure.
+
+**Single-writer assumption** (round-9, advisor item): ``read_store``
+runs ``recover_swap`` on every read, so the READ path may rename or
+delete swap-recovery artifacts. That is only safe because exactly one
+driver owns a store directory at a time — the same assumption
+Structured Streaming's checkpoint protocol already imposes on the
+write path (two concurrent writers would corrupt the checkpoint long
+before the swap artifacts mattered). Under a hypothetical concurrent
+compactor sharing the warehouse, a reader could rename the parked
+aside back between ``swap_publish``'s two renames or delete an
+in-flight ``._compacting`` directory; deploying multiple drivers over
+one store therefore requires an external lock shared with
+``swap_publish`` — it is NOT supported by this layer.
 """
 
 from __future__ import annotations
