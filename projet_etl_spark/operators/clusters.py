@@ -29,6 +29,8 @@ converges to.
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -129,7 +131,13 @@ def connected_components(
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents labeled with their near-dup cluster (min doc_id in
-    the component); singleton docs label themselves."""
+    the component); singleton docs label themselves.
+
+    This is the FROM-SCRATCH builder (and the oracle-checked registry
+    entry); every other consumer of the labels reads the
+    fingerprint-staged materialization via :func:`cluster_labels`, so
+    the CC subtree is computed once per corpus vintage, not once per
+    query (round-9, verdict item 2)."""
     pairs = q_dedup_minhash_lsh(spark, sf_dir).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
@@ -139,6 +147,94 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = connected_components(pairs, docs)
     return labels.select(
         F.col("vertex").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+# fingerprint-staged materialization of the cluster labels, shared by
+# every downstream consumer (canonical corpus, mass-by-lang, cluster
+# splits, survivorship funnel, clean-corpus/training-export pipelines).
+# Round-8 measured ~35-40 s of the 257 s cold total as the SAME
+# pointer-doubling CC subtree recomputed six-plus times; a production
+# run reads materialized cluster labels (docs/SCALE.md), and this
+# gives the engine that exact physics under the shared ensure_staged
+# protocol (build is refresh cost, keyed on the source fingerprint —
+# the same accounting as the parity views, sources/tables.py).
+_LABEL_STAGE_ROOT = _os.path.join(
+    _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    ),
+    "spark-warehouse",
+    "stores",
+    "cluster_labels",
+)
+
+
+def _staged_labels(spark, sf_dir, kind, source_file, build_df, cols):
+    """Serve a (id, cluster_id) label frame from its fingerprint-keyed
+    parquet materialization; fall back to the lazy builder plan when
+    the source isn't fingerprintable or the staged write left no
+    readable footers (empty corpus)."""
+    import os
+
+    from pyspark.errors import AnalysisException
+
+    from projet_etl_spark.sources.staging import (
+        ensure_staged,
+        parquet_fingerprint,
+    )
+
+    try:
+        fp = parquet_fingerprint(sf_dir, source_file)
+    except OSError:
+        return build_df()
+
+    def _build(root: str) -> None:
+        # labels are two longs per corpus row: range-partitioned and
+        # sorted by id so downstream doc_id equi-joins and the
+        # rep-only filter scan few, sorted files (file-level min/max
+        # pruning); 8 files keeps footer planning trivial at test SF
+        # while the layout itself is what a warehouse-scale label
+        # table would use (partition count scales with the corpus).
+        df = (
+            build_df()
+            .repartitionByRange(8, cols[0])
+            .sortWithinPartitions(cols[0])
+        )
+        df.write.mode("overwrite").parquet(os.path.join(root, "labels"))
+
+    path = ensure_staged(
+        os.path.join(_LABEL_STAGE_ROOT, kind), sf_dir, fp, "labels", _build
+    )
+    try:
+        return spark.read.parquet(path).select(*cols)
+    except AnalysisException:
+        return build_df()
+
+
+def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) near-dup labels, served from the staged
+    materialization (built by the oracle-checked q_dedup_clusters
+    plan; rebuilt whenever documents.parquet's fingerprint moves)."""
+    return _staged_labels(
+        spark,
+        sf_dir,
+        "text",
+        "documents.parquet",
+        lambda: q_dedup_clusters(spark, sf_dir),
+        ("doc_id", "cluster_id"),
+    )
+
+
+def semantic_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster_id) semantic near-dup labels, staged like
+    :func:`cluster_labels` but keyed on the embeddings source."""
+    return _staged_labels(
+        spark,
+        sf_dir,
+        "semantic",
+        "embeddings.parquet",
+        lambda: q_semantic_clusters(spark, sf_dir),
+        ("vec_id", "cluster_id"),
     )
 
 
@@ -174,8 +270,9 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster — the min doc_id, which is exactly the cluster label —
     with the number of documents it stands for. This is the view a
     training pipeline actually materializes after clustering
-    (keep-one-per-cluster); n_docs = 1 rows are the singletons."""
-    labels = q_dedup_clusters(spark, sf_dir)
+    (keep-one-per-cluster); n_docs = 1 rows are the singletons.
+    Reads the staged labels (round-9) — same frame, computed once."""
+    labels = cluster_labels(spark, sf_dir)
     return labels.groupBy(F.col("cluster_id").alias("doc_id")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
@@ -186,8 +283,9 @@ def q_semantic_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster label itself) with the number of vectors it stands for —
     the vector-space twin of ``q_dedup_canonical``, i.e. the corpus
     view a SemDeDup-style curation run materializes after semantic
-    clustering. n_vectors = 1 rows are the singletons."""
-    labels = q_semantic_clusters(spark, sf_dir)
+    clustering. n_vectors = 1 rows are the singletons.
+    Reads the staged labels (round-9) — same frame, computed once."""
+    labels = semantic_labels(spark, sf_dir)
     return (
         labels.groupBy(F.col("cluster_id").alias("vec_id"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
@@ -203,10 +301,11 @@ def q_dedup_mass_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     (duplicate-heavy buckets overstate their effective token supply).
 
     Composition: cluster labels are q_dedup_clusters' oracle-checked
-    output; the additions are one doc_id equi-join to recover lang
-    and a |langs|-group aggregate of exact indicator sums.
+    output (read from the staged materialization, round-9); the
+    additions are one doc_id equi-join to recover lang and a
+    |langs|-group aggregate of exact indicator sums.
     """
-    labels = q_dedup_clusters(spark, sf_dir)
+    labels = cluster_labels(spark, sf_dir)
     langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     return (
         labels.join(langs, "doc_id")

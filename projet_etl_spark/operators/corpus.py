@@ -74,7 +74,7 @@ def survivor_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hygiene chain: near-dedup canonical ∩ quality-model keep ∖
     contaminated, eval docs excluded — the shared front half of the
     clean-corpus audit and the training-export manifest."""
-    from projet_etl_spark.operators.clusters import q_dedup_clusters
+    from projet_etl_spark.operators.clusters import cluster_labels
     from projet_etl_spark.operators.decontam import (
         EVAL_DOCS,
         q_decontaminate_ngram,
@@ -84,7 +84,7 @@ def survivor_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text"
     )
-    reps = q_dedup_clusters(spark, sf_dir).filter(
+    reps = cluster_labels(spark, sf_dir).filter(
         F.col("doc_id") == F.col("cluster_id")
     ).select("doc_id")
     keep = score_documents(docs.select("doc_id", "text")).filter(
@@ -189,7 +189,7 @@ def q_corpus_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     never one scan per stage. Retention divides exact longs once per
     output row.
     """
-    from projet_etl_spark.operators.clusters import q_dedup_clusters
+    from projet_etl_spark.operators.clusters import cluster_labels
     from projet_etl_spark.operators.decontam import (
         EVAL_DOCS,
         q_decontaminate_ngram,
@@ -200,7 +200,7 @@ def q_corpus_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text"
     )
     reps = (
-        q_dedup_clusters(spark, sf_dir)
+        cluster_labels(spark, sf_dir)
         .filter(F.col("doc_id") == F.col("cluster_id"))
         .select("doc_id", F.lit(1).alias("is_rep"))
     )

@@ -291,9 +291,9 @@ def q_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     reruns and engines — the property that lets train/val/test be
     recomputed from the corpus at any time instead of stored.
     """
-    from projet_etl_spark.operators.clusters import q_dedup_clusters
+    from projet_etl_spark.operators.clusters import cluster_labels
 
-    labels = q_dedup_clusters(spark, sf_dir)
+    labels = cluster_labels(spark, sf_dir)
     b = portable_hash60(F.col("cluster_id").cast("string")) % F.lit(
         CLUSTER_SPLIT_BUCKETS
     )
