@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from projet_etl_spark.functions.text import tokens
+from projet_etl_spark.functions.text import h30, tokens
 from projet_etl_spark.sources.tables import load_table
 
 WORDS_MIN = 50
@@ -36,13 +36,11 @@ STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 STOP_MIN = 2
 
 
-def per_doc_counters(docs: DataFrame) -> DataFrame:
-    """(doc_id, nw, chars, alpha, symbols, stops) — the one map-only
-    pass every rule evaluates from; shared by the corpus-wide rule
-    sweep and the rules-vs-model agreement audit."""
-    t = docs.select("doc_id", tokens(F.col("text")).alias("t"), "text")
-    return t.select(
-        "doc_id",
+def _counter_cols() -> list:
+    """The five per-doc rule counters as column expressions over a
+    staged token array ``t`` and the raw ``text`` — shared by the
+    corpus-wide sweep's frame and the fused rules-vs-model scan."""
+    return [
         F.size("t").alias("nw"),
         F.length(F.concat_ws("", F.col("t"))).alias("chars"),
         F.size(F.filter(F.col("t"), lambda w: w.rlike("[a-z]"))).alias(
@@ -58,7 +56,15 @@ def per_doc_counters(docs: DataFrame) -> DataFrame:
                 lambda w: F.array_contains(F.col("t"), w),
             )
         ).alias("stops"),
-    )
+    ]
+
+
+def per_doc_counters(docs: DataFrame) -> DataFrame:
+    """(doc_id, nw, chars, alpha, symbols, stops) — the one map-only
+    pass every rule evaluates from; shared by the corpus-wide rule
+    sweep and the rules-vs-model agreement audit."""
+    t = docs.select("doc_id", tokens(F.col("text")).alias("t"), "text")
+    return t.select("doc_id", *_counter_cols())
 
 
 def rules_pass_col() -> Column:
@@ -130,24 +136,46 @@ def q_quality_rules_vs_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     disagree about what to drop and the corpus decision is really a
     policy decision.
 
-    Composition: per-doc rule flags come from per_doc_counters (the
-    sweep's own map pass), model keeps from the JVM scorer twin
-    (oracle-checked expression tree); the join is doc_id equi,
-    co-partitioned by the aggregate shuffles on either side; output
-    is ≤4 rows.
+    Fused single-scan plan (round-9, verdict item 3): both filters
+    are map-only derivations of the same ``documents`` scan, so the
+    round-8 shape — two corpus-sized doc_id shuffles to join the rule
+    frame with the scorer frame — was a 2-shuffle plan where a
+    0-shuffle plan exists (its 5.8× at 10× data was the steepest
+    scaler of that round, docs/SCALE.md). Here ONE projection computes
+    the rule counters and the model logit together: the logit is the
+    same exact BIGINT sum of bucket weights the scorer produces, just
+    folded over the feature array with ``F.aggregate`` instead of
+    explode → broadcast-weight join → per-doc hash aggregate (the
+    linear model's weights are in-row derivable, so no weight-table
+    state is needed). Docs with an empty token array have no feature
+    occurrences and never reach the scorer's per-doc aggregate, so
+    the inner join dropped them — the fused plan keeps that contract
+    with an explicit ``size(t) > 0`` filter. Nothing shuffles before
+    the final ≤4-row aggregate (pinned by a plan test).
     """
     from projet_etl_spark.operators.quality_model import (
-        q_text_quality_model_jvm,
+        N_BUCKETS,
+        _feature_array,
+        _weight_milli,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    rules = per_doc_counters(docs).select(
-        "doc_id", rules_pass_col().alias("rules_pass")
+    staged = docs.select("doc_id", tokens(F.col("text")).alias("t"), "text")
+    logit = F.aggregate(
+        _feature_array(F.col("t")),
+        F.lit(0).cast("long"),
+        lambda acc, f: acc
+        + _weight_milli(h30(f) % F.lit(N_BUCKETS)).cast("long"),
     )
-    model = q_text_quality_model_jvm(spark, sf_dir).select("doc_id", "keep")
+    per_doc = staged.filter(F.size("t") > 0).select(
+        *_counter_cols(), logit.alias("logit_milli")
+    )
     return (
-        rules.join(model, "doc_id")
-        .groupBy("rules_pass", F.col("keep").alias("model_keep"))
+        per_doc.select(
+            rules_pass_col().alias("rules_pass"),
+            (F.col("logit_milli") > 0).alias("model_keep"),
+        )
+        .groupBy("rules_pass", "model_keep")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .orderBy("rules_pass", "model_keep")
     )

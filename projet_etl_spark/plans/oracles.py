@@ -61,11 +61,15 @@ _TOP10_CAT = """
     )
 """.format(score3=_SCORE3, cat=_P["cat"], k=_P["k"])
 
-_M3_SPINE = """
+def _m3_spine(epoch: str, as_of: str) -> str:
+    return """
     SELECT strftime(m, '%Y-%m') AS mois_annee
     FROM (SELECT unnest(generate_series(DATE '{epoch}', DATE '{as_of}',
                                         INTERVAL 1 MONTH)) AS m) s
-""".format(**_P)
+""".format(epoch=epoch, as_of=as_of)
+
+
+_M3_SPINE = _m3_spine(_P["epoch"], _P["as_of"])
 
 _M2_PER_STORE = (
     ORACLE_VIEWS
@@ -89,9 +93,15 @@ per_store AS (
 )"""
 ).format(top10=_TOP10_CAT.format(debut=_P["debut"], fin=_P["fin"]), **_P)
 
-_M3_BASE = (
-    ORACLE_VIEWS
-    + """,
+def _m3_base(epoch: str, as_of: str) -> str:
+    """The M3 health-score CTE stack for an arbitrary [epoch, as_of]
+    bound — the oracle twin of composite._m3_month_avgs' time
+    parameterization (SURVEY.md §2.10.10). The default-bound string
+    below feeds PARITY_ORACLES; tests drive historical bounds through
+    this builder so the time-dependence contract can't rot."""
+    return (
+        ORACLE_VIEWS
+        + """,
 top10 AS ({top10}),
 monthly AS (
     SELECT pv.magid,
@@ -109,7 +119,46 @@ per_month AS (
     GROUP BY mois_annee
 ),
 months AS ({spine})"""
-).format(top10=_TOP10_CAT.format(debut=_P["epoch"], fin=_P["as_of"]), spine=_M3_SPINE, **_P)
+    ).format(
+        top10=_TOP10_CAT.format(debut=epoch, fin=as_of),
+        spine=_m3_spine(epoch, as_of),
+        **_P,
+    )
+
+
+def score_sante_mois_sql(epoch: str, as_of: str) -> str:
+    """score-sante-touts-les-mois oracle for an arbitrary bound."""
+    return _m3_base(epoch, as_of) + _M3_SELECT
+
+
+def score_evolution_sql(epoch: str, as_of: str) -> str:
+    """score-evolution oracle for an arbitrary bound."""
+    return ORACLE_VIEWS + _SCORE_EVOLUTION_SELECT.format(
+        epoch=epoch, as_of=as_of, **{k: v for k, v in _P.items() if k not in ("epoch", "as_of")}
+    )
+
+
+_M3_SELECT = """
+SELECT months.mois_annee,
+       ROUND(COALESCE(per_month.avg_raw, CAST(0.0 AS DOUBLE)), 6) AS avg_percentage
+FROM months LEFT JOIN per_month USING (mois_annee)
+ORDER BY mois_annee
+"""
+
+_SCORE_EVOLUTION_SELECT = """
+SELECT strftime(dateid, '%Y-%m') AS mois,
+       COUNT(*) AS total_ventes,
+       CAST(SUM(CASE WHEN fabid = {fab} THEN 1 ELSE 0 END) AS BIGINT) AS ventes_fab,
+       COALESCE(CAST(SUM(CASE WHEN fabid = {fab} THEN 1 ELSE 0 END) AS BIGINT)
+                * CAST(100.0 AS DOUBLE) / NULLIF(COUNT(*), 0),
+                CAST(0.0 AS DOUBLE)) AS score_sante
+FROM points_de_vente
+WHERE catid = '{cat}' AND dateid BETWEEN DATE '{epoch}' AND DATE '{as_of}'
+GROUP BY strftime(dateid, '%Y-%m')
+ORDER BY mois
+"""
+
+_M3_BASE = _m3_base(_P["epoch"], _P["as_of"])
 
 
 PARITY_ORACLES: dict[str, str] = {
@@ -196,19 +245,9 @@ WHERE catid = '{cat}' AND EXTRACT(year FROM dateid) = {annee}
 GROUP BY strftime(dateid, '%Y-%m')
 ORDER BY mois
 """.format(**_P),
-    "score-evolution": ORACLE_VIEWS
-    + """
-SELECT strftime(dateid, '%Y-%m') AS mois,
-       COUNT(*) AS total_ventes,
-       CAST(SUM(CASE WHEN fabid = {fab} THEN 1 ELSE 0 END) AS BIGINT) AS ventes_fab,
-       COALESCE(CAST(SUM(CASE WHEN fabid = {fab} THEN 1 ELSE 0 END) AS BIGINT)
-                * CAST(100.0 AS DOUBLE) / NULLIF(COUNT(*), 0),
-                CAST(0.0 AS DOUBLE)) AS score_sante
-FROM points_de_vente
-WHERE catid = '{cat}' AND dateid BETWEEN DATE '{epoch}' AND DATE '{as_of}'
-GROUP BY strftime(dateid, '%Y-%m')
-ORDER BY mois
-""".format(**_P),
+    "score-evolution": score_evolution_sql(
+        str(_P["epoch"]), str(_P["as_of"])
+    ),
     "avg-cat-fab-10-mag": _M2_PER_STORE
     + """
 SELECT magid, total_produits, nb_produits_fab,
@@ -223,13 +262,9 @@ SELECT ROUND(COALESCE(
            CAST(0.0 AS DOUBLE)), 6) AS average
 FROM per_store
 """,
-    "score-sante-touts-les-mois": _M3_BASE
-    + """
-SELECT months.mois_annee,
-       ROUND(COALESCE(per_month.avg_raw, CAST(0.0 AS DOUBLE)), 6) AS avg_percentage
-FROM months LEFT JOIN per_month USING (mois_annee)
-ORDER BY mois_annee
-""",
+    "score-sante-touts-les-mois": score_sante_mois_sql(
+        str(_P["epoch"]), str(_P["as_of"])
+    ),
     "score-sante-touts-les-mois-avg": _M3_BASE
     + """
 SELECT ROUND(COALESCE(AVG(per_month.avg_raw), CAST(0.0 AS DOUBLE)), 6) AS average

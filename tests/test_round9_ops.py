@@ -140,6 +140,127 @@ def test_fxp_guard_env_off_warns():
     assert r.returncode == 0, r.stderr
 
 
+# --- verdict item 3: rules-vs-model fused into one scan -----------------
+
+
+def test_rules_vs_model_plan_has_no_join_and_no_preagg_exchange(spark):
+    """The fused plan must aggregate directly over the single
+    documents scan: no join operator anywhere, and no Exchange below
+    the partial aggregate (the only shuffles left are the ≤4-row
+    final aggregate's and the output sort's)."""
+    from projet_etl_spark.operators.qualrules import q_quality_rules_vs_model
+
+    plan = (
+        q_quality_rules_vs_model(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+    below_partial_agg = plan[plan.rfind("HashAggregate"):]
+    assert "Exchange" not in below_partial_agg
+
+
+def test_rules_vs_model_fused_matches_join_composition(spark):
+    """The fused logit fold must reproduce the scorer's keep verdicts
+    exactly — pinned by rebuilding the confusion table the round-8
+    way (per-doc rule flags ⋈ scorer keeps) and comparing."""
+    from pyspark.sql import functions as F
+
+    from projet_etl_spark.operators.qualrules import (
+        per_doc_counters,
+        q_quality_rules_vs_model,
+        rules_pass_col,
+    )
+    from projet_etl_spark.operators.quality_model import (
+        q_text_quality_model_jvm,
+    )
+    from projet_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    rules = per_doc_counters(docs).select(
+        "doc_id", rules_pass_col().alias("rules_pass")
+    )
+    model = q_text_quality_model_jvm(spark, SF_SMALL).select("doc_id", "keep")
+    joined = {
+        tuple(r)
+        for r in rules.join(model, "doc_id")
+        .groupBy("rules_pass", F.col("keep").alias("model_keep"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .collect()
+    }
+    fused = {tuple(r) for r in q_quality_rules_vs_model(spark, SF_SMALL).collect()}
+    assert fused == joined
+
+
+# --- verdict item 7: as_of under a non-default (historical) bound -------
+
+
+def test_score_evolution_historical_as_of_matches_oracle(spark, duck):
+    """The as_of parameterization (SURVEY §2.10.10) is pinned at the
+    default bound by the registry oracle row; this drives a
+    historical bound through BOTH engines so the time-dependence
+    contract can't rot."""
+    from projet_etl_spark.operators.timeseries import q_score_evolution
+    from projet_etl_spark.plans.oracles import score_evolution_sql
+    from tests.conftest import assert_matches_oracle
+
+    epoch, as_of = "1996-03-01", "1997-06-30"
+    sdf = q_score_evolution(spark, SF_SMALL, epoch=epoch, as_of=as_of)
+    assert_matches_oracle(
+        sdf, duck, score_evolution_sql(epoch, as_of), "score-evolution@1997"
+    )
+
+
+def test_score_sante_mois_historical_as_of_matches_oracle(spark, duck):
+    """Same contract for the dense-month-spine composite: a
+    historical as_of must shrink the spine AND the top-10 refinement
+    window identically in Spark and DuckDB."""
+    from projet_etl_spark.operators.composite import q_score_sante_mois
+    from projet_etl_spark.plans.oracles import score_sante_mois_sql
+    from tests.conftest import assert_matches_oracle
+
+    epoch, as_of = "1996-03-01", "1997-06-30"
+    sdf = q_score_sante_mois(spark, SF_SMALL, epoch=epoch, as_of=as_of)
+    assert_matches_oracle(
+        sdf, duck, score_sante_mois_sql(epoch, as_of), "score-sante@1997"
+    )
+    # the spine itself must end at the bound: 16 months in
+    # [1996-03, 1997-06], never the default 84-month calendar
+    assert sdf.count() == 16
+
+
+# --- verdict item 5: the committed rotation obeys the staleness rule ----
+
+
+def test_driver_prefix_is_generated_by_rotation_rule():
+    """_DRIVER_PREFIX must equal docs/bench/rotation.py's output and
+    leave no registry query with a last hard CORRECTNESS row older
+    than r5 once the r9 artifact lands."""
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "docs",
+            "bench",
+        ),
+    )
+    import rotation
+
+    from projet_etl_spark.plans import registry
+
+    names = list(registry.REGISTRY)
+    assert registry._DRIVER_PREFIX == rotation.generate(names)
+    last = rotation.ledger()
+    checked_this_round = set(registry._DRIVER_PREFIX)
+    oldest_left = min(
+        last.get(n, 0) for n in names if n not in checked_this_round
+    )
+    assert oldest_left >= 5
+
+
 # --- ADVICE: directory-shaped fingerprints ------------------------------
 
 
