@@ -43,18 +43,25 @@ SENTINELS = ("top-1", "avg-cat-fab-10-mag")
 # rewires every CC consumer, qualrules' vs-model fuse, and the
 # parquet_fingerprint directory-shape change rekeys every staged
 # layout (parity views + stores + cluster labels).
-NEW: tuple[str, ...] = ()
+NEW: tuple[str, ...] = (
+    "filter-agreement-kappa",
+    "dedup-threshold-sweep",
+    "pack-efficiency",
+    "embedding-coverage-audit",
+)
+# The from-scratch CC builders (dedup-clusters, semantic-clusters)
+# are NOT listed: their plans are byte-identical this round — only
+# their CONSUMERS switched to the staged labels — and dedup-clusters
+# re-enters through the LRU fill anyway (last hard row r4).
 TOUCHED: tuple[str, ...] = (
     "ann-ivf-store",
     "daily-counts-store",
     "quality-rules-vs-model",
-    "dedup-clusters",
     "dedup-canonical",
     "dedup-mass-by-lang",
     "split-by-cluster",
     "split-leakage-audit",
     "corpus-survivorship",
-    "semantic-clusters",
     "semantic-exemplars",
     "pipeline-clean-corpus",
     "pipeline-training-export",

@@ -314,6 +314,61 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SWEEP_FLOOR = 0.5  # lowest jaccard band the sensitivity sweep reports
+SWEEP_BANDS_PER_UNIT = 20  # 0.05-wide bands
+
+
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-rate sensitivity to the jaccard threshold: verified
+    minhash candidate pairs bucketed into 0.05-wide jaccard bands
+    from 0.5 up, with the descending-cumulative pair count per band —
+    i.e. "how many pairs would a threshold of X keep". The curve a
+    curation team reads before committing to a threshold: a cliff
+    just below the current 0.8 means the dedup rate is one knife-edge
+    away from doubling.
+
+    Banding is floor(jaccard × 20) on the SAME rounded double both
+    engines compute (identical IEEE ops → identical band), so no
+    cross-engine knife-edge exists. The cumulative sum runs over the
+    ≤ 11-row band table.
+
+    100 TB: inherits the banded-LSH candidate pipeline verbatim (the
+    sweep scores the same candidate set the dedup query verifies —
+    candidates below the LSH floor are invisible, which is the
+    operating regime the curve is FOR); everything after verification
+    is band-sized."""
+    from pyspark.sql import Window
+
+    sh = eager_persist(_doc_shingles(spark, sf_dir))
+    cands = eager_persist(minhash_candidates(sh))
+    scored = _jaccard_pairs(sh, pairs=cands).filter(
+        F.col("jaccard") >= F.lit(SWEEP_FLOOR)
+    )
+    banded = (
+        scored.select(
+            F.floor(F.col("jaccard") * F.lit(SWEEP_BANDS_PER_UNIT))
+            .cast("long")
+            .alias("b")
+        )
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    w = (
+        Window.orderBy(F.col("b").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        banded.select(
+            (F.col("b").cast("double") / F.lit(float(SWEEP_BANDS_PER_UNIT))).alias(
+                "threshold_lo"
+            ),
+            "n_pairs",
+            F.sum("n_pairs").over(w).cast("long").alias("cum_pairs"),
+        )
+        .orderBy("threshold_lo")
+    )
+
+
 def minhash_candidates(sh: DataFrame) -> DataFrame:
     """Banded LSH candidate pairs (doc_a < doc_b) from a shingle
     frame — the shared front half of every minhash-verified dedup

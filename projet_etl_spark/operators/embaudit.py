@@ -186,3 +186,44 @@ def q_embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((ex2 - mean_u * mean_u) / F.lit(unit * unit), 6).alias("var_val"),
         "n",
     ).orderBy("dim")
+
+
+def q_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language embedding coverage of the document corpus: how
+    many docs have a vector in the embeddings table (doc_id = vec_id
+    by the fixture contract, FIXTURES.md) — the modality-coverage
+    audit a multimodal/retrieval pipeline runs before relying on
+    vector search, since uncovered slices silently vanish from ANN
+    results. 100%-coverage rows are the healthy case; the query
+    exists to catch the other ones after a partial embedding job.
+
+    Plan: the embeddings side reduces to bare ids before a LEFT
+    equi-join on the high-entropy key, then a |langs|-group aggregate
+    of exact indicator sums — at warehouse scale both sides are
+    id-sorted parquet, and the join is the textbook co-partitioned
+    merge."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    vecs = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(F.col("vec_id").alias("doc_id"))
+        .withColumn("has_vec", F.lit(1))
+    )
+    return (
+        docs.join(vecs, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.coalesce(F.col("has_vec"), F.lit(0)))
+            .cast("long")
+            .alias("n_with_vec"),
+        )
+        .withColumn(
+            "coverage_pct",
+            F.round(
+                (F.col("n_with_vec") * F.lit(100)).cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -70,3 +70,48 @@ def q_pack_sequences(
         "start_tok",
         F.expr(f"start_tok div {PACK_BUDGET}").alias("pack_id"),
     )
+
+
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard packing-efficiency report for the concat-then-chunk
+    layout at the pinned shard count: documents, stream tokens, packs
+    consumed (= ceil(stream / PACK_BUDGET), exact integer arithmetic)
+    and the fill percentage — the padding-waste number a dataloader
+    team watches, since every point below 100% is paid GPU time. In
+    this layout only each shard's final pack can be short, so fill
+    approaches 100% as shards grow; a LOW fill flags shards too small
+    for the budget (resharding needed), which is precisely the
+    100 TB-operations signal.
+
+    Plan: one map pass (token count + shard hash), one |shards|-group
+    aggregate of longs — no window, unlike the per-doc manifest; the
+    division happens once per output row."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        (
+            portable_hash60(F.col("doc_id").cast("string")) % F.lit(N_SHARDS)
+        ).alias("shard"),
+    )
+    per = base.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+    n_packs = F.expr(f"(n_tokens + {PACK_BUDGET - 1}) div {PACK_BUDGET}")
+    return (
+        per.select(
+            "shard",
+            "n_docs",
+            "n_tokens",
+            n_packs.cast("long").alias("n_packs"),
+        )
+        .withColumn(
+            "fill_pct",
+            F.round(
+                (F.col("n_tokens") * F.lit(100)).cast("double")
+                / (F.col("n_packs") * F.lit(PACK_BUDGET)).cast("double"),
+                6,
+            ),
+        )
+        .orderBy("shard")
+    )

@@ -179,3 +179,53 @@ def q_quality_rules_vs_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .orderBy("rules_pass", "model_keep")
     )
+
+
+def q_filter_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the rule battery and the learned scorer
+    — the chance-corrected agreement statistic that turns the
+    confusion table into the one number a curation team tracks per
+    corpus snapshot (raw agreement overstates consensus when both
+    filters keep/drop lopsidedly).
+
+    Composition: folds q_quality_rules_vs_model's ≤4-row confusion
+    table (the fused single-scan plan) into exact integer margins,
+    then evaluates po/pe/kappa with the identical IEEE expression
+    shape as the DuckDB oracle — longs in, one correctly-rounded
+    double out per ratio, ROUND(·, 6) for presentation. pe = 1
+    (degenerate margins) is defined as kappa = 1.0 via NULLIF/
+    COALESCE in both engines.
+
+    100 TB: everything after the confusion table's own aggregate is
+    a 4-row fold — the statistic costs nothing beyond the audit it
+    summarizes."""
+    ct = q_quality_rules_vs_model(spark, sf_dir)
+    m = ct.agg(
+        F.sum("n_docs").cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("rules_pass") & F.col("model_keep"), F.col("n_docs"))
+            .otherwise(F.lit(0))
+        ).cast("long").alias("a"),
+        F.sum(
+            F.when(~F.col("rules_pass") & ~F.col("model_keep"), F.col("n_docs"))
+            .otherwise(F.lit(0))
+        ).cast("long").alias("d"),
+        F.sum(
+            F.when(F.col("rules_pass"), F.col("n_docs")).otherwise(F.lit(0))
+        ).cast("long").alias("r1"),
+        F.sum(
+            F.when(F.col("model_keep"), F.col("n_docs")).otherwise(F.lit(0))
+        ).cast("long").alias("m1"),
+    )
+    nd = F.col("n").cast("double")
+    po = (F.col("a") + F.col("d")).cast("double") / nd
+    pe = (F.col("r1").cast("double") / nd) * (F.col("m1").cast("double") / nd) + (
+        (F.col("n") - F.col("r1")).cast("double") / nd
+    ) * ((F.col("n") - F.col("m1")).cast("double") / nd)
+    kappa = F.coalesce((po - pe) / F.nullif(F.lit(1.0) - pe, F.lit(0.0)), F.lit(1.0))
+    return m.select(
+        F.col("n").alias("n_docs"),
+        F.round(po, 6).alias("observed_agreement"),
+        F.round(pe, 6).alias("expected_agreement"),
+        F.round(kappa, 6).alias("kappa"),
+    )

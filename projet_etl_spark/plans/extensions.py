@@ -4164,6 +4164,109 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# Cohen's kappa over the confusion table above: exact BIGINT margins,
+# then po/pe/kappa with the identical IEEE expression shape as the
+# Spark fold (qualrules.q_filter_agreement_kappa); pe = 1 degenerates
+# to kappa = 1.0 via NULLIF/COALESCE in both engines.
+_KAPPA_SQL = f"""
+WITH ct AS ({_RULES_VS_MODEL_SQL.replace("GROUP BY 1, 2 ORDER BY 1, 2",
+                                         "GROUP BY 1, 2")}),
+m AS (
+    SELECT CAST(SUM(n_docs) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN rules_pass AND model_keep
+                         THEN n_docs ELSE 0 END) AS BIGINT) AS a,
+           CAST(SUM(CASE WHEN NOT rules_pass AND NOT model_keep
+                         THEN n_docs ELSE 0 END) AS BIGINT) AS d,
+           CAST(SUM(CASE WHEN rules_pass THEN n_docs ELSE 0 END)
+                AS BIGINT) AS r1,
+           CAST(SUM(CASE WHEN model_keep THEN n_docs ELSE 0 END)
+                AS BIGINT) AS m1
+    FROM ct
+),
+p AS (
+    SELECT n,
+           CAST(a + d AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+           (CAST(r1 AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(m1 AS DOUBLE) / CAST(n AS DOUBLE))
+           + (CAST(n - r1 AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(n - m1 AS DOUBLE) / CAST(n AS DOUBLE)) AS pe
+    FROM m
+)
+SELECT n AS n_docs,
+       ROUND(po, 6) AS observed_agreement,
+       ROUND(pe, 6) AS expected_agreement,
+       ROUND(COALESCE((po - pe) / NULLIF(1.0 - pe, 0.0), 1.0), 6) AS kappa
+FROM p
+"""
+
+
+# jaccard-threshold sensitivity sweep over the verified minhash
+# candidates: band on the SAME rounded double, descending-cumulative
+# pair counts over the <= 11-row band table
+_SWEEP_SQL = (
+    _MINHASH_CTES
+    + f""",
+swept AS (
+    SELECT CAST(FLOOR(jaccard * {dedup.SWEEP_BANDS_PER_UNIT}) AS BIGINT) AS b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM jac WHERE jaccard >= {dedup.SWEEP_FLOOR}
+    GROUP BY 1
+)
+SELECT CAST(b AS DOUBLE) / {dedup.SWEEP_BANDS_PER_UNIT} AS threshold_lo,
+       n_pairs,
+       CAST(SUM(n_pairs) OVER (ORDER BY b DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_pairs
+FROM swept ORDER BY threshold_lo
+"""
+)
+
+
+# per-shard packing efficiency at the pinned shard count: exact
+# integer ceil for pack counts, one presentation division per row
+_PACK_EFF_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, {_TOK} AS t FROM documents
+),
+base AS (
+    SELECT CAST(len(t) AS BIGINT) AS n_tokens,
+           ({TX.SQL_HASH60.format(col="CAST(doc_id AS VARCHAR)")}
+            % {packing.N_SHARDS}) AS shard
+    FROM tok
+),
+per AS (
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM base GROUP BY shard
+)
+SELECT shard, n_docs, n_tokens,
+       CAST((n_tokens + {packing.PACK_BUDGET - 1}) // {packing.PACK_BUDGET}
+            AS BIGINT) AS n_packs,
+       ROUND(CAST(n_tokens * 100 AS DOUBLE)
+             / CAST(((n_tokens + {packing.PACK_BUDGET - 1})
+                     // {packing.PACK_BUDGET}) * {packing.PACK_BUDGET}
+                    AS DOUBLE), 6) AS fill_pct
+FROM per ORDER BY shard
+"""
+
+
+# per-language embedding coverage: LEFT join on the id contract
+# (doc_id = vec_id), exact indicator sums
+_EMB_COVERAGE_SQL = """
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_with_vec,
+       ROUND(CAST(SUM(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                  * 100 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+           AS coverage_pct
+FROM documents d
+LEFT JOIN (SELECT vec_id AS doc_id FROM embeddings) e USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
 def build():
     """Registry entries for the extension surface; imported by
     plans.registry at module init."""
@@ -5103,6 +5206,32 @@ def build():
             _qr.q_quality_rules_vs_model,
             _RULES_VS_MODEL_SQL,
             ("curation", "dq"),
+        ),
+        # round-9 additions: filter agreement statistic, dedup
+        # threshold sensitivity, packing efficiency, modality coverage
+        (
+            "filter-agreement-kappa",
+            _qr.q_filter_agreement_kappa,
+            _KAPPA_SQL,
+            ("curation", "dq"),
+        ),
+        (
+            "dedup-threshold-sweep",
+            dedup.q_dedup_threshold_sweep,
+            _SWEEP_SQL,
+            ("dedup",),
+        ),
+        (
+            "pack-efficiency",
+            packing.q_pack_efficiency,
+            _PACK_EFF_SQL,
+            ("curation", "pipeline"),
+        ),
+        (
+            "embedding-coverage-audit",
+            _embaudit.q_embedding_coverage,
+            _EMB_COVERAGE_SQL,
+            ("similarity", "dq"),
         ),
     ]
     return {

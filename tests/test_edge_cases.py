@@ -401,6 +401,9 @@ _EMPTY_NONEMPTY_OK = {
     "orders-theilsen-trend",
     # rule battery: one row per rule with zero failures on empty input
     "docs-quality-rules",
+    # grand-aggregate agreement stat: one all-NULL-margins row with
+    # kappa degenerating to 1.0 (identical in the DuckDB oracle)
+    "filter-agreement-kappa",
 }
 
 
