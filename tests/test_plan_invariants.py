@@ -80,6 +80,9 @@ BNLJ_ALLOWED = {
     "cold-customers-segments",
     # inherits the minhash pair subtree (df-cap 1-row broadcast)
     "split-leakage-audit",
+    # inherits the minhash candidate subtree (df-cap corpus-size
+    # 1-row broadcast) plus the expand-density 1-row audit cross
+    "dedup-threshold-sweep",
     # day-grain pairwise-slope inequality join (calendar-span bounded
     # build side) + the 1-row median broadcast
     "orders-theilsen-trend",
