@@ -48,6 +48,17 @@ NEW: tuple[str, ...] = (
     "dedup-threshold-sweep",
     "pack-efficiency",
     "embedding-coverage-audit",
+    # late round-9 additions (DSIR resampling weights, dedup source
+    # attribution + size histogram, int8 recall audit). Eight NEW
+    # queries consume eight LRU fill slots, so three r4-stale queries
+    # overflow to r10 (they are first in line there by the LRU rule,
+    # and this round's committed full_sweep run value-certifies them
+    # at both SFs in the meantime) — the pinned bound in
+    # tests/test_round9_ops.py states exactly this.
+    "dsir-importance",
+    "dedup-source-attribution",
+    "dedup-cluster-size-histogram",
+    "ann-quantized-recall",
 )
 # The from-scratch CC builders (dedup-clusters, semantic-clusters)
 # are NOT listed: their plans are byte-identical this round — only

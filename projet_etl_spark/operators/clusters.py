@@ -331,3 +331,96 @@ def q_dedup_mass_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def q_dedup_source_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate mass per SOURCE, split into within-source and
+    cross-source duplication — the report that tells a curation run
+    which feeds mirror each other (a source whose duplicates are
+    mostly CROSS-source is re-crawling someone else's corpus, so
+    dropping it costs little unique text; ``dup_chars`` prices the
+    redundant bytes it contributes).
+
+    Composition: staged near-dup labels (q_dedup_clusters' oracle-
+    checked output) + one doc_id equi-join for the member's source
+    and chars + one cluster_id equi-join for the canonical doc's
+    source (every cluster label IS a doc_id, so the second side is
+    the same reduced 2-column projection), then a |sources|-group
+    aggregate of exact indicator/char sums. Both joins are
+    high-entropy-key equi-joins over reduced projections — the same
+    scale class as q_dedup_mass_by_lang.
+    """
+    labels = cluster_labels(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    canon = docs.select(
+        F.col("doc_id").alias("cluster_id"), F.col("source").alias("canon_source")
+    )
+    dup = (F.col("doc_id") != F.col("cluster_id")).cast("long")
+    xdup = (
+        (F.col("doc_id") != F.col("cluster_id"))
+        & (F.col("source") != F.col("canon_source"))
+    ).cast("long")
+    return (
+        labels.join(docs, "doc_id")
+        .join(canon, "cluster_id")
+        .select(
+            "source",
+            dup.alias("dup"),
+            xdup.alias("xdup"),
+            (dup * F.col("n_chars")).alias("dup_chars"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("dup").cast("long").alias("n_dups"),
+            F.sum("xdup").cast("long").alias("n_cross_dups"),
+            F.sum("dup_chars").cast("long").alias("dup_chars"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dups",
+            "n_cross_dups",
+            "dup_chars",
+            F.round(
+                F.col("n_dups").cast("double")
+                * 100.0
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_pct"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution: how many clusters have k
+    members and how much of the corpus they hold — the first chart a
+    dedup report shows (a heavy tail of large clusters means boiler-
+    plate/mirrored content dominates the duplicate mass; all-
+    singletons means the threshold is too strict to matter).
+
+    Scale shape: the staged labels aggregate to |clusters| rows
+    (cluster_id groupBy — one shuffle of label-grain rows reduced by
+    map-side combine), then to |distinct sizes| rows. All counts are
+    exact BIGINTs.
+    """
+    labels = cluster_labels(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+            ((F.col("cluster_size") - F.lit(1)) * F.col("n_clusters")).alias(
+                "n_dup_docs"
+            ),
+        )
+        .orderBy("cluster_size")
+    )

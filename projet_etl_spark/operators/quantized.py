@@ -146,3 +146,37 @@ def q_embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("label")
     )
+
+
+def q_ann_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured accuracy of the int8 path: per query, how many of the
+    exact float-cosine top-K the quantized scorer returns — the
+    audit convention applied to quantization (every approximation
+    here ships with a measured-accuracy twin: IVF has ann-ivf-recall,
+    LSH has dedup-lsh-recall, this is the int8 one; together with
+    embedding-quantization-error it is the evidence read before
+    flipping a corpus to the 4x-cheaper representation — error says
+    how much cosine the codes give up, recall says whether the
+    RANKING survived).
+
+    Scale shape: both sides are the existing top-K results
+    (N_QUERIES x TOP_K rows each); the comparison is a tiny
+    equi-join + a |queries|-group aggregate.
+    """
+    from projet_etl_spark.operators.similarity import q_ann_cosine_topk
+
+    brute = q_ann_cosine_topk(spark, sf_dir).select("query_id", "cand_id")
+    quant = q_ann_quantized_topk(spark, sf_dir).select(
+        "query_id", "cand_id", F.lit(1).alias("hit")
+    )
+    return (
+        brute.join(quant, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.lit(float(TOP_K))).alias("recall"),
+        )
+        .orderBy("query_id")
+    )

@@ -4266,6 +4266,106 @@ LEFT JOIN (SELECT vec_id AS doc_id FROM embeddings) e USING (doc_id)
 GROUP BY d.lang ORDER BY d.lang
 """
 
+from projet_etl_spark.operators import dsir as _dsir  # noqa: E402
+
+# --- DSIR importance oracle ------------------------------------------
+# same hashed-bucket table, smoothing, and half-away microlog
+# integerization as operators/dsir.py, generated from the SAME
+# constants; per-document weights are exact BIGINT sums so no float
+# accumulation order can disagree. The double arithmetic inside LN is
+# written operation-for-operation as the Python driver computes it
+# (each smoothed probability one division, the ratio one more) so both
+# engines integerize the identical IEEE double.
+_DSIR_TARGETS = ", ".join(f"'{s}'" for s in _dsir.DSIR_TARGET_SOURCES)
+_DSIR_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, source, unnest({_TOK}) AS tok FROM documents
+),
+tk AS (
+    SELECT doc_id, source,
+           ({TX.SQL_HASH60.format(col="tok")} % {_dsir.DSIR_BUCKETS}) AS bucket
+    FROM tok WHERE tok <> ''
+),
+cnt AS (
+    SELECT bucket,
+           CAST(SUM(CASE WHEN source IN ({_DSIR_TARGETS}) THEN 1 ELSE 0 END)
+                AS BIGINT) AS ct,
+           CAST(COUNT(*) AS BIGINT) AS cr
+    FROM tk GROUP BY bucket
+),
+tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM cnt),
+ratio AS (
+    SELECT bucket,
+           CAST(ROUND(LN(
+               (CAST(ct + 1 AS DOUBLE) / CAST(tt + {_dsir.DSIR_BUCKETS} AS DOUBLE))
+             / (CAST(cr + 1 AS DOUBLE) / CAST(tr + {_dsir.DSIR_BUCKETS} AS DOUBLE))
+           ) * 1000000.0) AS BIGINT) AS mlog
+    FROM cnt, tot
+),
+w AS (
+    SELECT tk.doc_id, CAST(SUM(r.mlog) AS BIGINT) AS dsir_microlog
+    FROM tk JOIN ratio r USING (bucket)
+    GROUP BY tk.doc_id
+)
+SELECT d.doc_id, d.lang, d.source, w.dsir_microlog
+FROM w JOIN documents d USING (doc_id)
+ORDER BY w.dsir_microlog DESC, d.doc_id
+LIMIT {_dsir.DSIR_TOP_K}
+"""
+
+# --- duplicate-mass-by-source oracle ---------------------------------
+# clusters CTE + the member's source/chars and the canonical doc's
+# source (cluster labels ARE doc_ids)
+_SOURCE_ATTR_SQL = f"""
+WITH lab AS ({_CLUSTERS_SQL}),
+j AS (
+    SELECT d.source, d.n_chars,
+           CASE WHEN lab.doc_id <> lab.cluster_id THEN 1 ELSE 0 END AS dup,
+           CASE WHEN lab.doc_id <> lab.cluster_id AND d.source <> c.source
+                THEN 1 ELSE 0 END AS xdup
+    FROM lab
+    JOIN documents d ON lab.doc_id = d.doc_id
+    JOIN documents c ON lab.cluster_id = c.doc_id
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(dup) AS BIGINT) AS n_dups,
+       CAST(SUM(xdup) AS BIGINT) AS n_cross_dups,
+       CAST(SUM(dup * n_chars) AS BIGINT) AS dup_chars,
+       ROUND(CAST(SUM(dup) AS DOUBLE) * 100.0 / CAST(COUNT(*) AS DOUBLE), 6)
+           AS dup_pct
+FROM j GROUP BY source ORDER BY source
+"""
+
+# --- cluster-size histogram oracle -----------------------------------
+_CLUSTER_SIZE_HIST_SQL = f"""
+WITH lab AS ({_CLUSTERS_SQL}),
+sz AS (
+    SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+    FROM lab GROUP BY cluster_id
+)
+SELECT cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+       CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS n_dup_docs
+FROM sz GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+# --- quantized-recall oracle (brute twin vs int8 twin) ----------------
+_QANN_RECALL_SQL = f"""
+WITH brute AS ({_ANN_BRUTE_SQL}),
+quant AS ({_QANN_SQL})
+SELECT b.query_id,
+       CAST(SUM(CASE WHEN q.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hits,
+       CAST(SUM(CASE WHEN q.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / {float(similarity.TOP_K)} AS recall
+FROM brute b
+LEFT JOIN quant q ON b.query_id = q.query_id AND b.cand_id = q.cand_id
+GROUP BY b.query_id
+ORDER BY b.query_id
+"""
+
 
 def build():
     """Registry entries for the extension surface; imported by
@@ -5232,6 +5332,32 @@ def build():
             _embaudit.q_embedding_coverage,
             _EMB_COVERAGE_SQL,
             ("similarity", "dq"),
+        ),
+        # round-9 late additions: DSIR resampling weights, dedup
+        # source attribution + size histogram, int8 recall audit
+        (
+            "dsir-importance",
+            _dsir.q_dsir_importance,
+            _DSIR_SQL,
+            ("curation", "text"),
+        ),
+        (
+            "dedup-source-attribution",
+            clusters.q_dedup_source_attribution,
+            _SOURCE_ATTR_SQL,
+            ("dedup", "curation"),
+        ),
+        (
+            "dedup-cluster-size-histogram",
+            clusters.q_dedup_cluster_size_histogram,
+            _CLUSTER_SIZE_HIST_SQL,
+            ("dedup",),
+        ),
+        (
+            "ann-quantized-recall",
+            quantized.q_ann_quantized_recall,
+            _QANN_RECALL_SQL,
+            ("ann", "audit"),
         ),
     ]
     return {

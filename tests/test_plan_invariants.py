@@ -27,6 +27,7 @@ BNLJ_ALLOWED = {
     "ann-ivf-topk",
     # the recall audits nest the allowlisted parents' plans verbatim
     "ann-ivf-recall",
+    "ann-quantized-recall",
     "dedup-lsh-recall",
     "ann-quantized-topk",
     # the streaming-index twin serves through the same probe/re-rank
@@ -103,6 +104,7 @@ BNLJ_BUILD_ROW_BOUND = {
     "ann-ivf-store": 64,
     "ann-quantized-topk": 64,
     "ann-ivf-recall": 64,
+    "ann-quantized-recall": 64,
     "dedup-embedding-cosine": 4096,
     "decontaminate-embedding": 64,  # the EVAL_VECS eval block
     "distinct-kmv-intersect": 64,  # the event-type list (pair cross)
