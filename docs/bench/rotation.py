@@ -59,6 +59,7 @@ NEW: tuple[str, ...] = (
     "dedup-source-attribution",
     "dedup-cluster-size-histogram",
     "ann-quantized-recall",
+    "quality-model-calibration",
 )
 # The from-scratch CC builders (dedup-clusters, semantic-clusters)
 # are NOT listed: their plans are byte-identical this round — only

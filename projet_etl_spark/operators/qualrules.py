@@ -127,6 +127,42 @@ def q_docs_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rule")
 
 
+def _per_doc_rules_and_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fused single-scan projection (round-9, verdict item 3):
+    rule counters AND the learned scorer's exact-BIGINT logit from
+    ONE pass over ``documents`` — shared by the confusion table, the
+    kappa fold, and the calibration curve so the three reports can
+    never disagree about what either filter said."""
+    from projet_etl_spark.operators.quality_model import (
+        N_BUCKETS,
+        _feature_array,
+        _weight_milli,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", tokens(F.col("text")).alias("t"), "text")
+    logit = F.aggregate(
+        _feature_array(F.col("t")),
+        F.lit(0).cast("long"),
+        lambda acc, f: acc
+        + _weight_milli(h30(f) % F.lit(N_BUCKETS)).cast("long"),
+    )
+    return staged.filter(F.size("t") > 0).select(
+        *_counter_cols(), logit.alias("logit_milli")
+    )
+
+
+# fixed calibration bands over the milli-logit axis: width/limits are
+# pinned constants (shared with the DuckDB oracle), clamped at the
+# edges, so the band arithmetic is pure non-negative integer division
+# in both engines — no data-dependent boundaries to broadcast and no
+# float banding knife-edge.
+CAL_BAND_MILLI = 4_000
+CAL_LO_MILLI = -24_000
+CAL_HI_MILLI = 16_000
+CAL_BANDS = (CAL_HI_MILLI - CAL_LO_MILLI) // CAL_BAND_MILLI
+
+
 def q_quality_rules_vs_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Agreement audit between the two quality filters the engine
     ships: the published rule battery above vs the learned
@@ -153,23 +189,7 @@ def q_quality_rules_vs_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     with an explicit ``size(t) > 0`` filter. Nothing shuffles before
     the final ≤4-row aggregate (pinned by a plan test).
     """
-    from projet_etl_spark.operators.quality_model import (
-        N_BUCKETS,
-        _feature_array,
-        _weight_milli,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    staged = docs.select("doc_id", tokens(F.col("text")).alias("t"), "text")
-    logit = F.aggregate(
-        _feature_array(F.col("t")),
-        F.lit(0).cast("long"),
-        lambda acc, f: acc
-        + _weight_milli(h30(f) % F.lit(N_BUCKETS)).cast("long"),
-    )
-    per_doc = staged.filter(F.size("t") > 0).select(
-        *_counter_cols(), logit.alias("logit_milli")
-    )
+    per_doc = _per_doc_rules_and_logit(spark, sf_dir)
     return (
         per_doc.select(
             rules_pass_col().alias("rules_pass"),
@@ -228,4 +248,62 @@ def q_filter_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(po, 6).alias("observed_agreement"),
         F.round(pe, 6).alias("expected_agreement"),
         F.round(kappa, 6).alias("kappa"),
+    )
+
+
+def q_quality_model_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability curve of the learned scorer against the rule
+    battery: documents banded by the model's milli-logit (fixed
+    CAL_BAND_MILLI-wide bands, edge-clamped), each band reporting how
+    often the rules agree the document is keepable. Kappa
+    (q_filter_agreement_kappa) is the one-number agreement summary;
+    this is the per-band view a curation team reads to SET the
+    model threshold — a monotone rules-pass rate across bands means
+    the logit orders quality even where the two filters disagree in
+    aggregate, and the band where the rate crosses ~50% is the
+    evidence-backed cut point.
+
+    Exactness: the clamp and band index are pure non-negative integer
+    arithmetic (no data-dependent boundaries, no float banding
+    knife-edge); per-band counts are exact BIGINTs with one rounded
+    double ratio per output row.
+
+    Scale shape: the fused single-scan projection (shared with the
+    confusion table) followed by a ≤CAL_BANDS-group aggregate —
+    nothing shuffles before the final tiny aggregate, same contract
+    as quality-rules-vs-model.
+    """
+    per_doc = _per_doc_rules_and_logit(spark, sf_dir)
+    clamped = F.greatest(
+        F.least(F.col("logit_milli"), F.lit(CAL_HI_MILLI - 1)),
+        F.lit(CAL_LO_MILLI),
+    )
+    banded = per_doc.select(
+        (clamped - F.lit(CAL_LO_MILLI)).alias("shifted"),
+        rules_pass_col().cast("long").alias("rules_pass"),
+    ).select(
+        F.expr(f"div(shifted, {CAL_BAND_MILLI})").alias("band"),
+        "rules_pass",
+    )
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("rules_pass").cast("long").alias("n_rules_pass"),
+        )
+        .select(
+            "band",
+            (F.lit(CAL_LO_MILLI) + F.col("band") * F.lit(CAL_BAND_MILLI))
+            .cast("long")
+            .alias("band_lo_milli"),
+            "n_docs",
+            "n_rules_pass",
+            F.round(
+                F.col("n_rules_pass").cast("double")
+                * 100.0
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("rules_pass_pct"),
+        )
+        .orderBy("band")
     )

@@ -4129,7 +4129,10 @@ FROM rules ORDER BY rule
 # rules-vs-model agreement: per-doc rule flags (the _QUALRULES_SQL
 # counters, doc_id kept) joined with the JVM scorer's keep decision
 # (_QMODEL_SQL nested verbatim, order stripped)
-_RULES_VS_MODEL_SQL = f"""
+# shared CTE prefix for every rules-battery × learned-scorer report
+# (confusion table, kappa, calibration curve) — one definition, so
+# the three oracles cannot disagree about what either filter said
+_RULES_MODEL_CTES = f"""
 WITH toks AS (
     SELECT doc_id, {TX.SQL_TOKENS.format(col='text')} AS t, text
     FROM documents
@@ -4155,8 +4158,11 @@ rules AS (
     FROM per_doc
 ),
 model AS (
-    SELECT doc_id, keep FROM ({_QMODEL_SQL.replace("ORDER BY doc_id", "")}) m
-)
+    SELECT doc_id, keep, logit_milli
+    FROM ({_QMODEL_SQL.replace("ORDER BY doc_id", "")}) m
+)"""
+
+_RULES_VS_MODEL_SQL = f"""{_RULES_MODEL_CTES}
 SELECT r.rules_pass, m.keep AS model_keep,
        CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM rules r JOIN model m USING (doc_id)
@@ -4267,6 +4273,30 @@ GROUP BY d.lang ORDER BY d.lang
 """
 
 from projet_etl_spark.operators import dsir as _dsir  # noqa: E402
+
+# --- model-calibration oracle ------------------------------------------
+# fixed milli-logit bands (constants shared with qualrules.py): the
+# clamp and band index are pure non-negative integer arithmetic, so
+# both engines band identically; one rounded ratio per output row
+_CALIBRATION_SQL = f"""{_RULES_MODEL_CTES},
+j AS (
+    SELECT CASE WHEN r.rules_pass THEN 1 ELSE 0 END AS rp,
+           GREATEST(LEAST(m.logit_milli, {_qr.CAL_HI_MILLI - 1}),
+                    {_qr.CAL_LO_MILLI}) - ({_qr.CAL_LO_MILLI}) AS shifted
+    FROM rules r JOIN model m USING (doc_id)
+),
+b AS (
+    SELECT shifted // {_qr.CAL_BAND_MILLI} AS band, rp FROM j
+)
+SELECT band,
+       CAST({_qr.CAL_LO_MILLI} + band * {_qr.CAL_BAND_MILLI} AS BIGINT)
+           AS band_lo_milli,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(rp) AS BIGINT) AS n_rules_pass,
+       ROUND(CAST(SUM(rp) AS DOUBLE) * 100.0 / CAST(COUNT(*) AS DOUBLE), 6)
+           AS rules_pass_pct
+FROM b GROUP BY band ORDER BY band
+"""
 
 # --- DSIR importance oracle ------------------------------------------
 # same hashed-bucket table, smoothing, and half-away microlog
@@ -5358,6 +5388,13 @@ def build():
             quantized.q_ann_quantized_recall,
             _QANN_RECALL_SQL,
             ("ann", "audit"),
+        ),
+        # per-band reliability curve behind the kappa summary
+        (
+            "quality-model-calibration",
+            _qr.q_quality_model_calibration,
+            _CALIBRATION_SQL,
+            ("curation", "dq"),
         ),
     ]
     return {

@@ -21,6 +21,7 @@ _NEW = (
     "dedup-source-attribution",
     "dedup-cluster-size-histogram",
     "ann-quantized-recall",
+    "quality-model-calibration",
 )
 
 
@@ -118,6 +119,46 @@ def test_cluster_size_histogram_accounts_for_every_doc(spark):
     for r in hist:
         assert r.n_dup_docs == r.n_docs - r.n_clusters
         assert r.cluster_size >= 1
+
+
+def test_calibration_plan_stays_single_scan(spark):
+    """The calibration curve composes the fused projection, so it
+    inherits the same contract: no join, nothing shuffles before the
+    final <=CAL_BANDS-group aggregate (one partial/final Exchange
+    pair is the aggregate itself)."""
+    from projet_etl_spark.operators.qualrules import (
+        q_quality_model_calibration,
+    )
+
+    plan = (
+        q_quality_model_calibration(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    # exactly the aggregate's own exchange (plus AQE's final sort):
+    # any second corpus-grain exchange means the fuse regressed
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_calibration_bands_consistent_with_confusion_table(spark):
+    """Band indexes live in [0, CAL_BANDS); the banded doc total and
+    rules-pass total equal the confusion table's (same fused
+    projection, so any drift is a real defect)."""
+    from projet_etl_spark.operators.qualrules import (
+        CAL_BANDS,
+        q_quality_model_calibration,
+    )
+
+    bands = q_quality_model_calibration(spark, SF_SMALL).collect()
+    ct = REGISTRY["quality-rules-vs-model"].fn(spark, SF_SMALL).collect()
+    assert all(0 <= r.band < CAL_BANDS for r in bands)
+    assert sum(r.n_docs for r in bands) == sum(r.n_docs for r in ct)
+    assert sum(r.n_rules_pass for r in bands) == sum(
+        r.n_docs for r in ct if r.rules_pass
+    )
 
 
 def test_quantized_recall_bounded_and_complete(spark):
