@@ -60,6 +60,7 @@ NEW: tuple[str, ...] = (
     "dedup-cluster-size-histogram",
     "ann-quantized-recall",
     "quality-model-calibration",
+    "dsir-store",
 )
 # The from-scratch CC builders (dedup-clusters, semantic-clusters)
 # are NOT listed: their plans are byte-identical this round — only

@@ -72,21 +72,18 @@ def _round_half_away(x: float) -> int:
     return int(math.floor(x + 0.5)) if x >= 0.0 else -int(math.floor(-x + 0.5))
 
 
-def _bucket_microlog(spark: SparkSession, sf_dir: str) -> list[int]:
-    """The learned table: smoothed log-likelihood ratio per hash
-    bucket, in exact integer MICROLOG units, dense over all buckets.
-
-    Mirrors the oracle's arithmetic operation-for-operation: each
-    smoothed probability is one integer->double division, the ratio
-    one more, then ``ln`` and the half-away integerization — so both
-    engines integerize the identical IEEE double.
-    """
-    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+def bucket_partials(docs: DataFrame) -> DataFrame:
+    """(bucket, ct, cr) hashed token counts of ANY (source, text)
+    frame — the COUNT-pass core, shared by the batch table build and
+    the streaming store's per-micro-batch partials (partial counts
+    are additive, so a fold of per-batch partials equals this frame
+    over the union of the batches — the store→rescan parity the
+    dsir-store oracle row certifies)."""
     tok = docs.select(
         F.col("source"),
         F.explode(tokens(F.col("text"))).alias("tok"),
     ).filter(F.col("tok") != "")
-    counts = (
+    return (
         tok.select(
             (portable_hash60(F.col("tok")) % F.lit(DSIR_BUCKETS)).alias("bucket"),
             F.col("source")
@@ -96,11 +93,22 @@ def _bucket_microlog(spark: SparkSession, sf_dir: str) -> list[int]:
         )
         .groupBy("bucket")
         .agg(
-            F.sum("is_target").alias("ct"),
-            F.count(F.lit(1)).alias("cr"),
+            F.sum("is_target").cast("long").alias("ct"),
+            F.count(F.lit(1)).cast("long").alias("cr"),
         )
-        .collect()  # bounded: at most DSIR_BUCKETS rows by construction
     )
+
+
+def microlog_from_counts(counts) -> list[int]:
+    """The learned table from collected (bucket, ct, cr) rows:
+    smoothed log-likelihood ratio per hash bucket, in exact integer
+    MICROLOG units, dense over all buckets.
+
+    Mirrors the oracle's arithmetic operation-for-operation: each
+    smoothed probability is one integer->double division, the ratio
+    one more, then ``ln`` and the half-away integerization — so both
+    engines integerize the identical IEEE double.
+    """
     total_t = sum(r["ct"] for r in counts)
     total_r = sum(r["cr"] for r in counts)
     table = [0] * DSIR_BUCKETS
@@ -111,14 +119,19 @@ def _bucket_microlog(spark: SparkSession, sf_dir: str) -> list[int]:
     return table
 
 
-def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-``DSIR_TOP_K`` documents by DSIR importance weight toward
-    the curated seed sources — the resampling order a curation run
-    reads to upsample target-like raw documents.
+def _bucket_microlog(spark: SparkSession, sf_dir: str) -> list[int]:
+    """Batch path: one corpus COUNT pass, bounded collect, table."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    # bounded: at most DSIR_BUCKETS rows by construction
+    return microlog_from_counts(bucket_partials(docs).collect())
 
-    ``dsir_microlog`` is the document's summed bucket log-likelihood
-    ratio in exact micro-log units (BIGINT end to end)."""
-    table = _bucket_microlog(spark, sf_dir)
+
+def score_with_table(
+    spark: SparkSession, sf_dir: str, table: list[int]
+) -> DataFrame:
+    """The SCORE pass over ``documents`` under a given microlog
+    table — shared by the batch query and the store-served twin, so
+    the two serve paths cannot drift."""
     mlog = F.lit(table)  # single array<long> literal, broadcast with the plan
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "text"
@@ -144,3 +157,13 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dsir_microlog"), F.asc("doc_id"))
         .limit(DSIR_TOP_K)
     )
+
+
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``DSIR_TOP_K`` documents by DSIR importance weight toward
+    the curated seed sources — the resampling order a curation run
+    reads to upsample target-like raw documents.
+
+    ``dsir_microlog`` is the document's summed bucket log-likelihood
+    ratio in exact micro-log units (BIGINT end to end)."""
+    return score_with_table(spark, sf_dir, _bucket_microlog(spark, sf_dir))

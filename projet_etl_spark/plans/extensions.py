@@ -5396,6 +5396,15 @@ def build():
             _CALIBRATION_SQL,
             ("curation", "dq"),
         ),
+        # DSIR importance served from the stream-maintained bucket
+        # statistics — shares the batch DSIR oracle verbatim, so a
+        # green row proves statistics-maintenance-vs-rescan parity
+        (
+            "dsir-store",
+            storequery.q_dsir_store,
+            _DSIR_SQL,
+            ("curation", "streaming"),
+        ),
     ]
     return {
         name: QuerySpec(name=name, fn=_wrap(fn), oracle=sql, tags=tags, raw_fn=fn)

@@ -179,7 +179,9 @@ NEARDEDUP_ROOT = os.path.join(
 )
 
 
-def _stage_doc_chunks(sf_dir: str, chunk_dir: str) -> None:
+def _stage_doc_chunks(
+    sf_dir: str, chunk_dir: str, columns: tuple[str, ...] = ("doc_id", "text")
+) -> None:
     """Split documents into N_CHUNKS (doc_id-ordered row slices) so
     the file source delivers several micro-batches; the emitted pair
     UNION is chunking-invariant (each batch pairs its docs against
@@ -189,7 +191,7 @@ def _stage_doc_chunks(sf_dir: str, chunk_dir: str) -> None:
     import pyarrow.parquet as pq
 
     table = pq.read_table(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        os.path.join(sf_dir, "documents.parquet"), columns=list(columns)
     )
     if table.num_rows:
         table = table.take(pc.sort_indices(table, sort_keys=[("doc_id", "ascending")]))
@@ -673,3 +675,67 @@ def q_ann_ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ivf_topk_from_assignment(assigned, cents)
+
+
+# --- DSIR statistics store (importance table from maintained counts) ----
+
+DSIR_STATS_ROOT = os.path.join(os.path.dirname(STORE_ROOT), "dsir_stats")
+
+
+def ensure_dsir_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse) the streaming-maintained DSIR bucket-count
+    store for ``sf_dir`` — documents replayed as availableNow
+    micro-batches, each landing its own (bucket, ct, cr) partial.
+    Fingerprint-keyed refresh cost, like every other store."""
+    from projet_etl_spark.streaming.dsirstats import stream_dsir_counts
+
+    def _build(root: str) -> None:
+        chunks = os.path.join(root, "chunks")
+        _stage_doc_chunks(sf_dir, chunks, columns=("doc_id", "text", "source"))
+        stream = (
+            spark.readStream.schema("doc_id long, text string, source string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(chunks)
+        )
+        q = stream_dsir_counts(
+            stream,
+            os.path.join(root, "store"),
+            os.path.join(root, "ckpt"),
+            available_now=True,
+        )
+        q.awaitTermination()
+
+    return ensure_staged(
+        DSIR_STATS_ROOT,
+        sf_dir,
+        parquet_fingerprint(sf_dir, "documents.parquet"),
+        "store",
+        _build,
+    )
+
+
+def q_dsir_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance ranking served from the INCREMENTALLY
+    maintained bucket statistics: the folded store counts feed the
+    same smoothed-ratio table and the same scoring pass as the batch
+    query (operators/dsir.py shared cores), so this query shares the
+    batch DSIR oracle verbatim — a green driver row proves the
+    stream-maintained corpus statistics reproduce the rescan's
+    importance weights EXACTLY (partial counts are additive; the
+    table arithmetic sees identical integers).
+
+    At 100 TB: statistics maintenance touches each document once at
+    arrival; the serve path folds a |batches| x DSIR_BUCKETS-row
+    store and rescans nothing but the scoring pass itself — which
+    any importance-weighted export pays anyway.
+    """
+    from projet_etl_spark.operators.dsir import (
+        microlog_from_counts,
+        score_with_table,
+    )
+    from projet_etl_spark.streaming.dsirstats import read_dsir_counts
+
+    store = ensure_dsir_store(spark, sf_dir)
+    # bounded: at most DSIR_BUCKETS rows by construction
+    counts = read_dsir_counts(spark, store).collect()
+    return score_with_table(spark, sf_dir, microlog_from_counts(counts))

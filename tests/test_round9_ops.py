@@ -236,11 +236,11 @@ def test_score_sante_mois_historical_as_of_matches_oracle(spark, duck):
 def test_driver_prefix_is_generated_by_rotation_rule():
     """_DRIVER_PREFIX must equal docs/bench/rotation.py's output and
     leave no registry query with a last hard CORRECTNESS row older
-    than r4 once the r9 artifact lands (nine NEW queries this round
-    consume nine LRU fill slots, so exactly four r4-stale queries
+    than r4 once the r9 artifact lands (ten NEW queries this round
+    consume ten LRU fill slots, so exactly five r4-stale queries
     overflow to r10 — first in line there by the LRU rule, and
     value-certified at both SFs by this round's committed full_sweep
-    run in the meantime; steady state with 202 queries cycling 50
+    run in the meantime; steady state with 203 queries cycling 50
     slots is a ~4-round bound)."""
     import sys
 
@@ -265,6 +265,7 @@ def test_driver_prefix_is_generated_by_rotation_rule():
         if n not in checked_this_round and last.get(n, 0) < 5
     )
     assert overflow == [
+        "text-repetition",
         "text-rolling-hash",
         "text-scrub-pii",
         "text-token-count",

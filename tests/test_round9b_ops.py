@@ -22,6 +22,7 @@ _NEW = (
     "dedup-cluster-size-histogram",
     "ann-quantized-recall",
     "quality-model-calibration",
+    "dsir-store",
 )
 
 
@@ -159,6 +160,50 @@ def test_calibration_bands_consistent_with_confusion_table(spark):
     assert sum(r.n_rules_pass for r in bands) == sum(
         r.n_docs for r in ct if r.rules_pass
     )
+
+
+# --- DSIR streaming-store parity and reader discipline --------------------
+
+
+def test_dsir_store_counts_equal_batch_partials(spark):
+    """The folded store must reproduce the one-shot COUNT pass
+    exactly (partial counts are additive) — the statistics-
+    maintenance-vs-rescan parity behind the shared oracle row."""
+    from projet_etl_spark.operators.dsir import bucket_partials
+    from projet_etl_spark.sources.tables import load_table
+    from projet_etl_spark.streaming.dsirstats import read_dsir_counts
+    from projet_etl_spark.streaming.storequery import ensure_dsir_store
+
+    store = ensure_dsir_store(spark, SF_SMALL)
+    folded = {
+        r.bucket: (r.ct, r.cr) for r in read_dsir_counts(spark, store).collect()
+    }
+    docs = load_table(spark, SF_SMALL, "documents").select("source", "text")
+    batch = {r.bucket: (r.ct, r.cr) for r in bucket_partials(docs).collect()}
+    assert folded == batch
+
+
+def test_dsir_counts_raise_on_corrupt_store(spark, tmp_path):
+    """A BROKEN store raises (storeio discipline) — an all-zero
+    importance table from a silently-empty read would weight every
+    document identically."""
+    from projet_etl_spark.streaming.dsirstats import read_dsir_counts
+
+    p = tmp_path / "dsir_store"
+    p.mkdir()
+    (p / "part-00000-broken.snappy.parquet").write_bytes(
+        b"PAR1 this is not a parquet footer" + b"\x00" * 64
+    )
+    with pytest.raises(Exception, match="[Pp]arquet|footer|magic"):
+        read_dsir_counts(spark, str(p)).collect()
+
+
+def test_dsir_counts_empty_on_missing_store(spark, tmp_path):
+    from projet_etl_spark.streaming.dsirstats import read_dsir_counts
+
+    df = read_dsir_counts(spark, str(tmp_path / "never_written"))
+    assert df.columns == ["bucket", "ct", "cr"]
+    assert df.count() == 0
 
 
 def test_quantized_recall_bounded_and_complete(spark):
