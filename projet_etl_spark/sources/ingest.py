@@ -323,9 +323,17 @@ def compact(
 
 
 def table_exists(spark: SparkSession, path: str) -> bool:
-    """Existence probe (reference views.py:92-96 404 behavior)."""
+    """Existence probe (reference views.py:92-96 404 behavior).
+
+    Catches ONLY AnalysisException — the missing-path/no-footers
+    case Spark raises for an absent table. A permission error or
+    corrupt filesystem raises through: reporting a BROKEN store as a
+    clean 404 is the same silent-loss class the round-9 store
+    readers eliminated (storeio.read_store discipline)."""
+    from pyspark.errors import AnalysisException
+
     try:
         spark.read.parquet(path).schema
         return True
-    except Exception:
+    except AnalysisException:
         return False

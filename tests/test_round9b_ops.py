@@ -216,3 +216,23 @@ def test_quantized_recall_bounded_and_complete(spark):
     for r in rows:
         assert 0 <= r.n_hits <= TOP_K
         assert r.recall == r.n_hits / TOP_K
+
+
+# --- the last broken-as-clean catch: table_exists -------------------------
+
+
+def test_table_exists_raises_on_corrupt_table(spark, tmp_path):
+    """A corrupt parquet footer must RAISE from the existence probe,
+    not read as a clean 404 — the same silent-loss class the round-9
+    store readers eliminated; only the genuinely-missing path reads
+    False."""
+    from projet_etl_spark.sources.ingest import table_exists
+
+    assert not table_exists(spark, str(tmp_path / "missing"))
+    p = tmp_path / "broken_table"
+    p.mkdir()
+    (p / "part-00000-broken.snappy.parquet").write_bytes(
+        b"PAR1 this is not a parquet footer" + b"\x00" * 64
+    )
+    with pytest.raises(Exception, match="[Pp]arquet|footer|magic"):
+        table_exists(spark, str(p))
