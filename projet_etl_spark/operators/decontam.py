@@ -228,9 +228,16 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size.
     """
     from projet_etl_spark.functions.text import portable_hash60
-    from projet_etl_spark.operators.dedup import q_dedup_minhash_lsh
+    from projet_etl_spark.operators.dedup import (
+        JACCARD_THRESHOLD as _J,
+        scored_pairs,
+    )
 
-    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    # the >= threshold slice of the staged scored-pair table IS
+    # q_dedup_minhash_lsh's output (same shingles, candidates and
+    # verification — one extra filter); reading the staged bytes
+    # keeps the audit's cost at O(|pairs|) even cold (round-9)
+    pairs = scored_pairs(spark, sf_dir).filter(F.col("jaccard") >= F.lit(_J))
     split = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         (

@@ -236,3 +236,92 @@ def test_table_exists_raises_on_corrupt_table(spark, tmp_path):
     )
     with pytest.raises(Exception, match="[Pp]arquet|footer|magic"):
         table_exists(spark, str(p))
+
+
+# --- staged scored-pair table ----------------------------------------------
+
+
+def test_scored_pairs_match_builder_and_restage_on_new_source(spark, tmp_path):
+    """The staged scored-pair table must equal the from-scratch
+    verification, reuse the staged parquet across calls, restage when
+    documents.parquet is regenerated, and its >= JACCARD_THRESHOLD
+    slice must equal q_dedup_minhash_lsh's output exactly — stale or
+    drifted pairs would poison the threshold sweep and the
+    split-leakage audit."""
+    import glob as _glob
+    import os
+
+    from projet_etl_spark.operators.dedup import (
+        _PAIR_STAGE_ROOT,
+        JACCARD_THRESHOLD,
+        _scored_pairs_from_scratch,
+        q_dedup_minhash_lsh,
+        scored_pairs,
+    )
+    from tests.test_round9_ops import _write_docs_fixture
+
+    sfd = str(tmp_path / "sfpairs")
+    os.makedirs(sfd)
+    _write_docs_fixture(spark, sfd, 6)
+    staged = {tuple(r) for r in scored_pairs(spark, sfd).collect()}
+    scratch = {
+        tuple(r) for r in _scored_pairs_from_scratch(spark, sfd).collect()
+    }
+    assert staged == scratch and staged  # near-identical fixture docs pair up
+    lsh = {tuple(r) for r in q_dedup_minhash_lsh(spark, sfd).collect()}
+    sliced = {t for t in staged if t[2] >= JACCARD_THRESHOLD}
+    assert sliced == lsh
+    marker = os.path.join(_PAIR_STAGE_ROOT, "sfpairs", "_SOURCE")
+    fp1 = open(marker).read()
+    files1 = sorted(
+        _glob.glob(os.path.join(_PAIR_STAGE_ROOT, "sfpairs", "pairs", "*"))
+    )
+    assert {tuple(r) for r in scored_pairs(spark, sfd).collect()} == staged
+    assert open(marker).read() == fp1
+    assert sorted(
+        _glob.glob(os.path.join(_PAIR_STAGE_ROOT, "sfpairs", "pairs", "*"))
+    ) == files1
+    # regenerated source -> fingerprint mismatch -> restage (7 docs:
+    # still under the df-cap, so the shared shingles survive and the
+    # pair count must GROW; 9+ docs would push the shared shingles'
+    # document frequency over DF_CAP_MIN and correctly zero the pairs)
+    _write_docs_fixture(spark, sfd, 7)
+    assert len(scored_pairs(spark, sfd).collect()) > len(staged)
+    assert open(marker).read() != fp1
+
+
+def test_sweep_and_leakage_audit_read_staged_pairs(spark):
+    """The two non-builder consumers must scan the staged pair
+    parquet, not re-derive the shingle/candidate pipeline — the
+    physical plan's relation list is the proof (the builder
+    q_dedup_minhash_lsh stays from-scratch by design)."""
+    from projet_etl_spark.operators.dedup import (
+        _PAIR_STAGE_ROOT,
+        q_dedup_minhash_lsh,
+        q_dedup_threshold_sweep,
+        scored_pairs,
+    )
+
+    scored_pairs(spark, SF_SMALL)  # ensure staged
+    sweep_plan = (
+        q_dedup_threshold_sweep(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "scored_pairs" in sweep_plan
+    audit_plan = (
+        REGISTRY["split-leakage-audit"]
+        .fn(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "scored_pairs" in audit_plan
+    builder_plan = (
+        q_dedup_minhash_lsh(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "scored_pairs" not in builder_plan
