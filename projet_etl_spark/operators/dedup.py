@@ -351,11 +351,12 @@ def _scored_pairs_from_scratch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The scored near-dup pair table, served from its fingerprint-
-    keyed parquet materialization; falls back to the from-scratch
-    builder when the source isn't fingerprintable or the staged
-    write left no readable footers (empty corpus)."""
+def _staged_pair_frame(spark, sf_dir, kind, build_df, cols):
+    """Serve a pair frame from its fingerprint-keyed parquet
+    materialization; fall back to the lazy builder plan when the
+    source isn't fingerprintable or the staged write left no
+    readable footers (empty corpus). Same mechanics as the cluster
+    labels (operators/clusters.py _staged_labels)."""
     import os
 
     from pyspark.errors import AnalysisException
@@ -368,23 +369,52 @@ def scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         fp = parquet_fingerprint(sf_dir, "documents.parquet")
     except OSError:
-        return _scored_pairs_from_scratch(spark, sf_dir)
+        return build_df()
 
     def _build(root: str) -> None:
         # near-dup pairs are tiny relative to the corpus; a couple of
         # doc_a-ranged, sorted files keep the audit joins prunable
         df = (
-            _scored_pairs_from_scratch(spark, sf_dir)
+            build_df()
             .repartitionByRange(2, "doc_a")
             .sortWithinPartitions("doc_a", "doc_b")
         )
         df.write.mode("overwrite").parquet(os.path.join(root, "pairs"))
 
-    path = ensure_staged(_PAIR_STAGE_ROOT, sf_dir, fp, "pairs", _build)
+    path = ensure_staged(
+        os.path.join(_PAIR_STAGE_ROOT, kind), sf_dir, fp, "pairs", _build
+    )
     try:
-        return spark.read.parquet(path).select("doc_a", "doc_b", "jaccard")
+        return spark.read.parquet(path).select(*cols)
     except AnalysisException:
-        return _scored_pairs_from_scratch(spark, sf_dir)
+        return build_df()
+
+
+def scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH-candidate scored pair table (jaccard >= SWEEP_FLOOR),
+    staged; its >= JACCARD_THRESHOLD slice equals
+    q_dedup_minhash_lsh's output by construction."""
+    return _staged_pair_frame(
+        spark,
+        sf_dir,
+        "scored",
+        lambda: _scored_pairs_from_scratch(spark, sf_dir),
+        ("doc_a", "doc_b", "jaccard"),
+    )
+
+
+def exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXACT shared-shingle jaccard pair table at the dedup
+    threshold — q_dedup_ngram_jaccard's output, staged. Serves the
+    recall audit's ground-truth side; the builder itself stays
+    from-scratch as the oracle-checked certifier of these bytes."""
+    return _staged_pair_frame(
+        spark,
+        sf_dir,
+        "exact",
+        lambda: q_dedup_ngram_jaccard(spark, sf_dir),
+        ("doc_a", "doc_b", "jaccard"),
+    )
 
 
 def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -734,10 +764,19 @@ def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     over 16 permutations) trade candidate volume for recall; this
     query keeps that trade measured and oracle-checked as the corpus
     drifts. Both sides are the existing pair queries (already
-    bounded); the comparison join is pair-count sized."""
-    exact = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    lsh = q_dedup_minhash_lsh(spark, sf_dir).select(
-        "doc_a", "doc_b", F.lit(1).alias("hit")
+    bounded); the comparison join is pair-count sized.
+
+    Round-9: both sides read their fingerprint-staged pair tables
+    (exact_pairs / scored_pairs >= threshold == the two builders'
+    outputs, equality pytest-pinned) — the DuckDB oracle still
+    recomputes BOTH pipelines from scratch on every check, so the
+    audit's certification strength is unchanged while its serve cost
+    is bounded by the pair tables."""
+    exact = exact_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    lsh = (
+        scored_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.lit(1).alias("hit"))
     )
     return exact.join(lsh, ["doc_a", "doc_b"], "left").agg(
         F.count(F.lit(1)).cast("long").alias("n_true_pairs"),

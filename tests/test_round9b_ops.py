@@ -271,15 +271,19 @@ def test_scored_pairs_match_builder_and_restage_on_new_source(spark, tmp_path):
     lsh = {tuple(r) for r in q_dedup_minhash_lsh(spark, sfd).collect()}
     sliced = {t for t in staged if t[2] >= JACCARD_THRESHOLD}
     assert sliced == lsh
-    marker = os.path.join(_PAIR_STAGE_ROOT, "sfpairs", "_SOURCE")
+    marker = os.path.join(_PAIR_STAGE_ROOT, "scored", "sfpairs", "_SOURCE")
     fp1 = open(marker).read()
     files1 = sorted(
-        _glob.glob(os.path.join(_PAIR_STAGE_ROOT, "sfpairs", "pairs", "*"))
+        _glob.glob(
+            os.path.join(_PAIR_STAGE_ROOT, "scored", "sfpairs", "pairs", "*")
+        )
     )
     assert {tuple(r) for r in scored_pairs(spark, sfd).collect()} == staged
     assert open(marker).read() == fp1
     assert sorted(
-        _glob.glob(os.path.join(_PAIR_STAGE_ROOT, "sfpairs", "pairs", "*"))
+        _glob.glob(
+            os.path.join(_PAIR_STAGE_ROOT, "scored", "sfpairs", "pairs", "*")
+        )
     ) == files1
     # regenerated source -> fingerprint mismatch -> restage (7 docs:
     # still under the df-cap, so the shared shingles survive and the
@@ -325,3 +329,30 @@ def test_sweep_and_leakage_audit_read_staged_pairs(spark):
         .toString()
     )
     assert "scored_pairs" not in builder_plan
+
+
+def test_exact_pairs_match_builder_and_recall_reads_staged(spark):
+    """The staged exact-pair table equals q_dedup_ngram_jaccard's
+    from-scratch output, and the recall audit's executed plan scans
+    BOTH staged pair relations instead of re-deriving either
+    pipeline (the DuckDB oracle still recomputes both from scratch,
+    so the audit's certification strength is unchanged)."""
+    from projet_etl_spark.operators.dedup import (
+        exact_pairs,
+        q_dedup_lsh_recall,
+        q_dedup_ngram_jaccard,
+    )
+
+    staged = {tuple(r) for r in exact_pairs(spark, SF_SMALL).collect()}
+    scratch = {
+        tuple(r) for r in q_dedup_ngram_jaccard(spark, SF_SMALL).collect()
+    }
+    assert staged == scratch
+    plan = (
+        q_dedup_lsh_recall(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "scored_pairs/exact" in plan
+    assert "scored_pairs/scored" in plan
