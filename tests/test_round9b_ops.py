@@ -1,12 +1,16 @@
-"""Round-9 late additions: DSIR importance weights, dedup source
-attribution, cluster-size histogram, int8 recall audit.
+"""Round-9 late additions: DSIR importance weights (+ the streaming
+statistics store), dedup source attribution, cluster-size histogram,
+int8 recall audit, the quality-model calibration curve, the staged
+scored/exact pair tables, and the table_exists broken-vs-missing
+narrowing.
 
 Each query's full value contract is pinned by its DuckDB oracle (the
 registry pair runs in the driver compare and docs/bench/full_sweep.py);
 the tests here pin the oracle match at SF_SMALL plus the properties
 the oracle can't see: plan shape (the DSIR scoring stage must stay
-shuffle-free), cross-report consistency, and the exact-arithmetic
-helpers.
+shuffle-free; the staged-pair consumers must scan the staged
+relations), cross-report consistency, store-reader discipline, the
+staging staleness contracts, and the exact-arithmetic helpers.
 """
 
 from __future__ import annotations
