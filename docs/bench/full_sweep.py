@@ -86,9 +86,16 @@ def main() -> int:
         if name not in osql:
             rows_only.append(name)
             continue
-        res = con.execute(osql[name])
-        drows = res.fetchall()
-        dcols = [d[0] for d in res.description]
+        try:
+            res = con.execute(osql[name])
+            drows = res.fetchall()
+            dcols = [d[0] for d in res.description]
+        except Exception as e:  # an oracle that raises is a mismatch,
+            # not a sweep abort — the summary must always cover every
+            # remaining query (round-10 advisor item)
+            print(f"{name} ORACLE-ERROR {type(e).__name__}: {e}", flush=True)
+            mismatched.append(name)
+            continue
         _, sc = rows_canonical(scols, srows)
         _, dc = rows_canonical(dcols, drows)
         if sorted(scols) == sorted(dcols) and sc == dc:

@@ -11,24 +11,33 @@ entries of ``queries()``. The rule, in priority order:
    reason).
 3. The two reference-parity sentinels (top-1, avg-cat-fab-10-mag).
 4. Every remaining slot is filled LEAST-RECENTLY-CHECKED FIRST from
-   the ledger of hash-match rows across all committed
+   the ledger of hash-match rows across the committed
    CORRECTNESS_r*.json artifacts — bounding how stale any query's
-   last hard row can get (after r9: nothing older than r5; steady
-   state: ~4 rounds, since 50 slots cycle a 193-query registry).
+   last hard row can get (steady state: ~4 rounds, since 50 slots
+   cycle a ~200-query registry).
 
-Usage: ``python docs/bench/rotation.py [round]`` prints the ledger
-histogram and the generated prefix tuple, ready to paste into
-plans/registry.py. The registry comment cites this script; a pytest
-(tests/test_round9_ops.py) pins that the committed prefix satisfies
-the staleness bound, so hand edits can't silently rot.
+Round-proofing (round-10, verdict item 1): ``generate`` takes the
+artifact-round set EXPLICITLY. The committed prefix is generated from
+the rounds that existed at commit time (``ROUNDS_AT_COMMIT``), so the
+driver dropping the next round's artifact onto the tree can never
+invalidate the pinned tuple — the r9 pin test failed at judging time
+for exactly that reason (it globbed the ledger from disk, and the r9
+artifact landed after commit).
+
+Usage: ``python docs/bench/rotation.py`` prints the ledger histogram
+and the generated prefix tuple (from ``ROUNDS_AT_COMMIT``), ready to
+paste into plans/registry.py. The registry comment cites this script;
+a pytest (tests/test_round10_ops.py) pins that the committed prefix
+equals ``generate(names, rounds=ROUNDS_AT_COMMIT)`` and satisfies the
+staleness bound, so hand edits can't silently rot.
 """
 
 from __future__ import annotations
 
-import glob
 import json
 import os
 import sys
+from collections.abc import Iterable
 
 REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, REPO)
@@ -36,56 +45,58 @@ sys.path.insert(0, REPO)
 PREFIX_LEN = 50
 SENTINELS = ("top-1", "avg-cat-fab-10-mag")
 
-# Round-9 inputs to the rule. NEW = added this round (no hard row
+# The artifact rounds that exist in the tree when this round's prefix
+# is committed. The r10 prefix is generated over the r01..r09 ledger;
+# the driver's CORRECTNESS_r10.json lands AFTER commit and must not
+# retroactively change what the committed tuple should have been.
+ROUNDS_AT_COMMIT: tuple[int, ...] = tuple(range(1, 10))
+
+# Round-10 inputs to the rule. NEW = added this round (no hard row
 # anywhere). TOUCHED = serve paths whose implementing modules changed
-# in the r9 diff: the store readers now route through
-# storeio.read_store (ivf/dailycounts), the cluster-label staging
-# rewires every CC consumer, qualrules' vs-model fuse, and the
-# parquet_fingerprint directory-shape change rekeys every staged
-# layout (parity views + stores + cluster labels).
+# in the r10 diff: the three single-partition global-rank plans were
+# rewritten scale-safe (vocab-top100 / bigrams-top50 ->
+# TakeOrderedAndProject, token-zipf-fit -> two-pass distributed
+# rank); the staging fingerprint now folds a builder-version token
+# (advisor item), which rekeys every staged layout -> top-magasins as
+# the parity-view representative and split-by-cluster as the
+# staged-labels/pairs representative; storeio's read-path swap
+# recovery is now staleness-gated -> token-freq-cms and bm25-store as
+# the store-reader representatives (r9 rotated ann-ivf-store and
+# daily-counts-store through the same mechanism).
 NEW: tuple[str, ...] = (
-    "filter-agreement-kappa",
-    "dedup-threshold-sweep",
-    "pack-efficiency",
-    "embedding-coverage-audit",
-    # late round-9 additions (DSIR resampling weights, dedup source
-    # attribution + size histogram, int8 recall audit). Eight NEW
-    # queries consume eight LRU fill slots, so three r4-stale queries
-    # overflow to r10 (they are first in line there by the LRU rule,
-    # and this round's committed full_sweep run value-certifies them
-    # at both SFs in the meantime) — the pinned bound in
-    # tests/test_round9_ops.py states exactly this.
-    "dsir-importance",
-    "dedup-source-attribution",
-    "dedup-cluster-size-histogram",
-    "ann-quantized-recall",
-    "quality-model-calibration",
-    "dsir-store",
+    "dedup-domain-attribution",
+    "corpus-domain-budget",
+    "dedup-incremental-rate",
+    "docs-domain-profile",
 )
-# The from-scratch CC builders (dedup-clusters, semantic-clusters)
-# are NOT listed: their plans are byte-identical this round — only
-# their CONSUMERS switched to the staged labels — and dedup-clusters
-# re-enters through the LRU fill anyway (last hard row r4).
 TOUCHED: tuple[str, ...] = (
-    "ann-ivf-store",
-    "daily-counts-store",
-    "quality-rules-vs-model",
-    "dedup-canonical",
-    "dedup-mass-by-lang",
-    "split-by-cluster",
-    "split-leakage-audit",
-    "corpus-survivorship",
-    "semantic-exemplars",
-    "pipeline-clean-corpus",
-    "pipeline-training-export",
+    "vocab-top100",
+    "bigrams-top50",
+    "token-zipf-fit",
     "top-magasins",
+    "split-by-cluster",
+    "token-freq-cms",
+    "bm25-store",
 )
 
 
-def ledger() -> dict[str, int]:
-    """query name -> last round with a hash_match=true driver row."""
+def ledger(rounds: Iterable[int] | None = None) -> dict[str, int]:
+    """query name -> last round with a hash_match=true driver row.
+
+    ``rounds`` restricts the ledger to those artifact rounds (the
+    round-proof mode the pin test uses); None reads every
+    CORRECTNESS_r*.json on disk (the exploratory CLI mode).
+    """
+    if rounds is None:
+        import glob
+
+        files = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+    else:
+        files = [
+            os.path.join(REPO, f"CORRECTNESS_r{r:02d}.json") for r in rounds
+        ]
     last: dict[str, int] = {}
-    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+    for f in files:
         rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
         try:
             rows = json.load(open(f))
@@ -97,8 +108,18 @@ def ledger() -> dict[str, int]:
     return last
 
 
-def generate(registry_names: list[str]) -> tuple[str, ...]:
-    last = ledger()
+def generate(
+    registry_names: list[str], rounds: Iterable[int] | None = None
+) -> tuple[str, ...]:
+    """The prefix the rule produces over the given artifact rounds.
+
+    Pass ``rounds`` explicitly when pinning (the committed tuple is
+    ``generate(names, rounds=ROUNDS_AT_COMMIT)``); None falls back to
+    whatever artifacts are on disk, which is NOT stable across the
+    round boundary — a driver artifact landing after commit changes
+    the LRU fill order.
+    """
+    last = ledger(rounds)
     prefix: list[str] = [n for n in NEW if n in registry_names]
     for n in TOUCHED + SENTINELS:
         if n in registry_names and n not in prefix:
@@ -117,12 +138,12 @@ def main() -> None:
     from projet_etl_spark.plans import registry
 
     names = list(registry.REGISTRY)
-    last = ledger()
+    last = ledger(ROUNDS_AT_COMMIT)
     from collections import Counter
 
     print("ledger histogram (last hard row -> #queries):")
     print("  ", dict(sorted(Counter(last.get(n, 0) for n in names).items())))
-    prefix = generate(names)
+    prefix = generate(names, rounds=ROUNDS_AT_COMMIT)
     oldest_after = min(
         (last.get(n, 0) for n in names if n not in prefix), default=0
     )
