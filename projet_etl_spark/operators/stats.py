@@ -145,7 +145,14 @@ def q_daily_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bigrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-50 adjacent-token bigrams by occurrence (ties: bigram asc)."""
+    """Top-50 adjacent-token bigrams by occurrence (ties: bigram asc).
+
+    Scale shape (r10, verdict item 2): like vocab-top100, the rank
+    used to be a ``row_number()`` window over the FULL bigram
+    vocabulary — strictly larger than the token vocabulary, gathered
+    to one partition. Now ``orderBy().limit(K)``
+    (TakeOrderedAndProject: per-partition K-row heaps) takes the
+    top-K and the rank window runs over the K-row result only."""
     docs = load_table(spark, sf_dir, "documents")
     staged = docs.select("doc_id", tokens(F.col("text")).alias("t"))
     bigrams = staged.select(
@@ -162,11 +169,10 @@ def q_bigrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bigram")
     )
     counts = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.desc("n"), F.asc("bigram")).limit(BIGRAM_K)
     w = Window.orderBy(F.desc("n"), F.asc("bigram"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= BIGRAM_K)
-        .orderBy("rank")
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).orderBy(
+        "rank"
     )
 
 

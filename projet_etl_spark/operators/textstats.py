@@ -640,22 +640,53 @@ def q_token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     deviate hard, so this is a cheap generated-text detector).
 
     Scale shape: one token hash aggregate reduces the corpus to
-    vocabulary grain; the rank window and the closed-form regression
-    (five sums + one combination) run over vocab-sized input. Ranks
-    tie-break on the token, so the log-log point set is identical
-    across engines; the regression sums are doubles whose partial
-    order may differ, hence ROUND(6) after the final combination
-    (the tfidf/logprob float discipline).
+    vocabulary grain — but the regression needs every token's GLOBAL
+    rank, and vocabulary grain is corpus-derived and unbounded
+    (hundreds of millions of distinct tokens on a web corpus), so the
+    rank is computed with the repo's two-pass distributed pattern
+    (star.py orders-theilsen-trend) instead of a single-partition
+    ``row_number()`` window (r10, verdict item 2): range-partition by
+    the rank order, rank locally per partition, add each partition's
+    cumulative row offset (a |partitions|-row frame, coalesced to one
+    task — bounded by the constant partition count, never by data).
+    Ranks tie-break on the token, so the log-log point set is
+    identical across engines; the regression sums are doubles whose
+    partial order may differ, hence ROUND(6) after the final
+    combination (the tfidf/logprob float discipline).
     """
     from pyspark.sql import Window
+
+    from projet_etl_spark.cache import eager_persist
 
     terms = load_table(spark, sf_dir, "documents").select(
         F.explode(tokens(F.col("text"))).alias("token")
     )
     freq = terms.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
-    w = Window.orderBy(F.desc("tf"), F.asc("token"))
-    pts = freq.select(
-        F.log(F.row_number().over(w).cast("double")).alias("x"),
+    # materialize the range partitioning ONCE (the theilsen
+    # discipline): offsets and the ranked frame must agree on pids as
+    # a guarantee, not an exchange-reuse optimizer side effect
+    sp = eager_persist(
+        freq.repartitionByRange(
+            32, F.desc("tf"), F.asc("token")
+        ).withColumn("pid", F.spark_partition_id())
+    )
+    cnts = sp.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
+    offsets = cnts.coalesce(1).select(
+        "pid",
+        F.coalesce(
+            F.sum("c").over(
+                Window.orderBy("pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("off"),
+    )
+    local = Window.partitionBy("pid").orderBy(F.desc("tf"), F.asc("token"))
+    pts = sp.join(F.broadcast(offsets), "pid").select(
+        F.log(
+            (F.row_number().over(local) + F.col("off")).cast("double")
+        ).alias("x"),
         F.log(F.col("tf").cast("double")).alias("y"),
     )
     m = pts.agg(

@@ -25,17 +25,26 @@ TEMPERATURE = 2.0  # T > 1 flattens the language distribution
 
 
 def q_vocab_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-100 tokens by document frequency (ties: token asc)."""
+    """Top-100 tokens by document frequency (ties: token asc).
+
+    Scale shape (r10, verdict item 2): the rank used to be a
+    ``row_number()`` window over the FULL vocabulary — an
+    Exchange SinglePartition sort of the whole distinct-token table
+    (hundreds of millions of rows on a web corpus). The top-K is now
+    taken with ``orderBy().limit(K)`` — TakeOrderedAndProject keeps a
+    K-row heap per partition and only K rows ever converge — and the
+    rank window runs over the K-row result, so nothing data-sized is
+    ever gathered to one partition (pinned by the SinglePartition
+    plan invariant, tests/test_plan_invariants.py)."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", tokens(F.col("text")).alias("t")).select(
         "doc_id", F.explode(F.array_distinct(F.col("t"))).alias("token")
     )
     df_counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    top = df_counts.orderBy(F.desc("doc_freq"), F.asc("token")).limit(VOCAB_K)
     w = Window.orderBy(F.desc("doc_freq"), F.asc("token"))
-    return (
-        df_counts.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= VOCAB_K)
-        .orderBy("rank")
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).orderBy(
+        "rank"
     )
 
 

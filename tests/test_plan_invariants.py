@@ -170,3 +170,127 @@ def test_no_slow_paths(spark, name):
             f"[{name}] unexpected nested-loop join — broadcast-tiny cross "
             "joins must be allowlisted deliberately"
         )
+
+
+# --- Exchange SinglePartition guard (r10, verdict item 3) ---------------
+#
+# The one slow-path class the BatchEvalPython/Cartesian/BNLJ net could
+# not see: a plan that gathers a corpus-derived, unbounded-cardinality
+# frame onto ONE partition to sort or window it (the shape behind the
+# three global-rank plans fixed this round — row_number() over
+# Window.orderBy(...) with no partitionBy). Detection walks the
+# physical tree for ShuffleExchangeExec nodes with SinglePartition
+# output partitioning whose effective parent (skipping codegen/AQE
+# wrappers) is NOT an Aggregate — the partial->final merge of a grand
+# aggregate legitimately funnels |partitions| pre-aggregated rows to
+# one task and is bounded by construction; anything else (Sort,
+# Window, Limit feeding ranks) must be allowlisted below with the
+# grain that bounds it, and the bound is asserted against the
+# EXECUTED plan's shuffle-write row metric, exactly like
+# BNLJ_BUILD_ROW_BOUND.
+#
+# The three r9-weak queries (vocab-top100, bigrams-top50,
+# token-zipf-fit) are deliberately NOT here: their rewritten plans
+# must stay structurally clean (TakeOrderedAndProject / two-pass
+# distributed rank).
+
+# query -> (executed row bound on the single-partition frame, grain)
+SP_GATHER_ALLOWED = {
+    # distinct-metric grain (<= customer grain), reduced to 4/9-value
+    # boundary arrays immediately; the approx_percentile twin is the
+    # documented extreme-cardinality swap (q_customer_spend_deciles_-
+    # approx, tests/test_round6_ops.py)
+    "customer-spend-deciles": (65536, "distinct-spend grain"),
+    "customer-rfm-segments": (65536, "distinct r/f/m metric grain"),
+    # the similarity-threshold band table: <= 1 + 1/BAND_STEP rows
+    "dedup-threshold-sweep": (16, "band table"),
+    # calendar spines: one row per month/day with data, bounded by
+    # the corpus time span, not its volume
+    "orders-monthly-growth": (4096, "month spine"),
+    "users-cumulative": (65536, "day spine (first-seen days)"),
+}
+
+_SP_WRAPPERS = (
+    "WholeStageCodegenExec",
+    "InputAdapter",
+    "AQEShuffleReadExec",
+    "AdaptiveSparkPlanExec",
+)
+
+
+def _sp_exchange_rows(node):
+    m = node.metrics()
+    for key in ("numOutputRows", "shuffleRecordsWritten",
+                "shuffle records written"):
+        if m.contains(key):
+            return int(m.apply(key).value())
+    return -1
+
+
+def _sp_gathers(node, eff_parent="ROOT", out=None):
+    """(effective parent class, executed rows) of every SinglePartition
+    shuffle in the tree; rows is -1 when the plan has not executed."""
+    if out is None:
+        out = []
+    cls = node.getClass().getSimpleName()
+    if (
+        cls == "ShuffleExchangeExec"
+        and node.outputPartitioning().toString() == "SinglePartition"
+    ):
+        out.append((eff_parent, _sp_exchange_rows(node)))
+    nxt = (
+        eff_parent
+        if (
+            cls in _SP_WRAPPERS
+            or cls.endswith("QueryStageExec")
+            or cls == "ReusedExchangeExec"
+        )
+        else cls
+    )
+    if cls.endswith("QueryStageExec"):
+        _sp_gathers(node.plan(), nxt, out)
+    if cls == "AdaptiveSparkPlanExec":
+        _sp_gathers(node.executedPlan(), nxt, out)
+    kids = node.children()
+    for i in range(kids.size()):
+        _sp_gathers(kids.apply(i), nxt, out)
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_single_partition_gather(spark, name):
+    """Structural sweep (plans built, not executed): no query may
+    funnel a non-grand-aggregate frame through one partition unless
+    allowlisted with a documented bounded grain."""
+    if name in SP_GATHER_ALLOWED:
+        pytest.skip("allowlisted — bound asserted in the executed test")
+    df = REGISTRY[name].fn(spark, SF_SMALL)
+    bad = [
+        p
+        for p, _ in _sp_gathers(df._jdf.queryExecution().executedPlan())
+        if "Aggregate" not in p
+    ]
+    assert not bad, (
+        f"[{name}] Exchange SinglePartition feeding {bad} — a one-"
+        "partition gather of a non-grand-aggregate frame; either make "
+        "the plan scale-safe (TakeOrderedAndProject / two-pass "
+        "distributed rank / coalesced bounded spine) or allowlist it "
+        "with its bounding grain"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(SP_GATHER_ALLOWED))
+def test_sp_gather_frame_is_bounded(spark, name):
+    """Executed-plan teeth for the allowlist: the gathered frame's
+    actual row count stays under the documented bound."""
+    bound, grain = SP_GATHER_ALLOWED[name]
+    df = REGISTRY[name].fn(spark, SF_SMALL)
+    df.collect()
+    gathers = _sp_gathers(df._jdf.queryExecution().executedPlan())
+    rows = [r for p, r in gathers if "Aggregate" not in p and r >= 0]
+    assert rows, f"[{name}] allowlisted but no single-partition gather ran"
+    for r in rows:
+        assert r <= bound, (
+            f"[{name}] single-partition {grain} frame grew to {r} rows "
+            f"(bound {bound})"
+        )
