@@ -203,7 +203,12 @@ def _staged_labels(spark, sf_dir, kind, source_file, build_df, cols):
         df.write.mode("overwrite").parquet(os.path.join(root, "labels"))
 
     path = ensure_staged(
-        os.path.join(_LABEL_STAGE_ROOT, kind), sf_dir, fp, "labels", _build
+        os.path.join(_LABEL_STAGE_ROOT, kind),
+        sf_dir,
+        fp,
+        "labels",
+        _build,
+        version=f"{kind}-labels-v1:rounds={MAX_ROUNDS}",
     )
     try:
         return spark.read.parquet(path).select(*cols)

@@ -382,7 +382,17 @@ def _staged_pair_frame(spark, sf_dir, kind, build_df, cols):
         df.write.mode("overwrite").parquet(os.path.join(root, "pairs"))
 
     path = ensure_staged(
-        os.path.join(_PAIR_STAGE_ROOT, kind), sf_dir, fp, "pairs", _build
+        os.path.join(_PAIR_STAGE_ROOT, kind),
+        sf_dir,
+        fp,
+        "pairs",
+        _build,
+        # the constants the pair builders bake into the staged bytes
+        # (advisor item: code changes must invalidate the cache)
+        version=(
+            f"{kind}-v1:floor={SWEEP_FLOOR}:thr={JACCARD_THRESHOLD}"
+            f":cap={DF_CAP_MIN},{DF_CAP_FRAC}"
+        ),
     )
     try:
         return spark.read.parquet(path).select(*cols)

@@ -69,6 +69,10 @@ def ensure_two_vintage_documents(spark: SparkSession, sf_dir: str) -> str:
         parquet_fingerprint(sf_dir, "documents.parquet"),
         "documents",
         _build,
+        version=(
+            f"evolution-v1:mod={EVOLUTION_MOD}"
+            f":v1cols={','.join(V1_COLUMNS)}"
+        ),
     )
 
 

@@ -81,6 +81,7 @@ def ensure_documents_jsonl(spark: SparkSession, sf_dir: str) -> str:
         parquet_fingerprint(sf_dir, "documents.parquet"),
         "documents",
         _build,
+        version=f"jsonl-v1:shards={JSONL_SHARDS}",
     )
 
 

@@ -50,22 +50,37 @@ def ensure_staged(
     fp: str,
     out_subpath: str,
     build: Callable[[str], None],
+    *,
+    version: str,
 ) -> str:
     """Return the staged output under ``root_base/<sf-name>/
     <out_subpath>``, rebuilding via ``build(root)`` when the
-    ``_SOURCE`` marker is missing or does not match ``fp``.
+    ``_SOURCE`` marker is missing or does not match ``version`` + ``fp``.
 
     ``build`` receives the wiped per-sf root and must create
     everything beneath it (including the output subpath); the marker
     is stamped only after it returns.
+
+    ``version`` is the BUILDER's identity token (r10, advisor item):
+    a name plus its load-bearing constants (e.g.
+    ``"scored-v1:floor=0.5"``). The source fingerprint alone cannot
+    see a code change — without the token, editing SWEEP_FLOOR,
+    DF_CAP, tokens(), shingling or the CC logic would silently serve
+    the PREVIOUS builder's bytes from an existing warehouse cache
+    until the source data happened to move, surfacing only as a
+    confusing oracle mismatch later. Folding the token into the
+    marker makes builder changes invalidate the cache like data
+    changes do; bump the version when the builder's logic changes in
+    a way no folded constant captures.
     """
     name = os.path.basename(os.path.normpath(sf_dir)) or "root"
     root = os.path.join(root_base, name)
     marker = os.path.join(root, "_SOURCE")
     out = os.path.join(root, out_subpath)
+    stamp = f"{version}\n{fp}"
     try:
         with open(marker, encoding="utf-8") as f:
-            if f.read() == fp:
+            if f.read() == stamp:
                 return out
     except OSError:
         pass
@@ -73,5 +88,5 @@ def ensure_staged(
     build(root)
     os.makedirs(root, exist_ok=True)  # empty-input builds write no files
     with open(marker, "w", encoding="utf-8") as f:
-        f.write(fp)
+        f.write(stamp)
     return out

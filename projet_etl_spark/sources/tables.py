@@ -166,7 +166,12 @@ def _staged_view(spark, sf_dir, name, compute, cols):
         df.write.mode("overwrite").parquet(os.path.join(root, "table"))
 
     path = ensure_staged(
-        os.path.join(_VIEW_STAGE_ROOT, name), sf_dir, fp, "table", _build
+        os.path.join(_VIEW_STAGE_ROOT, name),
+        sf_dir,
+        fp,
+        "table",
+        _build,
+        version=f"view-{name}-v1",
     )
     try:
         return spark.read.parquet(path).select(*cols)

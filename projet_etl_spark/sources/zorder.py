@@ -177,6 +177,9 @@ def ensure_zordered_lineitem(spark: SparkSession, sf_dir: str) -> str:
         parquet_fingerprint(sf_dir, "lineitem.parquet"),
         "lineitem",
         _build,
+        version=(
+            f"zorder-v1:cols={','.join(ZORDER_COLS)}:files={ZORDER_FILES}"
+        ),
     )
 
 

@@ -98,7 +98,8 @@ def ensure_daily_counts_store(spark: SparkSession, sf_dir: str) -> str:
         q.awaitTermination()
 
     return ensure_staged(
-        STORE_ROOT, sf_dir, _source_fingerprint(sf_dir), "store", _build
+        STORE_ROOT, sf_dir, _source_fingerprint(sf_dir), "store", _build,
+        version="daily-counts-v1",
     )
 
 
@@ -149,7 +150,8 @@ def ensure_bottomk_store(spark: SparkSession, sf_dir: str) -> str:
         compact_sample_store(spark, os.path.join(root, "store"))
 
     return ensure_staged(
-        BOTTOMK_ROOT, sf_dir, _source_fingerprint(sf_dir), "store", _build
+        BOTTOMK_ROOT, sf_dir, _source_fingerprint(sf_dir), "store", _build,
+        version="bottomk-v1",
     )
 
 
@@ -231,6 +233,7 @@ def ensure_neardedup_pairs(spark: SparkSession, sf_dir: str) -> str:
         parquet_fingerprint(sf_dir, "documents.parquet"),
         "pairs",
         _build,
+        version="neardedup-v1",
     )
 
 
@@ -311,6 +314,7 @@ def ensure_user_state_store(spark: SparkSession, sf_dir: str) -> str:
         _source_fingerprint(sf_dir),
         "store",
         _ordered_stream_builder(spark, sf_dir, user_state_history_stream),
+        version="user-state-scd2-v1",
     )
 
 
@@ -402,6 +406,7 @@ def ensure_postings_store(spark: SparkSession, sf_dir: str) -> str:
         parquet_fingerprint(sf_dir, "documents.parquet"),
         "store",
         _postings_builder(spark, sf_dir, compact=False),
+        version="postings-v1",
     )
 
 
@@ -421,6 +426,7 @@ def ensure_compacted_postings_store(spark: SparkSession, sf_dir: str) -> str:
         parquet_fingerprint(sf_dir, "documents.parquet"),
         "store",
         _postings_builder(spark, sf_dir, compact=True),
+        version="postings-compacted-v1",
     )
 
 
@@ -475,6 +481,7 @@ def ensure_sessions_store(spark: SparkSession, sf_dir: str) -> str:
         _source_fingerprint(sf_dir),
         "store",
         _ordered_stream_builder(spark, sf_dir, sessionize_stream),
+        version="sessions-v1",
     )
 
 
@@ -544,6 +551,7 @@ def ensure_attribution_store(spark: SparkSession, sf_dir: str) -> str:
         _source_fingerprint(sf_dir),
         "store",
         _ordered_stream_builder(spark, sf_dir, click_purchase_attribution_stream),
+        version="attribution-v1",
     )
 
 
@@ -640,6 +648,7 @@ def ensure_ivf_assignment(spark: SparkSession, sf_dir: str) -> str:
         parquet_fingerprint(sf_dir, "embeddings.parquet"),
         "store",
         _build,
+        version="ivf-assign-v1",
     )
 
 
@@ -711,6 +720,7 @@ def ensure_dsir_store(spark: SparkSession, sf_dir: str) -> str:
         parquet_fingerprint(sf_dir, "documents.parquet"),
         "store",
         _build,
+        version="dsir-stats-v1",
     )
 
 

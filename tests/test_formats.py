@@ -178,7 +178,7 @@ def test_ensure_staged_crashed_build_rebuilds(tmp_path):
     import pytest as _pytest
 
     with _pytest.raises(RuntimeError, match="build crashed"):
-        ensure_staged(root_base, sf, "fp1", "out", crashing)
+        ensure_staged(root_base, sf, "fp1", "out", crashing, version="t-v1")
 
     built = []
 
@@ -188,16 +188,22 @@ def test_ensure_staged_crashed_build_rebuilds(tmp_path):
         with open(os.path.join(root, "out", "data"), "w") as fh:
             fh.write("whole")
 
-    out = ensure_staged(root_base, sf, "fp1", "out", good)
+    out = ensure_staged(root_base, sf, "fp1", "out", good, version="t-v1")
     assert built, "crashed build must not be mistaken for finished"
     assert os.path.exists(os.path.join(out, "data"))
     assert not os.path.exists(os.path.join(out, "partial"))  # wiped
 
     # marker hit: same fingerprint -> no rebuild
     built.clear()
-    assert ensure_staged(root_base, sf, "fp1", "out", good) == out
+    assert ensure_staged(root_base, sf, "fp1", "out", good, version="t-v1") == out
     assert not built
 
     # stale fingerprint -> rebuild
-    ensure_staged(root_base, sf, "fp2", "out", good)
+    ensure_staged(root_base, sf, "fp2", "out", good, version="t-v1")
+    assert built
+
+    # stale BUILDER VERSION, same fingerprint -> rebuild (r10 advisor
+    # item: code/constant changes must invalidate the cache too)
+    built.clear()
+    ensure_staged(root_base, sf, "fp2", "out", good, version="t-v2")
     assert built
