@@ -99,14 +99,18 @@ def token_bucket(col):
 
 def _covered_batch(store_path: str) -> int:
     """Highest batch id folded into postings_compacted (-1 = none);
-    written atomically with the compacted table's swap-publish."""
+    written atomically with the compacted table's swap-publish.
+    Resolved through ``live_read_path`` so a parked-aside compacted
+    table reports ITS marker — the marker and the table bytes must
+    come from the same directory or the live-batch union filter
+    double-serves everything the parked table covers (r10)."""
     import os
 
+    from projet_etl_spark.sources.ingest import live_read_path
+
+    comp = live_read_path(os.path.join(store_path, "postings_compacted"))
     try:
-        with open(
-            os.path.join(store_path, "postings_compacted", "_COVERED"),
-            encoding="utf-8",
-        ) as fh:
+        with open(os.path.join(comp, "_COVERED"), encoding="utf-8") as fh:
             return int(fh.read().strip())
     except OSError:
         return -1
@@ -115,18 +119,19 @@ def _covered_batch(store_path: str) -> int:
 def _read_compacted(spark: SparkSession, store_path: str) -> DataFrame:
     import os
 
-    from projet_etl_spark.sources.ingest import recover_swap
+    from projet_etl_spark.sources.ingest import live_read_path
     from projet_etl_spark.streaming.storeio import read_store
 
     # A crash between swap_publish's two renames leaves the ONLY copy
-    # of the compacted table parked aside; recovering here (the shared
-    # read entry, which also runs before _covered_batch in every
-    # caller) restores it before the missing-path branch could
-    # misread "no compacted data yet".
-    recover_swap(os.path.join(store_path, "postings_compacted"))
+    # of the compacted table parked aside; resolving here (the shared
+    # read entry; _covered_batch resolves identically) restores or
+    # serves it before the missing-path branch could misread "no
+    # compacted data yet" — without mutating under an IN-FLIGHT
+    # publisher (r10: live_read_path, not recover_swap, on reads).
+    comp = live_read_path(os.path.join(store_path, "postings_compacted"))
     return read_store(
         spark,
-        os.path.join(store_path, "postings_compacted"),
+        comp,
         POSTINGS_SCHEMA + ", tbucket long",
         ["doc_id", "token", "tf", "tbucket"],
     )
@@ -146,14 +151,15 @@ def read_postings(
     broken index."""
     import os
 
-    from projet_etl_spark.sources.ingest import recover_swap
+    from projet_etl_spark.sources.ingest import live_read_path
     from projet_etl_spark.streaming.storeio import read_store
 
     # the live table is also swap-published (compaction's shrink step);
     # a crash between its two renames parks the only copy aside, and
     # reading the missing dir as "no data yet" would silently drop
-    # every uncovered batch from the union below
-    recover_swap(os.path.join(store_path, "postings"))
+    # every uncovered batch from the union below (read-safe resolve,
+    # r10: never mutates under an in-flight publisher)
+    live_dir = live_read_path(os.path.join(store_path, "postings"))
     comp = _read_compacted(spark, store_path)
     if terms:
         buckets = [
@@ -168,7 +174,7 @@ def read_postings(
         comp = comp.filter(F.col("tbucket").isin(buckets))
     live = read_store(
         spark,
-        os.path.join(store_path, "postings"),
+        live_dir,
         POSTINGS_SCHEMA + ", batch long",
         ["doc_id", "token", "tf", "batch"],
     )
