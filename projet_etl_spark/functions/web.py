@@ -80,6 +80,49 @@ def registrable_domain(url: Column) -> Column:
     return F.when(d3 != "", d3).when(d2 != "", d2).otherwise(h)
 
 
+def doc_url(source: Column, doc_id: Column) -> Column:
+    """Deterministic per-document URL derived from (source, doc_id).
+
+    Fixture device: the synthetic ``documents`` table has no url
+    column, so the domain-grain rollups derive one — subdomain and
+    TLD cycle on doc_id so the extraction's www-strip, subdomain-drop
+    and two-level-suffix paths all fire on real data, and every
+    source fans out over four registrable domains. At deployment the
+    rollups group by ``registrable_domain(documents.url)`` directly;
+    this helper (and its SQL twin below, byte-identical output) is
+    the only fixture-specific piece.
+    """
+    sub = (
+        F.when(doc_id % 3 == 0, F.lit("www."))
+        .when(doc_id % 3 == 1, F.lit("cdn."))
+        .otherwise(F.lit(""))
+    )
+    # suffix cycles mod 7 (coprime with the fixture's source fan-out
+    # of 20, so every source spreads over all four TLDs; mod 4 would
+    # pin each source to one TLD because source = f(doc_id % 20))
+    sfx = (
+        F.when(doc_id % 7 == 0, F.lit(".com"))
+        .when(doc_id % 7 == 1, F.lit(".co.uk"))
+        .when(doc_id % 7 == 2, F.lit(".org"))
+        .otherwise(F.lit(".net"))
+    )
+    return F.concat(
+        F.lit("https://"), sub, source, sfx, F.lit("/d/"), doc_id.cast("string")
+    )
+
+
+def sql_doc_url(src: str, did: str) -> str:
+    """DuckDB mirror of ``doc_url`` (same arms, same order)."""
+    return (
+        f"'https://' || "
+        f"CASE {did} % 3 WHEN 0 THEN 'www.' WHEN 1 THEN 'cdn.' ELSE '' END "
+        f"|| {src} || "
+        f"CASE {did} % 7 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk' "
+        f"WHEN 2 THEN '.org' ELSE '.net' END "
+        f"|| '/d/' || CAST({did} AS VARCHAR)"
+    )
+
+
 def sql_host_of(col: str) -> str:
     """DuckDB mirror of ``host_of`` (same regex strings)."""
     return (

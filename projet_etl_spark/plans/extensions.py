@@ -4397,6 +4397,123 @@ ORDER BY b.query_id
 """
 
 
+from projet_etl_spark.functions import web as _web  # noqa: E402
+from projet_etl_spark.operators import domains as _domains  # noqa: E402
+
+# --- domain-grain curation oracles (round-10) --------------------------
+# URL derivation (fixture device) and host/registrable-domain
+# extraction mirror functions/web.py from the SAME regex strings;
+# tests/test_round10_ops.py drives URL literals through both engines.
+_URL_EXPR = _web.sql_doc_url("source", "doc_id")
+_DOM_CTES = f"""
+u AS (
+    SELECT doc_id, lang, n_chars, {_URL_EXPR} AS url FROM documents
+),
+dom AS (
+    SELECT doc_id, lang, n_chars,
+           {_web.sql_host_of("url")} AS host,
+           {_web.sql_registrable_domain("url")} AS domain
+    FROM u
+)"""
+
+_DOMAIN_PROFILE_SQL = f"""
+WITH {_DOM_CTES}
+SELECT domain,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+           AS avg_chars
+FROM dom GROUP BY domain ORDER BY domain
+"""
+
+_DOMAIN_ATTR_SQL = f"""
+WITH lab AS ({_CLUSTERS_SQL}),
+{_DOM_CTES},
+j AS (
+    SELECT d.domain, d.n_chars,
+           CASE WHEN lab.doc_id <> lab.cluster_id THEN 1 ELSE 0 END AS dup,
+           CASE WHEN lab.doc_id <> lab.cluster_id AND d.domain <> c.domain
+                THEN 1 ELSE 0 END AS xdup
+    FROM lab
+    JOIN dom d ON lab.doc_id = d.doc_id
+    JOIN dom c ON lab.cluster_id = c.doc_id
+)
+SELECT domain,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(dup) AS BIGINT) AS n_dups,
+       CAST(SUM(xdup) AS BIGINT) AS n_cross_dups,
+       CAST(SUM(dup * n_chars) AS BIGINT) AS dup_chars,
+       ROUND(CAST(SUM(dup) AS DOUBLE) * 100.0 / CAST(COUNT(*) AS DOUBLE), 6)
+           AS dup_pct
+FROM j GROUP BY domain ORDER BY domain
+"""
+
+# ppm arithmetic is BIGINT floor division on both engines (Spark
+# `div`, DuckDB `//`) — no float in the share/rate path
+_DOMAIN_BUDGET_SQL = f"""
+WITH lab AS ({_CLUSTERS_SQL}),
+{_DOM_CTES},
+canon AS (
+    SELECT d.domain, d.n_chars
+    FROM lab JOIN dom d ON lab.doc_id = d.doc_id
+    WHERE lab.doc_id = lab.cluster_id
+),
+per AS (
+    SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_uniq,
+           CAST(SUM(n_chars) AS BIGINT) AS uniq_chars
+    FROM canon GROUP BY domain
+),
+tot AS (SELECT CAST(SUM(uniq_chars) AS BIGINT) AS t FROM per),
+s AS (
+    SELECT domain, n_uniq, uniq_chars,
+           CAST(uniq_chars * 1000000 // t AS BIGINT) AS share_ppm
+    FROM per, tot
+),
+r AS (
+    SELECT *, CAST(CASE WHEN share_ppm > {_domains.CAP_PPM}
+                        THEN CAST({_domains.CAP_PPM} AS BIGINT) * 1000000
+                             // share_ppm
+                        ELSE 1000000 END AS BIGINT) AS sample_rate_ppm
+    FROM s
+)
+SELECT domain, n_uniq, uniq_chars, share_ppm, sample_rate_ppm,
+       CAST(uniq_chars * sample_rate_ppm // 1000000 AS BIGINT) AS budget_chars
+FROM r ORDER BY domain
+"""
+
+# content identity = near-dup cluster (the recursive-CC labels CTE,
+# recomputed from scratch — the oracle never reads the staged
+# materialization); snapshots are doc_id mod SNAPSHOTS (ordered
+# round-robin fixture device)
+_INCR_RATE_SQL = f"""
+WITH lab AS ({_CLUSTERS_SQL}),
+d AS (
+    SELECT cluster_id, doc_id % {_domains.SNAPSHOTS} AS snap FROM lab
+),
+g AS (
+    SELECT cluster_id, snap, CAST(COUNT(*) AS BIGINT) AS n
+    FROM d GROUP BY cluster_id, snap
+),
+f AS (SELECT cluster_id, MIN(snap) AS first_snap FROM g GROUP BY cluster_id),
+j AS (SELECT g.snap, g.n, f.first_snap FROM g JOIN f USING (cluster_id))
+SELECT CAST(snap AS BIGINT) AS snap,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN snap > first_snap THEN n ELSE 0 END) AS BIGINT)
+           AS n_hist_dups,
+       CAST(SUM(CASE WHEN snap = first_snap THEN n - 1 ELSE 0 END) AS BIGINT)
+           AS n_batch_dups,
+       CAST(SUM(CASE WHEN snap = first_snap THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new_contents,
+       ROUND(CAST(SUM(CASE WHEN snap > first_snap THEN n ELSE 0 END)
+                  + SUM(CASE WHEN snap = first_snap THEN n - 1 ELSE 0 END)
+                  AS DOUBLE)
+             * 100.0 / CAST(SUM(n) AS DOUBLE), 6) AS dup_pct
+FROM j GROUP BY snap ORDER BY snap
+"""
+
+
 def build():
     """Registry entries for the extension surface; imported by
     plans.registry at module init."""
@@ -5404,6 +5521,34 @@ def build():
             storequery.q_dsir_store,
             _DSIR_SQL,
             ("curation", "streaming"),
+        ),
+        # round-10 additions: domain-grain curation rollups (verdict
+        # item 7 — the FineWeb-style per-domain duplicate-mass and
+        # mixing-budget tables) + the inter-snapshot incremental
+        # dedup-rate audit
+        (
+            "docs-domain-profile",
+            _domains.q_docs_domain_profile,
+            _DOMAIN_PROFILE_SQL,
+            ("curation", "text"),
+        ),
+        (
+            "dedup-domain-attribution",
+            _domains.q_dedup_domain_attribution,
+            _DOMAIN_ATTR_SQL,
+            ("dedup", "curation"),
+        ),
+        (
+            "corpus-domain-budget",
+            _domains.q_corpus_domain_budget,
+            _DOMAIN_BUDGET_SQL,
+            ("curation", "pipeline"),
+        ),
+        (
+            "dedup-incremental-rate",
+            _domains.q_dedup_incremental_rate,
+            _INCR_RATE_SQL,
+            ("dedup", "streaming"),
         ),
     ]
     return {

@@ -61,6 +61,9 @@ BNLJ_ALLOWED = {
     "docs-length-drift",
     # 1-row broadcast of the revenue grand total (percent-of-total)
     "parts-pareto",
+    # 1-row broadcast of the deduplicated-char grand total (ppm
+    # shares in the domain mixing-budget table)
+    "corpus-domain-budget",
     # 1-row broadcast of the corpus event total (φ threshold)
     "events-heavy-hitters",
     # 1-row broadcast of the centroid model (per-iteration plan reuse)

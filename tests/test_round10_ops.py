@@ -21,6 +21,8 @@ import time
 
 import pytest
 
+from tests.conftest import SF_SMALL
+
 sys.path.insert(
     0,
     os.path.join(
@@ -33,7 +35,7 @@ sys.path.insert(
 # updated per round when queries are added (verdict item 4: a broken
 # transitive import in the extension surface used to shrink the
 # registry to 13 parity queries behind `except ImportError: pass`)
-EXPECTED_REGISTRY_SIZE = 203
+EXPECTED_REGISTRY_SIZE = 207
 
 
 def test_registry_size_is_pinned():
@@ -98,8 +100,11 @@ def test_driver_prefix_is_generated_by_rotation_rule():
         "top-magasins-rollup",
     ):
         assert n in checked, f"r9 overflow query {n} missed the r10 prefix"
+    # the four NEW domain-grain queries take the head slots, so four
+    # r5-checked LRU fills overflow to next round — the staleness
+    # floor this rotation can guarantee is r5
     oldest_left = min(last.get(n, 0) for n in names if n not in checked)
-    assert oldest_left >= 6
+    assert oldest_left >= 5
 
 
 # --- verdict item 6: read-path swap recovery is concurrency-safe --------
@@ -210,3 +215,205 @@ def test_swap_publish_leaves_no_artifacts(spark, tmp_path):
     assert _read_rows(spark, store) == {(3, 30)}
     for suffix in ("._precompact", "._swaplock", "._compacting"):
         assert not os.path.exists(store + suffix)
+
+
+# --- verdict item 7: domain-grain curation rollups -----------------------
+#
+# functions/web.py carries every extraction twice (Spark Column
+# builder + DuckDB SQL fragment from the SAME regex strings); these
+# tests drive URL literals through BOTH engines and pin the critical
+# semantics (www-strip, subdomain drop, two-level public suffix,
+# dot-less passthrough) so neither twin can drift.
+
+URL_CASES = [
+    "https://www.example.com/path?q=1",
+    "http://cdn.news.example.co.uk:8080/x",
+    "https://user:pw@blog.example.org/#frag",
+    "ftp://a.b.example.com.au/file",
+    "example.com",
+    "www.example.net/",
+    "sub.domain.example.ne.jp",
+    "bare-token",
+    "src5",
+    "HTTPS://WWW.UPPER.COM/P",
+    "https://x.co.za",
+    "deep.a.b.c.example.com",
+]
+EXPECTED_DOMAINS = [
+    "example.com",
+    "example.co.uk",
+    "example.org",
+    "example.com.au",
+    "example.com",
+    "example.net",
+    "example.ne.jp",
+    "bare-token",
+    "src5",
+    "upper.com",
+    "x.co.za",
+    "example.com",
+]
+
+
+def test_registrable_domain_spark_pins(spark):
+    from pyspark.sql import functions as F
+
+    from projet_etl_spark.functions import web
+
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(URL_CASES)], "i long, url string"
+    ).select("i", web.registrable_domain(F.col("url")).alias("d"))
+    got = [r["d"] for r in df.orderBy("i").collect()]
+    assert got == EXPECTED_DOMAINS
+
+
+def test_registrable_domain_duckdb_mirror_matches_spark(spark):
+    """Both engines on the same literals — host AND domain."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from projet_etl_spark.functions import web
+
+    sdf = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(URL_CASES)], "i long, url string"
+    ).select(
+        "i",
+        web.host_of(F.col("url")).alias("h"),
+        web.registrable_domain(F.col("url")).alias("d"),
+    )
+    srows = [(r["h"], r["d"]) for r in sdf.orderBy("i").collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE u AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{u}')" for i, u in enumerate(URL_CASES))
+        + ") t(i, url)"
+    )
+    drows = con.execute(
+        f"SELECT {web.sql_host_of('url')}, "
+        f"{web.sql_registrable_domain('url')} FROM u ORDER BY i"
+    ).fetchall()
+    assert srows == [tuple(r) for r in drows]
+
+
+def test_doc_url_duckdb_mirror_matches_spark(spark):
+    """The fixture URL derivation is byte-identical cross-engine."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from projet_etl_spark.functions import web
+
+    cases = [(i, f"src{i % 20}") for i in range(0, 100, 7)]
+    sdf = spark.createDataFrame(cases, "doc_id long, source string").select(
+        "doc_id", web.doc_url(F.col("source"), F.col("doc_id")).alias("u")
+    )
+    srows = [r["u"] for r in sdf.orderBy("doc_id").collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{s}')" for i, s in cases)
+        + ") t(doc_id, source)"
+    )
+    drows = con.execute(
+        f"SELECT {web.sql_doc_url('source', 'doc_id')} FROM d ORDER BY doc_id"
+    ).fetchall()
+    assert srows == [r[0] for r in drows]
+
+
+def test_domain_budget_cap_binds_and_conserves(spark):
+    """Both CASE branches fire on the fixture; ppm arithmetic
+    conserves mass (budget <= uniq, rate <= 1e6, shares sum <= 1e6)."""
+    from projet_etl_spark.operators import domains
+
+    rows = domains.q_corpus_domain_budget(spark, SF_SMALL).collect()
+    assert len(rows) > 0
+    capped = [r for r in rows if r["sample_rate_ppm"] < 1_000_000]
+    uncapped = [r for r in rows if r["sample_rate_ppm"] == 1_000_000]
+    assert capped and uncapped, (
+        f"cap CAP_PPM={domains.CAP_PPM} must bind for some domains and "
+        f"not others on the fixture ({len(capped)} capped)"
+    )
+    assert sum(r["share_ppm"] for r in rows) <= 1_000_000
+    for r in rows:
+        assert 0 < r["sample_rate_ppm"] <= 1_000_000
+        assert r["budget_chars"] <= r["uniq_chars"]
+        if r["share_ppm"] > domains.CAP_PPM:
+            # capped budget lands at/under the cap's char mass, up to
+            # floor rounding of the rate
+            assert r["sample_rate_ppm"] < 1_000_000
+
+
+def test_incremental_rate_partitions_the_corpus(spark):
+    """Every document is exactly one of: new content, within-snapshot
+    dup, cross-snapshot dup; snapshot sizes cover the corpus."""
+    from projet_etl_spark.operators import domains
+    from projet_etl_spark.sources.tables import load_table
+
+    rows = domains.q_dedup_incremental_rate(spark, SF_SMALL).collect()
+    assert [r["snap"] for r in rows] == list(range(domains.SNAPSHOTS))
+    for r in rows:
+        assert (
+            r["n_new_contents"] + r["n_hist_dups"] + r["n_batch_dups"]
+            == r["n_docs"]
+        )
+    total = load_table(spark, SF_SMALL, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == total
+    # the fixture carries near-dup mass, so the audit has signal
+    assert sum(r["n_hist_dups"] + r["n_batch_dups"] for r in rows) > 0
+
+
+def test_domain_attribution_consistent_with_source_attribution(spark):
+    """Re-graining source->domain preserves the corpus-wide duplicate
+    mass (same staged labels, same indicator arithmetic)."""
+    from projet_etl_spark.operators import clusters, domains
+
+    dom = domains.q_dedup_domain_attribution(spark, SF_SMALL).collect()
+    src = clusters.q_dedup_source_attribution(spark, SF_SMALL).collect()
+    assert sum(r["n_dups"] for r in dom) == sum(r["n_dups"] for r in src)
+    assert sum(r["dup_chars"] for r in dom) == sum(r["dup_chars"] for r in src)
+    assert sum(r["n_docs"] for r in dom) == sum(r["n_docs"] for r in src)
+    # domain grain is strictly finer on the fixture (4 TLDs/source)
+    assert len(dom) > len(src)
+
+
+def test_compactor_rerun_recovers_stranded_parked_store(spark, tmp_path):
+    """A compactor re-run must restore a store whose previous swap
+    crashed between its renames (only copy parked aside, fresh lock,
+    no live dir) — the r10 non-mutating read path no longer restores
+    it as a side effect, so the writer entry points must recover
+    BEFORE their existence probe (a `continue`/`return 0` here
+    strands the store parked forever)."""
+    import shutil
+
+    from projet_etl_spark.streaming.quality import compact_budget
+    from projet_etl_spark.streaming.quantiles import compact_sample_store
+
+    budget_rows = spark.createDataFrame(
+        [("fr", 1, 10, 100, b) for b in range(2)],
+        "lang string, keep int, n_docs long, n_tokens long, batch int",
+    )
+    bottomk_rows = spark.createDataFrame(
+        [(i, float(i), b) for b in range(2) for i in range(4)],
+        "hk long, value double, batch int",
+    )
+    for name, compactor, rows in (
+        ("budget", compact_budget, budget_rows),
+        ("bottomk", compact_sample_store, bottomk_rows),
+    ):
+        store = str(tmp_path / name)
+        rows.write.partitionBy("batch").parquet(store)
+        n = spark.read.parquet(store).count()
+        # simulate the crashed-swap state swap_publish leaves between
+        # its two renames: parked aside + fresh lock + leftover tmp
+        os.rename(store, store + "._precompact")
+        shutil.copytree(store + "._precompact", store + "._compacting")
+        with open(store + "._swaplock", "w", encoding="utf-8") as fh:
+            fh.write("4242")
+
+        compactor(spark, store)
+        assert os.path.exists(store), f"[{name}] store stranded parked"
+        assert spark.read.parquet(store).count() == n
+        assert not os.path.exists(store + "._precompact")
+        assert not os.path.exists(store + "._swaplock")
