@@ -198,9 +198,14 @@ def compact_store(
     if pairs_path is not None:
         tables.append(pairs_path)
     for path in tables:
+        # recover BEFORE the existence probe: a swap that crashed
+        # between its renames leaves the only copy parked aside with
+        # no live dir, and the r10 non-mutating read path
+        # (live_read_path) no longer restores it as a side effect —
+        # skipping here would strand the store parked forever
+        recover_swap(path)
         if not os.path.exists(path):
             continue
-        recover_swap(path)
         df = spark.read.parquet(path)
         split = split_for_compaction(df)
         if split is None:

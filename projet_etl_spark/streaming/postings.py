@@ -224,9 +224,13 @@ def compact_postings_store(spark: SparkSession, store_path: str) -> int:
     # once the stale aside is cleared).
     recover_swap(comp_dir)
     cov = _covered_batch(store_path)
+    # recover the live dir BEFORE probing it: a parked-aside-only
+    # state (crash between swap renames) must not read as "no
+    # postings yet" now that readers no longer restore as a side
+    # effect (live_read_path is non-mutating, r10)
+    recover_swap(post_dir)
     if not os.path.exists(post_dir):
         return cov
-    recover_swap(post_dir)
     live = spark.read.parquet(post_dir)
     split = split_for_compaction(live.filter(F.col("batch") > cov))
     if split is None:

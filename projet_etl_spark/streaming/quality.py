@@ -123,9 +123,12 @@ def compact_budget(spark: SparkSession, store_path: str) -> int:
         split_for_compaction,
     )
 
+    # recover BEFORE the existence probe (a crashed swap parks the
+    # only copy aside; the r10 non-mutating read path no longer
+    # restores it for us)
+    recover_swap(store_path)
     if not os.path.exists(store_path):
         return 0
-    recover_swap(store_path)
     parts = spark.read.parquet(store_path)
     split = split_for_compaction(parts)
     if split is None:
