@@ -68,6 +68,7 @@ NEW: tuple[str, ...] = (
     "corpus-domain-budget",
     "dedup-incremental-rate",
     "docs-domain-profile",
+    "quality-by-domain",
 )
 TOUCHED: tuple[str, ...] = (
     "vocab-top100",

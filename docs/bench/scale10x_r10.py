@@ -39,6 +39,7 @@ NEW = [
     "dedup-domain-attribution",
     "corpus-domain-budget",
     "dedup-incremental-rate",
+    "quality-by-domain",
 ]
 
 

@@ -221,6 +221,83 @@ def q_corpus_domain_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_by_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality filter rate: how much of each publisher's
+    supply survives the published web-corpus rule battery — the
+    spam-domain detector a curation run reads next to the mixing
+    budget (a domain with a high duplicate rate AND a low rules-pass
+    rate is the first candidate to drop entirely; ``kept_chars``
+    prices what a domain actually contributes post-filter).
+
+    Reports the full per-rule FAIL decomposition at domain grain
+    (not just the conjunctive gate): on a strict battery most
+    corpora fail mostly ONE rule, and which rule it is differs by
+    publisher — that per-rule signature is what distinguishes "spam
+    domain" (symbols/alpha) from "short-form content" (word count),
+    and it stays informative even where the all-rules gate passes
+    almost nothing (this fixture included).
+
+    One FUSED scan (the qualrules discipline): domain extraction,
+    the five rule counters, the per-rule flags and the pass gate are
+    all computed in a single projection over documents — no
+    self-join, no second scan — then one |domains|-group aggregate
+    of exact indicator/char sums. Rule definitions come from
+    qualrules.rule_fail_exprs(), the same single source the corpus
+    sweep and the rules_pass gate fold from, so this rollup can
+    never disagree with the other rules consumers (the oracle
+    reuses the shared rules-CTE constants the same way).
+    """
+    from projet_etl_spark.functions.text import tokens
+    from projet_etl_spark.operators.qualrules import (
+        _counter_cols,
+        rule_fail_exprs,
+        rules_pass_col,
+    )
+
+    url = web.doc_url(F.col("source"), F.col("doc_id"))
+    base = load_table(spark, sf_dir, "documents").select(
+        web.registrable_domain(url).alias("domain"),
+        "n_chars",
+        tokens(F.col("text")).alias("t"),
+        "text",
+    )
+    per = base.select("domain", "n_chars", *_counter_cols())
+    flags = per.select(
+        "domain",
+        "n_chars",
+        rules_pass_col().alias("p"),
+        *[e.cast("long").alias(n) for n, e in rule_fail_exprs()],
+    )
+    fail_names = [n for n, _ in rule_fail_exprs()]
+    return (
+        flags.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            *[F.sum(n).cast("long").alias(n) for n in fail_names],
+            F.sum(F.col("p").cast("long")).cast("long").alias("n_pass"),
+            F.sum(
+                F.when(F.col("p"), F.col("n_chars")).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("kept_chars"),
+        )
+        .select(
+            "domain",
+            "n_docs",
+            *fail_names,
+            "n_pass",
+            "kept_chars",
+            F.round(
+                F.col("n_pass").cast("double")
+                * 100.0
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("pass_pct"),
+        )
+        .orderBy("domain")
+    )
+
+
 def q_dedup_incremental_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-snapshot incremental dedup-rate audit: for each
     ingestion snapshot in order, how many of its documents were

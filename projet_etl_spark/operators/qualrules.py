@@ -67,19 +67,35 @@ def per_doc_counters(docs: DataFrame) -> DataFrame:
     return t.select("doc_id", *_counter_cols())
 
 
+def rule_fail_exprs() -> list[tuple[str, Column]]:
+    """The five per-rule FAIL predicates over a counters row, named
+    as the sweep reports them — the single source every consumer
+    (corpus sweep, rules_pass gate, per-domain rollup) derives from,
+    in integer cross-multiplied form."""
+    return [
+        (
+            "f_wordcount",
+            (F.col("nw") < WORDS_MIN) | (F.col("nw") > WORDS_MAX),
+        ),
+        (
+            "f_meanwordlen",
+            (F.col("chars") < 3 * F.col("nw"))
+            | (F.col("chars") > 10 * F.col("nw")),
+        ),
+        ("f_symbolratio", 10 * F.col("symbols") > F.col("nw")),
+        ("f_alphafrac", 5 * F.col("alpha") < 4 * F.col("nw")),
+        ("f_stopwords", F.col("stops") < STOP_MIN),
+    ]
+
+
 def rules_pass_col() -> Column:
     """True iff a (nw, chars, alpha, symbols, stops) row fails NONE
-    of the five rules — integer cross-multiplied forms, same as the
-    sweep."""
-    return ~(
-        (F.col("nw") < WORDS_MIN)
-        | (F.col("nw") > WORDS_MAX)
-        | (F.col("chars") < 3 * F.col("nw"))
-        | (F.col("chars") > 10 * F.col("nw"))
-        | (10 * F.col("symbols") > F.col("nw"))
-        | (5 * F.col("alpha") < 4 * F.col("nw"))
-        | (F.col("stops") < STOP_MIN)
-    )
+    of the five rules — the OR-fold of :func:`rule_fail_exprs`, so
+    the gate can never disagree with the per-rule decomposition."""
+    failed = F.lit(False)
+    for _, e in rule_fail_exprs():
+        failed = failed | e
+    return ~failed
 
 
 def q_docs_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -91,22 +107,7 @@ def q_docs_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = per_doc_counters(docs)
     agg = per_doc.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(
-            ((F.col("nw") < WORDS_MIN) | (F.col("nw") > WORDS_MAX)).cast("long")
-        ).alias("f_wordcount"),
-        F.sum(
-            (
-                (F.col("chars") < 3 * F.col("nw"))
-                | (F.col("chars") > 10 * F.col("nw"))
-            ).cast("long")
-        ).alias("f_meanwordlen"),
-        F.sum((10 * F.col("symbols") > F.col("nw")).cast("long")).alias(
-            "f_symbolratio"
-        ),
-        F.sum((5 * F.col("alpha") < 4 * F.col("nw")).cast("long")).alias(
-            "f_alphafrac"
-        ),
-        F.sum((F.col("stops") < STOP_MIN).cast("long")).alias("f_stopwords"),
+        *[F.sum(e.cast("long")).alias(n) for n, e in rule_fail_exprs()],
     )
     rules = agg.selectExpr(
         "n_docs",

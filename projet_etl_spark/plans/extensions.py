@@ -4132,7 +4132,10 @@ FROM rules ORDER BY rule
 # shared CTE prefix for every rules-battery × learned-scorer report
 # (confusion table, kappa, calibration curve) — one definition, so
 # the three oracles cannot disagree about what either filter said
-_RULES_MODEL_CTES = f"""
+# rules-only prefix (toks/per_doc/rules) — also the base of the
+# quality-by-domain rollup, so every consumer of the rule battery
+# shares ONE definition of what "rules_pass" means
+_RULES_CTES = f"""
 WITH toks AS (
     SELECT doc_id, {TX.SQL_TOKENS.format(col='text')} AS t, text
     FROM documents
@@ -4156,7 +4159,9 @@ rules AS (
                 OR 5 * alpha < 4 * nw
                 OR stops < {_qr.STOP_MIN}) AS rules_pass
     FROM per_doc
-),
+)"""
+
+_RULES_MODEL_CTES = f"""{_RULES_CTES},
 model AS (
     SELECT doc_id, keep, logit_milli
     FROM ({_QMODEL_SQL.replace("ORDER BY doc_id", "")}) m
@@ -4481,6 +4486,44 @@ r AS (
 SELECT domain, n_uniq, uniq_chars, share_ppm, sample_rate_ppm,
        CAST(uniq_chars * sample_rate_ppm // 1000000 AS BIGINT) AS budget_chars
 FROM r ORDER BY domain
+"""
+
+# per-domain per-rule fail decomposition + pass gate: the shared
+# rules-CTE counter definitions (ONE source for what each rule
+# means) at per_doc grain, joined to the domain projection; the
+# per-rule CASE forms are the _QUALRULES_SQL ones, generated from
+# the same constants
+_QUALITY_BY_DOMAIN_SQL = f"""{_RULES_CTES},
+{_DOM_CTES},
+j AS (
+    SELECT d.domain, d.n_chars,
+           CASE WHEN p.nw < {_qr.WORDS_MIN} OR p.nw > {_qr.WORDS_MAX}
+                THEN 1 ELSE 0 END AS f_wordcount,
+           CASE WHEN p.chars < 3 * p.nw OR p.chars > 10 * p.nw
+                THEN 1 ELSE 0 END AS f_meanwordlen,
+           CASE WHEN 10 * p.symbols > p.nw THEN 1 ELSE 0 END
+               AS f_symbolratio,
+           CASE WHEN 5 * p.alpha < 4 * p.nw THEN 1 ELSE 0 END
+               AS f_alphafrac,
+           CASE WHEN p.stops < {_qr.STOP_MIN} THEN 1 ELSE 0 END
+               AS f_stopwords,
+           CASE WHEN r.rules_pass THEN 1 ELSE 0 END AS p
+    FROM per_doc p
+    JOIN rules r USING (doc_id)
+    JOIN dom d USING (doc_id)
+)
+SELECT domain,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(f_wordcount) AS BIGINT) AS f_wordcount,
+       CAST(SUM(f_meanwordlen) AS BIGINT) AS f_meanwordlen,
+       CAST(SUM(f_symbolratio) AS BIGINT) AS f_symbolratio,
+       CAST(SUM(f_alphafrac) AS BIGINT) AS f_alphafrac,
+       CAST(SUM(f_stopwords) AS BIGINT) AS f_stopwords,
+       CAST(SUM(p) AS BIGINT) AS n_pass,
+       CAST(SUM(p * n_chars) AS BIGINT) AS kept_chars,
+       ROUND(CAST(SUM(p) AS DOUBLE) * 100.0 / CAST(COUNT(*) AS DOUBLE), 6)
+           AS pass_pct
+FROM j GROUP BY domain ORDER BY domain
 """
 
 # content identity = near-dup cluster (the recursive-CC labels CTE,
@@ -5549,6 +5592,12 @@ def build():
             _domains.q_dedup_incremental_rate,
             _INCR_RATE_SQL,
             ("dedup", "streaming"),
+        ),
+        (
+            "quality-by-domain",
+            _domains.q_quality_by_domain,
+            _QUALITY_BY_DOMAIN_SQL,
+            ("curation", "dq"),
         ),
     ]
     return {

@@ -35,7 +35,7 @@ sys.path.insert(
 # updated per round when queries are added (verdict item 4: a broken
 # transitive import in the extension surface used to shrink the
 # registry to 13 parity queries behind `except ImportError: pass`)
-EXPECTED_REGISTRY_SIZE = 207
+EXPECTED_REGISTRY_SIZE = 208
 
 
 def test_registry_size_is_pinned():
@@ -417,3 +417,34 @@ def test_compactor_rerun_recovers_stranded_parked_store(spark, tmp_path):
         assert spark.read.parquet(store).count() == n
         assert not os.path.exists(store + "._precompact")
         assert not os.path.exists(store + "._swaplock")
+
+
+def test_quality_by_domain_consistent_with_corpus_sweep(spark):
+    """The per-domain per-rule fail decomposition sums to exactly the
+    corpus-wide rule sweep (same single-source predicates, same
+    corpus — a disagreement means the two consumers' rule definitions
+    drifted, which rule_fail_exprs() exists to prevent)."""
+    from projet_etl_spark.operators import domains, qualrules
+
+    dom = domains.q_quality_by_domain(spark, SF_SMALL).collect()
+    sweep = {
+        r["rule"]: r["n_fail"]
+        for r in qualrules.q_docs_quality_rules(spark, SF_SMALL).collect()
+    }
+    per_rule = {
+        "word-count-range": sum(r["f_wordcount"] for r in dom),
+        "mean-word-length": sum(r["f_meanwordlen"] for r in dom),
+        "symbol-to-word-ratio": sum(r["f_symbolratio"] for r in dom),
+        "alpha-word-fraction": sum(r["f_alphafrac"] for r in dom),
+        "stopword-floor": sum(r["f_stopwords"] for r in dom),
+    }
+    assert per_rule == sweep
+    # the gate is the AND of the five rules: nothing passing can have
+    # any fail flag counted against the whole domain row arithmetic
+    for r in dom:
+        assert r["n_pass"] <= r["n_docs"]
+        assert r["kept_chars"] >= 0
+    # decomposition has fixture signal even where the strict gate
+    # passes almost nothing: fail rates VARY by domain
+    rates = {round(r["f_wordcount"] / r["n_docs"], 3) for r in dom}
+    assert len(rates) > 1
