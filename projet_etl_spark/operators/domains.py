@@ -169,13 +169,17 @@ def q_corpus_domain_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-data pipeline joins against at export time to decide,
     per document, the probability it is kept.
 
-    Arithmetic contract: shares and rates are integer ppm via BIGINT
+    Arithmetic contract: shares and rates are integer ppm via exact
     floor division — identical on both engines, no float
-    accumulation order to disagree on. ``uniq_chars * 1_000_000``
-    fits BIGINT up to ~9.2e12 chars per domain (≈9 TB of text in ONE
-    registrable domain); past that the deployment swaps the ppm
-    arithmetic to DECIMAL(38,0) — a documented one-line change, not
-    a rework.
+    accumulation order to disagree on. The ``uniq_chars * 1_000_000``
+    intermediates are 128-bit wide (Spark DECIMAL(38,0) through the
+    exact IntegralDivide, DuckDB HUGEINT through ``//``) so the
+    arithmetic stays exact up to ~9.2e18 chars per domain — the
+    BIGINT column bound itself — instead of silently wrapping past
+    9.2e12 on the Spark side while the oracle raised (advisor r10:
+    the asymmetric-failure guard). The quotients (share_ppm ≤ 1e6,
+    budget_chars ≤ uniq_chars) fit BIGINT structurally, so the final
+    narrowing cast can never itself wrap.
 
     Scale shape: canonical filter on the staged labels (doc_id ==
     cluster_id), one doc_id equi-join, |domains|-group aggregate,
@@ -195,7 +199,10 @@ def q_corpus_domain_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = per.agg(F.sum("uniq_chars").cast("long").alias("t"))
     shared = per.crossJoin(F.broadcast(tot)).withColumn(
-        "share_ppm", F.expr("uniq_chars * 1000000 div t").cast("long")
+        "share_ppm",
+        F.expr("CAST(uniq_chars AS DECIMAL(38,0)) * 1000000 div t").cast(
+            "long"
+        ),
     )
     rate = (
         F.when(
@@ -213,7 +220,10 @@ def q_corpus_domain_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             "uniq_chars",
             "share_ppm",
             "sample_rate_ppm",
-            F.expr("uniq_chars * sample_rate_ppm div 1000000")
+            F.expr(
+                "CAST(uniq_chars AS DECIMAL(38,0)) * sample_rate_ppm"
+                " div 1000000"
+            )
             .cast("long")
             .alias("budget_chars"),
         )

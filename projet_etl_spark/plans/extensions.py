@@ -4455,8 +4455,10 @@ SELECT domain,
 FROM j GROUP BY domain ORDER BY domain
 """
 
-# ppm arithmetic is BIGINT floor division on both engines (Spark
-# `div`, DuckDB `//`) — no float in the share/rate path
+# ppm arithmetic is exact 128-bit floor division on both engines
+# (Spark DECIMAL(38,0) through IntegralDivide, DuckDB HUGEINT `//`)
+# — no float in the share/rate path, and no BIGINT wrap past 9.2e12
+# chars/domain (advisor r10)
 _DOMAIN_BUDGET_SQL = f"""
 WITH lab AS ({_CLUSTERS_SQL}),
 {_DOM_CTES},
@@ -4473,7 +4475,8 @@ per AS (
 tot AS (SELECT CAST(SUM(uniq_chars) AS BIGINT) AS t FROM per),
 s AS (
     SELECT domain, n_uniq, uniq_chars,
-           CAST(uniq_chars * 1000000 // t AS BIGINT) AS share_ppm
+           CAST(CAST(uniq_chars AS HUGEINT) * 1000000 // t AS BIGINT)
+               AS share_ppm
     FROM per, tot
 ),
 r AS (
@@ -4484,7 +4487,8 @@ r AS (
     FROM s
 )
 SELECT domain, n_uniq, uniq_chars, share_ppm, sample_rate_ppm,
-       CAST(uniq_chars * sample_rate_ppm // 1000000 AS BIGINT) AS budget_chars
+       CAST(CAST(uniq_chars AS HUGEINT) * sample_rate_ppm // 1000000
+            AS BIGINT) AS budget_chars
 FROM r ORDER BY domain
 """
 

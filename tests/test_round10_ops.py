@@ -305,7 +305,11 @@ def test_doc_url_duckdb_mirror_matches_spark(spark):
 
     from projet_etl_spark.functions import web
 
-    cases = [(i, f"src{i % 20}") for i in range(0, 100, 7)]
+    # stride 11 is coprime with both the mod-3 subdomain cycle and the
+    # mod-7 TLD cycle, so every CASE arm of the SQL mirror (www/cdn/"",
+    # .com/.co.uk/.org/.net) is exercised cross-engine by this literal
+    # test (advisor r10: stride 7 pinned only the '.com' arm)
+    cases = [(i, f"src{i % 20}") for i in range(0, 100, 11)]
     sdf = spark.createDataFrame(cases, "doc_id long, source string").select(
         "doc_id", web.doc_url(F.col("source"), F.col("doc_id")).alias("u")
     )
