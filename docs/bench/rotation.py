@@ -46,38 +46,33 @@ PREFIX_LEN = 50
 SENTINELS = ("top-1", "avg-cat-fab-10-mag")
 
 # The artifact rounds that exist in the tree when this round's prefix
-# is committed. The r10 prefix is generated over the r01..r09 ledger;
-# the driver's CORRECTNESS_r10.json lands AFTER commit and must not
+# is committed. The r11 prefix is generated over the r01..r10 ledger;
+# the driver's CORRECTNESS_r11.json lands AFTER commit and must not
 # retroactively change what the committed tuple should have been.
-ROUNDS_AT_COMMIT: tuple[int, ...] = tuple(range(1, 10))
+ROUNDS_AT_COMMIT: tuple[int, ...] = tuple(range(1, 11))
 
-# Round-10 inputs to the rule. NEW = added this round (no hard row
-# anywhere). TOUCHED = serve paths whose implementing modules changed
-# in the r10 diff: the three single-partition global-rank plans were
-# rewritten scale-safe (vocab-top100 / bigrams-top50 ->
-# TakeOrderedAndProject, token-zipf-fit -> two-pass distributed
-# rank); the staging fingerprint now folds a builder-version token
-# (advisor item), which rekeys every staged layout -> top-magasins as
-# the parity-view representative and split-by-cluster as the
-# staged-labels/pairs representative; storeio's read-path swap
-# recovery is now staleness-gated -> token-freq-cms and bm25-store as
-# the store-reader representatives (r9 rotated ann-ivf-store and
-# daily-counts-store through the same mechanism).
+# Round-11 inputs to the rule. NEW = added this round (no hard row
+# anywhere): the BPE merge-learning pair and the URL-grain pair.
+# TOUCHED = serve paths whose implementing modules changed in the
+# r11 diff: corpus-domain-budget's ppm arithmetic moved to exact
+# 128-bit intermediates (advisor item — same values in the
+# non-overflow regime, but the expression tree changed, so it must
+# re-earn its hard row); storeio's read path gained the
+# live-writer-ownership gate (live_read_path consults the
+# ._writerlock before any restore) -> sessions-store and
+# user-state-asof as this round's store-reader representatives (r9
+# rotated ann-ivf-store/daily-counts-store, r10 rotated
+# token-freq-cms/bm25-store through the same mechanism).
 NEW: tuple[str, ...] = (
-    "dedup-domain-attribution",
-    "corpus-domain-budget",
-    "dedup-incremental-rate",
-    "docs-domain-profile",
-    "quality-by-domain",
+    "bpe-learn-merges",
+    "bpe-learned-count",
+    "url-canonicalize",
+    "dedup-exact-url",
 )
 TOUCHED: tuple[str, ...] = (
-    "vocab-top100",
-    "bigrams-top50",
-    "token-zipf-fit",
-    "top-magasins",
-    "split-by-cluster",
-    "token-freq-cms",
-    "bm25-store",
+    "corpus-domain-budget",
+    "sessions-store",
+    "user-state-asof",
 )
 
 

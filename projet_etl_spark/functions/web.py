@@ -143,3 +143,189 @@ def sql_registrable_domain(col: str) -> str:
         f"THEN regexp_extract({h}, '{_DOM2_RE}', 1) "
         f"ELSE {h} END"
     )
+
+
+# ---------------------------------------------------------------
+# URL-grain canonicalization (r11) — the crawl-pipeline step
+# UPSTREAM of content dedup: strip fetch noise (scheme case and
+# http/https split, default ports, tracking parameters, fragments,
+# trailing slashes, host case, www.) so refetches of one page
+# collapse to ONE canonical URL before any text is compared.
+# Same cross-engine discipline as the domain extraction above:
+# one regex-string constant set, a Spark Column builder and a DuckDB
+# fragment built from the SAME strings, parity-pinned by literal
+# tests (tests/test_round11_ops.py).
+# ---------------------------------------------------------------
+
+# tracking parameters a crawl canonicalizer drops (the public
+# utm_*/click-id set); each match consumes its trailing '&' so
+# surviving parameters re-join cleanly
+TRACKING_PARAM_RE = r"(?:utm_[a-z]+|gclid|fbclid|ref)=[^&#]*&?"
+
+# everything after scheme://userinfo@host:port — the path+query+
+# fragment tail, with the default-port group consumed outside the
+# capture. Same host charset as _HOST_RE above.
+_TAIL_RE = r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@?#]*@)?[^/:?#]+(?::[0-9]+)?(.*)$"
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a fetched URL: lowercased www-less host
+    (scheme, userinfo and port dropped) + the tail with fragment,
+    tracking parameters, dangling ``?``/``&`` and trailing slashes
+    stripped. Pinned choice: a tail that keeps NON-tracking
+    parameters keeps them in original order (no re-sort), and the
+    trailing-slash strip applies only at the very end of the
+    canonical string."""
+    tail = F.regexp_extract(url, _TAIL_RE, 1)
+    tail = F.regexp_replace(tail, r"#.*$", "")
+    tail = F.regexp_replace(tail, TRACKING_PARAM_RE, "")
+    tail = F.regexp_replace(tail, r"[?&]$", "")
+    tail = F.regexp_replace(tail, r"/+$", "")
+    return F.concat(host_of(url), tail)
+
+
+def sql_canonical_url(col: str) -> str:
+    """DuckDB mirror of ``canonical_url`` (same regex strings; DuckDB
+    needs the explicit 'g' flag where Java replaces globally)."""
+    tail = f"regexp_extract({col}, '{_TAIL_RE}', 1)"
+    tail = f"regexp_replace({tail}, '#.*$', '')"
+    tail = f"regexp_replace({tail}, '{TRACKING_PARAM_RE}', '', 'g')"
+    tail = f"regexp_replace({tail}, '[?&]$', '')"
+    tail = f"regexp_replace({tail}, '/+$', '')"
+    return f"({sql_host_of(col)} || {tail})"
+
+
+# fixture noise arms (doc_id-keyed, page-independent): the five ways
+# one page's refetches differ byte-wise. Every arm is something
+# canonical_url strips, so noisy fetches of one page canonicalize to
+# one URL; arms cycle on moduli coprime enough that each combination
+# occurs (2,5,3,4,6 over doc_id).
+def _noise(doc_id: Column) -> tuple[Column, ...]:
+    scheme = (
+        F.when(doc_id % 2 == 1, F.lit("HTTP://")).otherwise(F.lit("https://"))
+    )
+    port = F.when(doc_id % 5 == 0, F.lit(":443")).otherwise(F.lit(""))
+    slash = F.when(doc_id % 3 == 0, F.lit("/")).otherwise(F.lit(""))
+    query = (
+        F.when(doc_id % 4 == 1, F.lit("?utm_source=feed"))
+        .when(doc_id % 4 == 2, F.lit("?utm_campaign=x&utm_medium=y"))
+        .when(doc_id % 4 == 3, F.lit("?gclid=abc123"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(doc_id % 6 == 1, F.lit("#section2")).otherwise(F.lit(""))
+    return scheme, port, slash, query, frag
+
+
+def _sql_noise(did: str) -> tuple[str, ...]:
+    return (
+        f"CASE WHEN {did} % 2 = 1 THEN 'HTTP://' ELSE 'https://' END",
+        f"CASE WHEN {did} % 5 = 0 THEN ':443' ELSE '' END",
+        f"CASE WHEN {did} % 3 = 0 THEN '/' ELSE '' END",
+        (
+            f"CASE {did} % 4 WHEN 1 THEN '?utm_source=feed' "
+            f"WHEN 2 THEN '?utm_campaign=x&utm_medium=y' "
+            f"WHEN 3 THEN '?gclid=abc123' ELSE '' END"
+        ),
+        f"CASE WHEN {did} % 6 = 1 THEN '#section2' ELSE '' END",
+    )
+
+
+def noisy_doc_url(source: Column, doc_id: Column) -> Column:
+    """``doc_url`` wrapped in fetch noise — same host/path arms, so
+    ``canonical_url(noisy_doc_url(s, d)) == canonical_url(
+    doc_url(s, d))`` by construction (the canonicalizer's oracle-free
+    invariant, pinned in tests)."""
+    scheme, port, slash, query, frag = _noise(doc_id)
+    sub = (
+        F.when(doc_id % 3 == 0, F.lit("www."))
+        .when(doc_id % 3 == 1, F.lit("cdn."))
+        .otherwise(F.lit(""))
+    )
+    sfx = (
+        F.when(doc_id % 7 == 0, F.lit(".com"))
+        .when(doc_id % 7 == 1, F.lit(".co.uk"))
+        .when(doc_id % 7 == 2, F.lit(".org"))
+        .otherwise(F.lit(".net"))
+    )
+    return F.concat(
+        scheme, sub, source, sfx, port,
+        F.lit("/d/"), doc_id.cast("string"), slash, query, frag,
+    )
+
+
+def sql_noisy_doc_url(src: str, did: str) -> str:
+    """DuckDB mirror of ``noisy_doc_url`` (same arms, same order)."""
+    scheme, port, slash, query, frag = _sql_noise(did)
+    return (
+        f"{scheme} || "
+        f"CASE {did} % 3 WHEN 0 THEN 'www.' WHEN 1 THEN 'cdn.' ELSE '' END "
+        f"|| {src} || "
+        f"CASE {did} % 7 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk' "
+        f"WHEN 2 THEN '.org' ELSE '.net' END "
+        f"|| {port} || '/d/' || CAST({did} AS VARCHAR) || {slash} "
+        f"|| {query} || {frag}"
+    )
+
+
+# page-identity device for URL-grain dedup: 150 shared pages per
+# PAGE_MOD cycle of doc_ids. 150 is even but not divisible by 4, so
+# a shared page's refetches (doc_id ≡ p mod 150) land on exactly TWO
+# of the four mod-4 snapshots, with repeats inside each — both
+# within-snapshot and cross-snapshot URL duplicates occur at every
+# fixture SF (a modulus divisible by SNAPSHOTS would pin each page
+# to one snapshot; one coprime with corpus_size/SNAPSHOTS would
+# spread every fetch to a distinct snapshot — both kill half the
+# signal). Every fifth-ish doc (doc_id % 5 == 2, a residue that
+# intersects every mod-4 snapshot) fetches a SINGLETON page instead
+# (page id offset past the shared range so they never collide), so
+# each snapshot also contributes genuinely new URLs — without the
+# arm, the later snapshots of the cycle are 100% refetch and the
+# n_new_urls column goes structurally dead there.
+PAGE_MOD = 150
+
+
+def crawl_url(doc_id: Column) -> Column:
+    """Fixture crawl-log URL: page identity (host arms, path) is a
+    pure function of ``doc_id`` (shared ``doc_id % PAGE_MOD`` page or
+    singleton page, see PAGE_MOD comment); fetch noise is a pure
+    function of ``doc_id``. At deployment the dedup groups by
+    ``canonical_url(crawl.url)`` directly — this builder (and its SQL
+    twin) is the only fixture-specific piece, exactly like
+    ``doc_url`` above."""
+    page = F.when(
+        doc_id % 5 == 2, doc_id + F.lit(PAGE_MOD)
+    ).otherwise(doc_id % PAGE_MOD)
+    scheme, port, slash, query, frag = _noise(doc_id)
+    sub = (
+        F.when(page % 3 == 0, F.lit("www."))
+        .when(page % 3 == 1, F.lit("cdn."))
+        .otherwise(F.lit(""))
+    )
+    sfx = (
+        F.when(page % 7 == 0, F.lit(".com"))
+        .when(page % 7 == 1, F.lit(".co.uk"))
+        .when(page % 7 == 2, F.lit(".org"))
+        .otherwise(F.lit(".net"))
+    )
+    return F.concat(
+        scheme, sub, F.lit("site"), (page % 17).cast("string"), sfx, port,
+        F.lit("/p/"), page.cast("string"), slash, query, frag,
+    )
+
+
+def sql_crawl_url(did: str) -> str:
+    """DuckDB mirror of ``crawl_url`` (same arms, same order)."""
+    p = (
+        f"(CASE WHEN {did} % 5 = 2 THEN {did} + {PAGE_MOD} "
+        f"ELSE {did} % {PAGE_MOD} END)"
+    )
+    scheme, port, slash, query, frag = _sql_noise(did)
+    return (
+        f"{scheme} || "
+        f"CASE {p} % 3 WHEN 0 THEN 'www.' WHEN 1 THEN 'cdn.' ELSE '' END "
+        f"|| 'site' || CAST({p} % 17 AS VARCHAR) || "
+        f"CASE {p} % 7 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk' "
+        f"WHEN 2 THEN '.org' ELSE '.net' END "
+        f"|| {port} || '/p/' || CAST({p} AS VARCHAR) || {slash} "
+        f"|| {query} || {frag}"
+    )

@@ -375,3 +375,98 @@ def q_dedup_incremental_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("snap")
     )
+
+
+# ---------------------------------------------------------------
+# URL grain (r11) — the crawl-pipeline step upstream of content
+# dedup: canonicalize fetch URLs, then dedup at exact-URL grain
+# with the same within-/cross-snapshot attribution the content
+# audit above reports. No reference counterpart (reference is the
+# retail OLAP app, views.py); the canonicalization rules are the
+# public crawl-pipeline set (scheme/port/tracking-param/fragment/
+# slash normalization).
+# ---------------------------------------------------------------
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document URL normalization table: the noisy fetch URL
+    (fixture device, web.noisy_doc_url — at deployment the real
+    stored URL), its canonical form, and the registrable domain OF
+    the canonical form, tying the URL grain into the domain-grain
+    rollups above.
+
+    Scale shape: one narrow map over the scan — regex extraction
+    and literal concat only, whole-stage codegen, no shuffle but the
+    output sort.
+    """
+    url = web.noisy_doc_url(F.col("source"), F.col("doc_id"))
+    canon = web.canonical_url(url)
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            url.alias("url"),
+            canon.alias("canonical_url"),
+            web.registrable_domain(canon).alias("domain"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_dedup_exact_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-URL dedup audit per crawl snapshot: of each snapshot's
+    fetches, how many hit a canonical URL already fetched in an
+    EARLIER snapshot (refetch the crawler should have skipped), how
+    many duplicate within their own snapshot (frontier dedup gap),
+    and how many new URLs the snapshot contributes — the URL-grain
+    twin of q_dedup_incremental_rate, which answers the same question
+    one step LATER at content grain (a URL dup is caught before the
+    fetch; a content dup only after).
+
+    Scale shape (the content twin's exactly): aggregate to
+    (canonical_url, snap) counts first, reduce to per-URL first
+    snapshot, one high-entropy equi-join between the two reduced
+    frames, then a |SNAPSHOTS|-row aggregate. No windows, no
+    all-pairs — cost is O(distinct URLs).
+    """
+    fetches = load_table(spark, sf_dir, "documents").select(
+        web.canonical_url(web.crawl_url(F.col("doc_id"))).alias("url"),
+        (F.col("doc_id") % SNAPSHOTS).cast("long").alias("snap"),
+    )
+    g = fetches.groupBy("url", "snap").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    f = g.groupBy("url").agg(F.min("snap").alias("first_snap"))
+    j = g.join(f, "url")
+    hist = F.when(F.col("snap") > F.col("first_snap"), F.col("n")).otherwise(
+        F.lit(0)
+    )
+    batch = F.when(
+        F.col("snap") == F.col("first_snap"), F.col("n") - F.lit(1)
+    ).otherwise(F.lit(0))
+    new_u = F.when(F.col("snap") == F.col("first_snap"), F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    return (
+        j.groupBy("snap")
+        .agg(
+            F.sum("n").cast("long").alias("n_fetches"),
+            F.sum(hist).cast("long").alias("n_hist_dups"),
+            F.sum(batch).cast("long").alias("n_batch_dups"),
+            F.sum(new_u).cast("long").alias("n_new_urls"),
+        )
+        .select(
+            "snap",
+            "n_fetches",
+            "n_hist_dups",
+            "n_batch_dups",
+            "n_new_urls",
+            F.round(
+                (F.col("n_hist_dups") + F.col("n_batch_dups")).cast("double")
+                * 100.0
+                / F.col("n_fetches").cast("double"),
+                6,
+            ).alias("dup_pct"),
+        )
+        .orderBy("snap")
+    )

@@ -835,6 +835,7 @@ GROUP BY md5({_NORM})
 
 # --- vocab / resampling oracles -------------------------------------
 
+from projet_etl_spark.operators import bpe as _bpe  # noqa: E402
 from projet_etl_spark.operators import vocab  # noqa: E402
 
 _VOCAB_SQL = f"""
@@ -4560,6 +4561,51 @@ SELECT CAST(snap AS BIGINT) AS snap,
 FROM j GROUP BY snap ORDER BY snap
 """
 
+# URL grain (r11): canonicalization mirror built from the SAME regex
+# strings as functions/web.py (sql_canonical_url / sql_noisy_doc_url
+# / sql_crawl_url); dedup-exact-url is the incremental-rate shape
+# with canonical URL as the identity instead of the cluster label
+_URL_CANON_SQL = f"""
+WITH u AS (
+    SELECT doc_id, {_web.sql_noisy_doc_url("source", "doc_id")} AS url
+    FROM documents
+)
+SELECT doc_id, url,
+       {_web.sql_canonical_url("url")} AS canonical_url,
+       {_web.sql_registrable_domain(_web.sql_canonical_url("url"))} AS domain
+FROM u ORDER BY doc_id
+"""
+
+_EXACT_URL_SQL = f"""
+WITH raw AS (
+    SELECT doc_id, {_web.sql_crawl_url("doc_id")} AS url FROM documents
+),
+d AS (
+    SELECT {_web.sql_canonical_url("url")} AS url,
+           doc_id % {_domains.SNAPSHOTS} AS snap
+    FROM raw
+),
+g AS (
+    SELECT url, snap, CAST(COUNT(*) AS BIGINT) AS n
+    FROM d GROUP BY url, snap
+),
+f AS (SELECT url, MIN(snap) AS first_snap FROM g GROUP BY url),
+j AS (SELECT g.snap, g.n, f.first_snap FROM g JOIN f USING (url))
+SELECT CAST(snap AS BIGINT) AS snap,
+       CAST(SUM(n) AS BIGINT) AS n_fetches,
+       CAST(SUM(CASE WHEN snap > first_snap THEN n ELSE 0 END) AS BIGINT)
+           AS n_hist_dups,
+       CAST(SUM(CASE WHEN snap = first_snap THEN n - 1 ELSE 0 END) AS BIGINT)
+           AS n_batch_dups,
+       CAST(SUM(CASE WHEN snap = first_snap THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new_urls,
+       ROUND(CAST(SUM(CASE WHEN snap > first_snap THEN n ELSE 0 END)
+                  + SUM(CASE WHEN snap = first_snap THEN n - 1 ELSE 0 END)
+                  AS DOUBLE)
+             * 100.0 / CAST(SUM(n) AS DOUBLE), 6) AS dup_pct
+FROM j GROUP BY snap ORDER BY snap
+"""
+
 
 def build():
     """Registry entries for the extension surface; imported by
@@ -4636,6 +4682,22 @@ def build():
             textstats.q_text_bpe_token_count,
             _BPE_SQL,
             ("text",),
+        ),
+        # distributed BPE merge learning (r11): the learner is the
+        # oracled from-scratch builder (unrolled materialized-CTE
+        # mirror, same argmax total order); the learned-count twin
+        # consumes the fingerprint-staged segmentation
+        (
+            "bpe-learn-merges",
+            _bpe.q_bpe_learn_merges,
+            _bpe.sql_learn_merges(),
+            ("text", "tokenizer"),
+        ),
+        (
+            "bpe-learned-count",
+            _bpe.q_bpe_learned_count,
+            _bpe.sql_learned_count(),
+            ("text", "tokenizer"),
         ),
         (
             "text-rolling-hash",
@@ -5602,6 +5664,21 @@ def build():
             _domains.q_quality_by_domain,
             _QUALITY_BY_DOMAIN_SQL,
             ("curation", "dq"),
+        ),
+        # round-11 additions: URL-grain canonicalization + exact-URL
+        # dedup (verdict item 4 — the crawl-pipeline step upstream of
+        # content dedup)
+        (
+            "url-canonicalize",
+            _domains.q_url_canonicalize,
+            _URL_CANON_SQL,
+            ("curation", "text"),
+        ),
+        (
+            "dedup-exact-url",
+            _domains.q_dedup_exact_url,
+            _EXACT_URL_SQL,
+            ("dedup", "curation"),
         ),
     ]
     return {

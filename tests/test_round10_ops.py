@@ -35,7 +35,7 @@ sys.path.insert(
 # updated per round when queries are added (verdict item 4: a broken
 # transitive import in the extension surface used to shrink the
 # registry to 13 parity queries behind `except ImportError: pass`)
-EXPECTED_REGISTRY_SIZE = 208
+EXPECTED_REGISTRY_SIZE = 212
 
 
 def test_registry_size_is_pinned():
@@ -76,8 +76,8 @@ def test_broken_extensions_import_is_loud(monkeypatch):
 
 def test_driver_prefix_is_generated_by_rotation_rule():
     """The committed tuple == the generator over the EXPLICIT
-    committed-artifact rounds (r01..r09), and the staleness bound
-    holds: the five r4-stale overflows the r9 pin promised enter at
+    committed-artifact rounds (r01..r10), and the staleness bound
+    holds: the five r5-stale queries the r10 verdict named enter at
     the first LRU slots, and nothing left unchecked has a hard row
     older than r6."""
     import rotation
@@ -85,26 +85,25 @@ def test_driver_prefix_is_generated_by_rotation_rule():
     from projet_etl_spark.plans import registry
 
     names = list(registry.REGISTRY)
-    assert rotation.ROUNDS_AT_COMMIT == tuple(range(1, 10))
+    assert rotation.ROUNDS_AT_COMMIT == tuple(range(1, 11))
     assert registry._DRIVER_PREFIX == rotation.generate(
         names, rounds=rotation.ROUNDS_AT_COMMIT
     )
     last = rotation.ledger(rotation.ROUNDS_AT_COMMIT)
     checked = set(registry._DRIVER_PREFIX)
-    # the r9 overflow promise: these five are checked THIS round
+    # the r10 verdict's LRU tail: these five are checked THIS round
     for n in (
-        "text-repetition",
-        "text-rolling-hash",
-        "text-scrub-pii",
-        "text-token-count",
-        "top-magasins-rollup",
+        "value-percentiles",
+        "tfidf-top-terms",
+        "top3-stores-per-category",
+        "text-unigram-logprob",
+        "top-large-orders",
     ):
-        assert n in checked, f"r9 overflow query {n} missed the r10 prefix"
-    # the four NEW domain-grain queries take the head slots, so four
-    # r5-checked LRU fills overflow to next round — the staleness
-    # floor this rotation can guarantee is r5
+        assert n in checked, f"r10 LRU-tail query {n} missed the r11 prefix"
+    # every r5 row is refreshed this round; the staleness floor after
+    # this rotation lands is r6
     oldest_left = min(last.get(n, 0) for n in names if n not in checked)
-    assert oldest_left >= 5
+    assert oldest_left >= 6
 
 
 # --- verdict item 6: read-path swap recovery is concurrency-safe --------
