@@ -1,9 +1,9 @@
 """Multimodal-column plumbing: opaque binary payloads + typed
 metadata, processed with Arrow-batched mapInPandas.
 
-The container has no image/audio codecs (re-probed round 10: PIL,
-cv2, imageio, torchvision, av, soundfile, librosa, ffmpeg all
-absent), so the decode step is a clearly-marked stub (decode_image
+The container has no image/audio codecs (re-probed round 11: PIL,
+cv2, imageio, torchvision, av, soundfile, librosa, skimage, ffmpeg
+all absent), so the decode step is a clearly-marked stub (decode_image
 raises NotImplementedError; the deterministic byte-level feature
 path is real). What IS real and
 tested end-to-end: the binary column schema, the mapInPandas batch
