@@ -52,24 +52,34 @@ SENTINELS = ("top-1", "avg-cat-fab-10-mag")
 ROUNDS_AT_COMMIT: tuple[int, ...] = tuple(range(1, 11))
 
 # Round-11 inputs to the rule. NEW = added this round (no hard row
-# anywhere): the BPE merge-learning pair and the URL-grain pair.
-# TOUCHED = serve paths whose implementing modules changed in the
-# r11 diff: corpus-domain-budget's ppm arithmetic moved to exact
-# 128-bit intermediates (advisor item — same values in the
-# non-overflow regime, but the expression tree changed, so it must
-# re-earn its hard row); storeio's read path gained the
-# live-writer-ownership gate (live_read_path consults the
-# ._writerlock before any restore) -> sessions-store and
-# user-state-asof as this round's store-reader representatives (r9
-# rotated ann-ivf-store/daily-counts-store, r10 rotated
-# token-freq-cms/bm25-store through the same mechanism).
+# anywhere): the BPE merge-learning pair, the URL-grain pair, and
+# the RP-banding recall audit. TOUCHED = serve paths whose
+# implementing modules changed in the r11 diff:
+# - the RP-LSH banding went 16-bit/4-band -> 160-bit/16-band with an
+#   Arrow-batched signature kernel (the semantic-clusters 10x
+#   scale-killer fix) — dedup-embedding-lsh, semantic-clusters and
+#   semantic-exemplars compute DIFFERENT (better-recalled) pair
+#   graphs and must re-earn hard rows;
+# - corpus-domain-budget's ppm arithmetic moved to exact 128-bit
+#   intermediates (advisor item — same values in the non-overflow
+#   regime, but the expression tree changed);
+# - storeio's read path gained the live-writer-ownership gate
+#   (live_read_path consults the ._writerlock before any restore)
+#   -> sessions-store and user-state-asof as this round's
+#   store-reader representatives (r9 rotated ann-ivf-store/
+#   daily-counts-store, r10 rotated token-freq-cms/bm25-store
+#   through the same mechanism).
 NEW: tuple[str, ...] = (
     "bpe-learn-merges",
     "bpe-learned-count",
     "url-canonicalize",
     "dedup-exact-url",
+    "embedding-lsh-recall",
 )
 TOUCHED: tuple[str, ...] = (
+    "dedup-embedding-lsh",
+    "semantic-clusters",
+    "semantic-exemplars",
     "corpus-domain-budget",
     "sessions-store",
     "user-state-asof",

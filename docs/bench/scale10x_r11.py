@@ -49,12 +49,16 @@ NEW = [
     "bpe-learned-count",
     "url-canonicalize",
     "dedup-exact-url",
+    "embedding-lsh-recall",
 ]
 BUILDERS = [
     "dedup-clusters",
     "semantic-clusters",
     "dedup-prefix-filter",
     "supplier-pagerank",
+    # reshaped this round (RP banding rebuild + streaming verify):
+    # its own 10x curve belongs next to the builders'
+    "dedup-embedding-lsh",
 ]
 
 

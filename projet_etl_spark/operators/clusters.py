@@ -169,7 +169,9 @@ _LABEL_STAGE_ROOT = _os.path.join(
 )
 
 
-def _staged_labels(spark, sf_dir, kind, source_file, build_df, cols):
+def _staged_labels(
+    spark, sf_dir, kind, source_file, build_df, cols, version_extra=""
+):
     """Serve a (id, cluster_id) label frame from its fingerprint-keyed
     parquet materialization; fall back to the lazy builder plan when
     the source isn't fingerprintable or the staged write left no
@@ -208,7 +210,7 @@ def _staged_labels(spark, sf_dir, kind, source_file, build_df, cols):
         fp,
         "labels",
         _build,
-        version=f"{kind}-labels-v1:rounds={MAX_ROUNDS}",
+        version=f"{kind}-labels-v1:rounds={MAX_ROUNDS}{version_extra}",
     )
     try:
         return spark.read.parquet(path).select(*cols)
@@ -232,7 +234,16 @@ def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def semantic_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cluster_id) semantic near-dup labels, staged like
-    :func:`cluster_labels` but keyed on the embeddings source."""
+    :func:`cluster_labels` but keyed on the embeddings source. The
+    version token folds the RP banding constants (r11: the builder's
+    pair graph depends on them — the 4->10-bit widening must
+    invalidate the staged layout like a data change would)."""
+    from projet_etl_spark.operators.dedup import (
+        COSINE_THRESHOLD,
+        RP_BAND_BITS,
+        RP_BITS,
+    )
+
     return _staged_labels(
         spark,
         sf_dir,
@@ -240,6 +251,9 @@ def semantic_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embeddings.parquet",
         lambda: q_semantic_clusters(spark, sf_dir),
         ("vec_id", "cluster_id"),
+        version_extra=(
+            f":rp={RP_BITS}x{RP_BAND_BITS}:cos={COSINE_THRESHOLD}"
+        ),
     )
 
 

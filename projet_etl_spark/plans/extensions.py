@@ -456,21 +456,31 @@ _RP_BITS_COLS = ",\n           ".join(
     f"CASE WHEN ({_rp_dot_sql(h)}) >= 0 THEN 1 ELSE 0 END AS b{h}"
     for h in range(dedup.RP_BITS)
 )
+# MSB-first key composition, generic over the band width (r11: the
+# 4->10-bit widening is the LSH scale knob; same composition order as
+# the Spark kernel's k = k*2 + bit loop)
 _RP_BAND_ROWS = "\n    UNION ALL\n    ".join(
     f"SELECT vec_id, {b} AS band, "
-    f"b{4 * b} * 8 + b{4 * b + 1} * 4 + b{4 * b + 2} * 2 + b{4 * b + 3} AS key "
-    "FROM bits"
+    + " + ".join(
+        f"b{dedup.RP_BAND_BITS * b + j} * {2 ** (dedup.RP_BAND_BITS - 1 - j)}"
+        for j in range(dedup.RP_BAND_BITS)
+    )
+    + " AS key FROM bits"
     for b in range(dedup.RP_BANDS)
 )
 _EMB_LSH_CTES = (
     _E_CTE
     + f""",
-bits AS (
+bits AS MATERIALIZED (
+    -- MATERIALIZED (r11): the 16 band branches each reference this
+    -- CTE; inlined, the planner re-plans the 160 generated 64-term
+    -- dot columns per branch (~30 s of optimizer time at ANY data
+    -- size, measured) — materialized it plans and evaluates once
     SELECT vec_id,
            {_RP_BITS_COLS}
     FROM embeddings
 ),
-bands AS (
+bands AS MATERIALIZED (
     {_RP_BAND_ROWS}
 ),
 cand AS (
@@ -488,6 +498,36 @@ JOIN e b ON vec_b = b.vec_id
 WHERE {_sql_cos(VEC.sql_dot('a.v', 'b.v'), 'a.n2', 'b.n2')} >= {dedup.COSINE_THRESHOLD}
 """
 _EMB_LSH_SQL = _EMB_LSH_CTES + _EMB_LSH_PAIRS
+
+# measured recall of the banded path vs the exact audit block (r11,
+# added with the 10-bit band widening): both sides recomputed from
+# scratch — the block pairs exactly as _EMB_COS_SQL, the LSH pairs
+# exactly as _EMB_LSH_SQL — then one LEFT-join count
+_EMB_LSH_RECALL_SQL = (
+    _EMB_LSH_CTES
+    + f""",
+xblk AS (
+    SELECT vec_id, v, n2 FROM e
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+    LIMIT {dedup.AUDIT_BLOCK}
+),
+xpairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM xblk a, xblk b
+    WHERE a.vec_id < b.vec_id
+      AND {_sql_cos(VEC.sql_dot('a.v', 'b.v'), 'a.n2', 'b.n2')}
+          >= {dedup.COSINE_THRESHOLD}
+),
+lpairs AS ({_EMB_LSH_PAIRS})
+SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+       CAST(SUM(CASE WHEN l.vec_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_found,
+       CAST(SUM(CASE WHEN l.vec_a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM xpairs x
+LEFT JOIN lpairs l ON x.vec_a = l.vec_a AND x.vec_b = l.vec_b
+"""
+)
 
 # semantic connected components over the LSH cosine pairs, stated as
 # the same recursive transitive closure as the text clusters oracle
@@ -4627,6 +4667,15 @@ def build():
             "dedup-embedding-lsh",
             dedup.q_dedup_embedding_lsh,
             _EMB_LSH_SQL,
+            ("dedup", "ann"),
+        ),
+        # the RP-banding recall audit (r11): keeps the widened-band
+        # trade measured, the dedup-lsh-recall pattern at embedding
+        # grain
+        (
+            "embedding-lsh-recall",
+            dedup.q_embedding_lsh_recall,
+            _EMB_LSH_RECALL_SQL,
             ("dedup", "ann"),
         ),
         ("ann-cosine-topk", similarity.q_ann_cosine_topk, _ANN_BRUTE_SQL, ("ann",)),

@@ -384,6 +384,7 @@ _EMPTY_NONEMPTY_OK = {
     "score-sante-touts-les-mois-avg",
     "funnel-signup-click-purchase",
     "dedup-lsh-recall",
+    "embedding-lsh-recall",
     "lineitem-corr-matrix",
     "forecast-revenue-change",
     "promo-revenue-share",

@@ -29,6 +29,8 @@ BNLJ_ALLOWED = {
     "ann-ivf-recall",
     "ann-quantized-recall",
     "dedup-lsh-recall",
+    # nests the exact-cosine audit block (bounded AUDIT_BLOCK cross)
+    "embedding-lsh-recall",
     "ann-quantized-topk",
     # the streaming-index twin serves through the same probe/re-rank
     # stage (centroid-table broadcast cross)
@@ -109,6 +111,7 @@ BNLJ_BUILD_ROW_BOUND = {
     "ann-ivf-recall": 64,
     "ann-quantized-recall": 64,
     "dedup-embedding-cosine": 4096,
+    "embedding-lsh-recall": 4096,  # the nested exact-audit block
     "decontaminate-embedding": 64,  # the EVAL_VECS eval block
     "distinct-kmv-intersect": 64,  # the event-type list (pair cross)
     "events-autocorr": 4096,  # the dense day spine (calendar-span bounded)

@@ -468,3 +468,96 @@ def test_compactor_racing_publish_conflicts_inside_window(spark, tmp_path):
     assert seen["raised"]
     assert spark.read.parquet(p).count() == 3
     assert not os.path.exists(p + "._writerlock")
+
+
+# ---------------------------------------------------------------
+# RP-banding rebuild (r11): 160-bit/16-band keys via the Arrow
+# signature kernel — exactness pins the oracle can't give us alone
+# ---------------------------------------------------------------
+
+
+def test_rp_band_keys_duckdb_mirror_matches_spark(spark, duck):
+    """The Arrow kernel's (vec_id, band, key) rows are byte-identical
+    to the DuckDB generated-SQL banding over the real fixture — the
+    float64 left-to-right accumulation contract, checked bit-for-bit
+    through the sign test and the MSB-first key composition."""
+    from pyspark.sql import functions as F
+
+    from projet_etl_spark.operators import dedup
+    from projet_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    srows = sorted(
+        (r["vec_id"], r["band"], r["key"])
+        for r in dedup._rp_band_keys(emb).collect()
+    )
+    bits_cols = ",\n".join(
+        "CASE WHEN ("
+        + " + ".join(
+            f"embedding[{i}]::DOUBLE * CAST({float(dedup.rp_weight(h, i))!r} AS DOUBLE)"
+            for i in range(1, 65)
+        )
+        + f") >= 0 THEN 1 ELSE 0 END AS b{h}"
+        for h in range(dedup.RP_BITS)
+    )
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {b} AS band, "
+        + " + ".join(
+            f"b{dedup.RP_BAND_BITS * b + j} * {2 ** (dedup.RP_BAND_BITS - 1 - j)}"
+            for j in range(dedup.RP_BAND_BITS)
+        )
+        + " AS key FROM bits"
+        for b in range(dedup.RP_BANDS)
+    )
+    drows = sorted(
+        tuple(r)
+        for r in duck.execute(
+            f"WITH bits AS MATERIALIZED (SELECT vec_id, {bits_cols} "
+            f"FROM embeddings) {band_rows}"
+        ).fetchall()
+    )
+    assert srows == drows and len(srows) > 0
+
+
+def test_embedding_lsh_recall_has_teeth(spark):
+    """The recall audit's conservation laws on the fixture: found is
+    a subset of true, both positive, recall in (0, 1] — and at least
+    the band-probability floor for the fixture's MARGINAL similarity
+    regime (every pair sits at cos 0.40-0.51, where 12 bands of 6
+    bits predict ~0.45-0.57; measured 0.47 at sf0.001 / 0.56 at
+    sf0.1 — strictly above the old 16-bit config's 0.38/0.43, see
+    the rp_weight/constants history). High-threshold deployments sit
+    on the >=0.97 part of the curve; the fixture deliberately does
+    not (dedup.COSINE_THRESHOLD comment)."""
+    from projet_etl_spark.operators import dedup
+
+    row = dedup.q_embedding_lsh_recall(spark, SF_SMALL).collect()[0]
+    assert 0 < row["n_found"] <= row["n_true_pairs"]
+    assert 0.0 < row["recall"] <= 1.0
+    assert row["recall"] >= 0.3  # marginal-sim floor, see docstring
+
+
+def test_rp_band_constants_are_consistent():
+    """RP_BITS must factor exactly into bands x band-bits, and the
+    key space must stay within the int32 the kernel declares."""
+    from projet_etl_spark.operators import dedup
+
+    assert dedup.RP_BANDS * dedup.RP_BAND_BITS == dedup.RP_BITS
+    assert 2**dedup.RP_BAND_BITS <= 2**31 - 1
+
+
+def test_rp_planes_are_pairwise_distinct():
+    """The r11 weight family must generate RP_BITS genuinely distinct
+    hyperplanes — the original mod-11 formula was periodic in h, so
+    only 11 distinct planes ever existed and signature width was an
+    illusion (the bug behind the 0.26-recall measurement that
+    triggered the family change)."""
+    from projet_etl_spark.operators import dedup
+
+    planes = {
+        tuple(dedup.rp_weight(h, i) for i in range(1, 65))
+        for h in range(dedup.RP_BITS)
+    }
+    assert len(planes) == dedup.RP_BITS
