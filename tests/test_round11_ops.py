@@ -561,3 +561,46 @@ def test_rp_planes_are_pairwise_distinct():
         for h in range(dedup.RP_BITS)
     }
     assert len(planes) == dedup.RP_BITS
+
+
+def test_canonical_url_is_idempotent(spark):
+    """A canonicalizer must be a projection: canonical(canonical(u))
+    == canonical(u). Exercised over a component grid crossing every
+    strip rule (scheme case/absence, userinfo, www and case in the
+    host, default and explicit ports, path case, trailing slashes,
+    tracking-only / mixed / real-only query strings, fragments) —
+    512 composed URLs, batch-evaluated through the engine's own
+    Column expressions."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from projet_etl_spark.functions import web
+
+    schemes = ["", "https://", "HTTP://", "ftp://"]
+    users = ["", "user:pw@"]
+    hosts = ["www.Example.COM", "cdn.site7.co.uk", "EXAMPLE.org", "bare"]
+    ports = ["", ":443", ":8080"]
+    paths = ["", "/p/9", "/Mixed/Case/", "///"]
+    queries = [
+        "",
+        "?utm_source=a",
+        "?keep=1&utm_medium=m&also=2",
+        "?utm_a=x&utm_b=y",
+    ]
+    frags = ["", "#frag"]
+    urls = [
+        "".join(parts)
+        for parts in itertools.islice(
+            itertools.product(schemes, users, hosts, ports, paths, queries, frags),
+            0, None, 3,  # every 3rd of the 1536-item grid: 512 cases
+        )
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    bad = (
+        df.select(web.canonical_url(F.col("u")).alias("c1"))
+        .select("c1", web.canonical_url(F.col("c1")).alias("c2"))
+        .filter(F.col("c1") != F.col("c2"))
+        .collect()
+    )
+    assert bad == [], f"non-idempotent canonicalization: {bad[:5]}"
