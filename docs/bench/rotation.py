@@ -52,8 +52,9 @@ SENTINELS = ("top-1", "avg-cat-fab-10-mag")
 ROUNDS_AT_COMMIT: tuple[int, ...] = tuple(range(1, 11))
 
 # Round-11 inputs to the rule. NEW = added this round (no hard row
-# anywhere): the BPE merge-learning pair, the URL-grain pair, and
-# the RP-banding recall audit. TOUCHED = serve paths whose
+# anywhere): the BPE merge-learning pair plus its per-language
+# fertility consumer, the URL-grain pair plus the keep-first-fetch
+# export, and the RP-banding recall audit. TOUCHED = serve paths whose
 # implementing modules changed in the r11 diff:
 # - the RP-LSH banding went 16-bit/4-band -> 160-bit/16-band with an
 #   Arrow-batched signature kernel (the semantic-clusters 10x
@@ -72,8 +73,10 @@ ROUNDS_AT_COMMIT: tuple[int, ...] = tuple(range(1, 11))
 NEW: tuple[str, ...] = (
     "bpe-learn-merges",
     "bpe-learned-count",
+    "bpe-fertility-by-lang",
     "url-canonicalize",
     "dedup-exact-url",
+    "url-canonical-fetches",
     "embedding-lsh-recall",
 )
 TOUCHED: tuple[str, ...] = (

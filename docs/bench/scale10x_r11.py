@@ -47,8 +47,10 @@ REPLICAS = 10
 NEW = [
     "bpe-learn-merges",
     "bpe-learned-count",
+    "bpe-fertility-by-lang",
     "url-canonicalize",
     "dedup-exact-url",
+    "url-canonical-fetches",
     "embedding-lsh-recall",
 ]
 BUILDERS = [

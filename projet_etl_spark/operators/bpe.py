@@ -380,3 +380,82 @@ SELECT tok.doc_id,
 FROM tok LEFT JOIN seg ON tok.token = seg.token
 GROUP BY tok.doc_id
 ORDER BY tok.doc_id"""
+
+
+def q_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility table per language: pre-tokens, learned
+    tokens, and character mass, with chars-per-learned-token and
+    learned-tokens-per-pretoken ratios — the standard table a
+    tokenizer evaluation reports per language (a language whose
+    fertility is far above the corpus mean is under-served by the
+    learned vocabulary and motivates merge-budget rebalancing).
+
+    Scale shape (the learned-count consumer's exactly): map-side
+    pre-tokenizer explode, one broadcast join against the staged
+    |vocab|-sized segmentation, then a |langs|-row aggregate —
+    the learner itself is staged refresh cost.
+    """
+    seg = learned_segmentation(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0)
+        ).alias("token"),
+    )
+    return (
+        toks.join(F.broadcast(seg), "token", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pretokens"),
+            F.sum(F.coalesce(F.col("n_syms"), F.lit(1)))
+            .cast("long")
+            .alias("n_learned_tokens"),
+            F.sum(F.length("token")).cast("long").alias("token_chars"),
+        )
+        .select(
+            "lang",
+            "n_pretokens",
+            "n_learned_tokens",
+            "token_chars",
+            F.round(
+                F.col("token_chars").cast("double")
+                / F.col("n_learned_tokens").cast("double"),
+                6,
+            ).alias("chars_per_learned_token"),
+            F.round(
+                F.col("n_learned_tokens").cast("double")
+                / F.col("n_pretokens").cast("double"),
+                6,
+            ).alias("tokens_per_pretoken"),
+        )
+        .orderBy("lang")
+    )
+
+
+def sql_fertility_by_lang(n_merges: int = N_MERGES) -> str:
+    """Oracle for ``bpe-fertility-by-lang``: the shared learn chain,
+    the final segmentation, one token-explode join, a per-lang
+    aggregate."""
+    return f"""{sql_learn_ctes(n_merges)},
+seg AS (
+  SELECT token,
+         CAST(len(list_filter(string_split(s, '{_SEP}'), x -> x <> ''))
+              AS BIGINT) AS n_syms
+  FROM v{n_merges}),
+tok AS (
+  SELECT lang,
+         unnest(regexp_extract_all(text, '{BPE_PATTERN}')) AS token
+  FROM documents)
+SELECT tok.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_pretokens,
+       CAST(SUM(COALESCE(seg.n_syms, 1)) AS BIGINT) AS n_learned_tokens,
+       CAST(SUM(length(tok.token)) AS BIGINT) AS token_chars,
+       ROUND(CAST(SUM(length(tok.token)) AS DOUBLE)
+             / CAST(SUM(COALESCE(seg.n_syms, 1)) AS DOUBLE), 6)
+           AS chars_per_learned_token,
+       ROUND(CAST(SUM(COALESCE(seg.n_syms, 1)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS tokens_per_pretoken
+FROM tok LEFT JOIN seg ON tok.token = seg.token
+GROUP BY tok.lang
+ORDER BY tok.lang"""

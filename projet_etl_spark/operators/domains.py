@@ -470,3 +470,29 @@ def q_dedup_exact_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("snap")
     )
+
+
+def q_url_canonical_fetches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep-first-fetch export at URL grain: one row per
+    canonical URL with its kept fetch (the earliest doc_id), fetch
+    count and snapshot spread — the URL-grain twin of
+    ``dedup-canonical`` (content grain), and the table a crawler's
+    frontier actually consults before refetching.
+
+    Scale shape: one |distinct URLs|-group hash aggregate over the
+    canonicalized fetch log; no joins, no windows.
+    """
+    fetches = load_table(spark, sf_dir, "documents").select(
+        web.canonical_url(web.crawl_url(F.col("doc_id"))).alias("url"),
+        "doc_id",
+        (F.col("doc_id") % SNAPSHOTS).cast("long").alias("snap"),
+    )
+    return (
+        fetches.groupBy("url")
+        .agg(
+            F.min("doc_id").cast("long").alias("first_doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_fetches"),
+            F.countDistinct("snap").cast("long").alias("n_snapshots"),
+        )
+        .orderBy("url")
+    )

@@ -4601,6 +4601,24 @@ SELECT CAST(snap AS BIGINT) AS snap,
 FROM j GROUP BY snap ORDER BY snap
 """
 
+# keep-first-fetch export at URL grain (r11b): one aggregate over
+# the canonicalized crawl log
+_URL_FETCHES_SQL = f"""
+WITH raw AS (
+    SELECT doc_id, {_web.sql_crawl_url("doc_id")} AS url FROM documents
+),
+d AS (
+    SELECT {_web.sql_canonical_url("url")} AS url, doc_id,
+           doc_id % {_domains.SNAPSHOTS} AS snap
+    FROM raw
+)
+SELECT url,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_fetches,
+       CAST(COUNT(DISTINCT snap) AS BIGINT) AS n_snapshots
+FROM d GROUP BY url ORDER BY url
+"""
+
 # URL grain (r11): canonicalization mirror built from the SAME regex
 # strings as functions/web.py (sql_canonical_url / sql_noisy_doc_url
 # / sql_crawl_url); dedup-exact-url is the incremental-rate shape
@@ -5728,6 +5746,20 @@ def build():
             _domains.q_dedup_exact_url,
             _EXACT_URL_SQL,
             ("dedup", "curation"),
+        ),
+        # r11b family completers: the keep-first-fetch URL export and
+        # the per-language tokenizer fertility table
+        (
+            "url-canonical-fetches",
+            _domains.q_url_canonical_fetches,
+            _URL_FETCHES_SQL,
+            ("dedup", "curation"),
+        ),
+        (
+            "bpe-fertility-by-lang",
+            _bpe.q_bpe_fertility_by_lang,
+            _bpe.sql_fertility_by_lang(),
+            ("text", "tokenizer"),
         ),
     ]
     return {
