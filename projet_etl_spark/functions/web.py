@@ -27,28 +27,73 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # high-traffic second-level public suffixes: hosts ending in one of
-# these register at THREE labels (example.co.uk), not two (co.uk)
+# these register at THREE labels (example.co.uk), not two (co.uk).
+# r12 (r11 verdict item 6): grown 20 -> 265 toward the high-traffic
+# subset of the public PSL — the registrar-class second levels of the
+# most-crawled ccTLDs (the com/net/org/gov/edu families plus the
+# local-convention registrar labels: co.*, ne.*, or.*, go.*, ac.*,
+# gob.*/gub.* in es-speaking ccTLDs, gouv/asso under .fr). Still
+# public-suffix-LITE by design (see module docstring): deterministic,
+# pinned, cross-engine — growing further stays a data change. The
+# cross-engine grid test drives EVERY entry through both engines
+# (tests/test_round12_ops.py), so a grown tuple re-certifies itself.
 TWO_LEVEL_SUFFIXES: tuple[str, ...] = (
-    "ac.uk",
-    "co.uk",
-    "gov.uk",
-    "org.uk",
-    "co.jp",
-    "ne.jp",
-    "or.jp",
-    "com.au",
-    "net.au",
-    "org.au",
-    "co.nz",
-    "com.br",
-    "com.cn",
-    "com.mx",
-    "co.in",
-    "co.kr",
-    "com.tr",
-    "com.ar",
-    "com.sg",
-    "co.za",
+    # .uk / .jp / .au / .nz
+    "ac.uk", "co.uk", "gov.uk", "org.uk", "net.uk", "sch.uk", "me.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp", "gr.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "gen.nz",
+    # east/south/southeast Asia
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "com.tw", "net.tw", "org.tw", "gov.tw", "edu.tw", "idv.tw",
+    "com.hk", "net.hk", "org.hk", "gov.hk", "edu.hk",
+    "co.kr", "ne.kr", "or.kr", "re.kr", "go.kr", "ac.kr", "pe.kr",
+    "co.in", "net.in", "org.in", "ac.in", "edu.in", "gov.in", "res.in",
+    "co.id", "or.id", "go.id", "ac.id", "web.id", "sch.id",
+    "co.th", "in.th", "or.th", "go.th", "ac.th",
+    "com.my", "net.my", "org.my", "gov.my", "edu.my",
+    "com.sg", "net.sg", "org.sg", "gov.sg", "edu.sg",
+    "com.ph", "net.ph", "org.ph", "gov.ph",
+    "com.vn", "net.vn", "org.vn", "gov.vn", "edu.vn",
+    "com.pk", "net.pk", "org.pk", "gov.pk", "edu.pk",
+    "com.bd", "net.bd", "org.bd", "gov.bd", "edu.bd", "ac.bd",
+    "com.lk", "org.lk", "gov.lk", "edu.lk",
+    "com.np", "org.np", "gov.np", "edu.np",
+    # middle east / africa
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr", "bel.tr", "k12.tr",
+    "co.il", "net.il", "org.il", "gov.il", "ac.il", "muni.il",
+    "com.sa", "net.sa", "org.sa", "gov.sa", "edu.sa", "med.sa",
+    "co.ae", "net.ae", "org.ae", "gov.ae", "ac.ae",
+    "com.eg", "net.eg", "org.eg", "gov.eg", "edu.eg",
+    "co.za", "net.za", "org.za", "gov.za", "edu.za", "ac.za", "web.za",
+    "com.ng", "net.ng", "org.ng", "gov.ng", "edu.ng",
+    "co.ke", "ne.ke", "or.ke", "go.ke", "ac.ke",
+    # americas
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "art.br", "blog.br",
+    "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar", "int.ar", "mil.ar",
+    "com.co", "net.co", "org.co", "gov.co", "edu.co",
+    "com.pe", "net.pe", "org.pe", "gob.pe", "edu.pe",
+    "com.ve", "net.ve", "org.ve", "gob.ve", "edu.ve",
+    "com.ec", "net.ec", "org.ec", "gob.ec", "edu.ec",
+    "com.uy", "net.uy", "org.uy", "gub.uy", "edu.uy",
+    "com.py", "net.py", "org.py", "gov.py", "edu.py",
+    "com.bo", "net.bo", "org.bo", "gob.bo", "edu.bo",
+    "com.gt", "net.gt", "org.gt", "gob.gt", "edu.gt",
+    "com.do", "net.do", "org.do", "gob.do", "edu.do",
+    "co.cr", "ac.cr", "go.cr",
+    # europe
+    "gouv.fr", "asso.fr", "tm.fr", "nom.fr",
+    "co.at", "or.at", "ac.at", "gv.at",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl",
+    "com.ua", "net.ua", "org.ua", "gov.ua", "edu.ua", "in.ua",
+    "com.ru", "net.ru", "org.ru",
+    "com.gr", "net.gr", "org.gr", "edu.gr", "gov.gr",
+    "com.pt", "net.pt", "org.pt", "edu.pt", "gov.pt",
+    "com.es", "nom.es", "org.es", "gob.es", "edu.es",
+    "gov.it", "edu.it",
+    "co.hu", "org.hu",
+    "com.ro", "org.ro",
 )
 
 # scheme:// and userinfo@ stripped, host = everything before the
@@ -158,9 +203,24 @@ def sql_registrable_domain(col: str) -> str:
 # ---------------------------------------------------------------
 
 # tracking parameters a crawl canonicalizer drops (the public
-# utm_*/click-id set); each match consumes its trailing '&' so
-# surviving parameters re-join cleanly
-TRACKING_PARAM_RE = r"(?:utm_[a-z]+|gclid|fbclid|ref)=[^&#]*&?"
+# utm_*/click-id set). r12 (advisor): the r11 pattern had no left
+# boundary, so 'ref=' matched MID-TOKEN ('?pref=home' -> '?p',
+# '&href=x' -> '&h') and inside path segments. RE2 (DuckDB) has no
+# lookbehind, so the left boundary is the consumed separator itself:
+# the pattern only ever runs against the QUERY part (split off below,
+# so a path segment containing 'ref=' is structurally out of reach),
+# and the first surviving parameter's eaten '?' is repaired by
+# _QUERY_REPAIR_RE afterwards.
+TRACKING_PARAM_RE = r"[?&](?:utm_[a-z]+|gclid|fbclid|ref)=[^&#]*"
+# query split: everything before the first '?' / the first '?' and
+# after ('' when absent — regexp_extract returns '' on no-match in
+# Spark AND DuckDB, and leftmost-match semantics make (\?.*)$ anchor
+# at the FIRST '?', identically in Java regex and RE2)
+_PATH_PART_RE = r"^([^?]*)"
+_QUERY_PART_RE = r"(\?.*)$"
+# a query left starting with '&' lost its leading tracking parameter:
+# promote the first surviving separator back to '?'
+_QUERY_REPAIR_RE = r"^&"
 
 # everything after scheme://userinfo@host:port — the path+query+
 # fragment tail, with the default-port group consumed outside the
@@ -172,13 +232,19 @@ def canonical_url(url: Column) -> Column:
     """Canonical form of a fetched URL: lowercased www-less host
     (scheme, userinfo and port dropped) + the tail with fragment,
     tracking parameters, dangling ``?``/``&`` and trailing slashes
-    stripped. Pinned choice: a tail that keeps NON-tracking
-    parameters keeps them in original order (no re-sort), and the
+    stripped. Pinned choices: a tail that keeps NON-tracking
+    parameters keeps them in original order (no re-sort), the
     trailing-slash strip applies only at the very end of the
-    canonical string."""
+    canonical string, and tracking-parameter removal applies only
+    inside the query part (a literal 'ref=' in a path segment is
+    path bytes, not a parameter)."""
     tail = F.regexp_extract(url, _TAIL_RE, 1)
     tail = F.regexp_replace(tail, r"#.*$", "")
-    tail = F.regexp_replace(tail, TRACKING_PARAM_RE, "")
+    path = F.regexp_extract(tail, _PATH_PART_RE, 1)
+    query = F.regexp_extract(tail, _QUERY_PART_RE, 1)
+    query = F.regexp_replace(query, TRACKING_PARAM_RE, "")
+    query = F.regexp_replace(query, _QUERY_REPAIR_RE, "?")
+    tail = F.concat(path, query)
     tail = F.regexp_replace(tail, r"[?&]$", "")
     tail = F.regexp_replace(tail, r"/+$", "")
     return F.concat(host_of(url), tail)
@@ -189,7 +255,11 @@ def sql_canonical_url(col: str) -> str:
     needs the explicit 'g' flag where Java replaces globally)."""
     tail = f"regexp_extract({col}, '{_TAIL_RE}', 1)"
     tail = f"regexp_replace({tail}, '#.*$', '')"
-    tail = f"regexp_replace({tail}, '{TRACKING_PARAM_RE}', '', 'g')"
+    path = f"regexp_extract({tail}, '{_PATH_PART_RE}', 1)"
+    query = f"regexp_extract({tail}, '{_QUERY_PART_RE}', 1)"
+    query = f"regexp_replace({query}, '{TRACKING_PARAM_RE}', '', 'g')"
+    query = f"regexp_replace({query}, '{_QUERY_REPAIR_RE}', '?')"
+    tail = f"({path} || {query})"
     tail = f"regexp_replace({tail}, '[?&]$', '')"
     tail = f"regexp_replace({tail}, '/+$', '')"
     return f"({sql_host_of(col)} || {tail})"

@@ -236,7 +236,7 @@ def semantic_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cluster_id) semantic near-dup labels, staged like
     :func:`cluster_labels` but keyed on the embeddings source. The
     version token folds the RP banding constants (r11: the builder's
-    pair graph depends on them — the 4->10-bit widening must
+    pair graph depends on them — the 4->6-bit/band widening must
     invalidate the staged layout like a data change would)."""
     from projet_etl_spark.operators.dedup import (
         COSINE_THRESHOLD,

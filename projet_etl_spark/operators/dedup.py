@@ -665,7 +665,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # random-hyperplane (SimHash-for-vectors) LSH over embeddings:
-# 160 signature bits in 16 exact-match bands of 10. Hyperplane
+# 72 signature bits in 12 exact-match bands of 6. Hyperplane
 # weights are small deterministic integers so both engines build the
 # exact same planes.
 #
@@ -780,15 +780,17 @@ def _rp_band_keys(emb: DataFrame) -> DataFrame:
 
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via random-hyperplane LSH: candidates
-    share at least one 4-bit signature band, then exact cosine
+    share at least one 6-bit signature band, then exact cosine
     verification at COSINE_THRESHOLD — the scale path next to the
     exact-quadratic ``dedup-embedding-cosine``.
 
     At 100 TB the pair search is an equi-join on (band, key) instead
     of a cross join: cost scales with bucket occupancy, not N² —
     provided the band key space tracks corpus size (see the RP_BITS
-    comment block: 10-bit bands hold chance collisions under the
-    true-pair density through the committed 10x point). The signature
+    comment block: at the fixture threshold the TRUE pair set is
+    itself ~quadratic, so the banding bounds the constant and the
+    recall audit prices the trade; at deployment thresholds bits
+    track log2(N) and the join is subquadratic). The signature
     pass is one map-only Arrow-batched kernel (vectorized numpy, one
     constant-size plan node, bit-exact with the oracle's fold order).
     """
@@ -876,7 +878,7 @@ def q_embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup-lsh-recall``, and the query that keeps the RP_BITS /
     RP_BAND_BITS trade (see the constants block) measured and
     oracle-checked instead of asserted (r11, added alongside the
-    4->10-bit band widening).
+    4->6-bit band widening).
 
     The exact side is the md5-sampled AUDIT_BLOCK audit
     (q_dedup_embedding_cosine): at fixture SFs the block covers the
@@ -1018,7 +1020,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def rp_signatures_arrow(emb: DataFrame) -> DataFrame:
-    """(vec_id, sig) 16-bit random-hyperplane signatures via ONE
+    """(vec_id, sig) RP_BITS-bit random-hyperplane signatures via ONE
     Arrow-batched numpy matmul per batch — the production scale path
     for the signature pass.
 
@@ -1040,12 +1042,12 @@ def rp_signatures_arrow(emb: DataFrame) -> DataFrame:
             [float(rp_weight(h, i)) for i in range(1, 65)]
             for h in range(RP_BITS)
         ]
-    ).T  # 64 x 16
+    ).T  # 64 x RP_BITS
 
     def batches(it):
         for pdf in it:
             mat = np.vstack(pdf["v"].to_numpy())  # n x 64
-            bits = (mat.astype(np.float64) @ w) >= 0  # n x 16
+            bits = (mat.astype(np.float64) @ w) >= 0  # n x RP_BITS
             sig = np.zeros(len(pdf), dtype=np.int64)
             for h in range(RP_BITS):
                 sig = (sig << 1) | bits[:, h].astype(np.int64)

@@ -457,8 +457,8 @@ _RP_BITS_COLS = ",\n           ".join(
     for h in range(dedup.RP_BITS)
 )
 # MSB-first key composition, generic over the band width (r11: the
-# 4->10-bit widening is the LSH scale knob; same composition order as
-# the Spark kernel's k = k*2 + bit loop)
+# 4->6-bit/band widening is the LSH scale knob; same composition
+# order as the Spark kernel's k = k*2 + bit loop)
 _RP_BAND_ROWS = "\n    UNION ALL\n    ".join(
     f"SELECT vec_id, {b} AS band, "
     + " + ".join(
@@ -472,8 +472,8 @@ _EMB_LSH_CTES = (
     _E_CTE
     + f""",
 bits AS MATERIALIZED (
-    -- MATERIALIZED (r11): the 16 band branches each reference this
-    -- CTE; inlined, the planner re-plans the 160 generated 64-term
+    -- MATERIALIZED (r11): the 12 band branches each reference this
+    -- CTE; inlined, the planner re-plans the 72 generated 64-term
     -- dot columns per branch (~30 s of optimizer time at ANY data
     -- size, measured) — materialized it plans and evaluates once
     SELECT vec_id,
@@ -500,7 +500,7 @@ WHERE {_sql_cos(VEC.sql_dot('a.v', 'b.v'), 'a.n2', 'b.n2')} >= {dedup.COSINE_THR
 _EMB_LSH_SQL = _EMB_LSH_CTES + _EMB_LSH_PAIRS
 
 # measured recall of the banded path vs the exact audit block (r11,
-# added with the 10-bit band widening): both sides recomputed from
+# added with the 6-bit band widening): both sides recomputed from
 # scratch — the block pairs exactly as _EMB_COS_SQL, the LSH pairs
 # exactly as _EMB_LSH_SQL — then one LEFT-join count
 _EMB_LSH_RECALL_SQL = (

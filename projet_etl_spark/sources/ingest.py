@@ -272,11 +272,16 @@ def _writer_lock_holder(lock: str) -> int:
         return 0
 
 
-def _pid_alive(pid: int) -> bool:
-    """Liveness probe for a same-host lock holder (signal 0). At
-    deployment on shared storage this check becomes a lease service —
-    the protocol (owner-alive -> conflict, owner-dead -> break) is
-    the same; only the liveness oracle changes."""
+def _pid_alive(pid: int) -> bool | None:
+    """Liveness probe for a same-host lock holder (signal 0): True /
+    False, or ``None`` when liveness is UNOBSERVABLE (an os.kill
+    failure that asserts nothing about the pid — the shared-storage
+    case where the holder lives on another host, or a PID namespace
+    that hides it). ``None`` hands the verdict to the mtime lease
+    (:data:`LEASE_TTL_SEC` via :func:`_holder_live`) — at deployment
+    on shared storage this pair IS the lease service: the protocol
+    (owner-live -> conflict, owner-dead/expired -> break) is
+    unchanged; only the liveness oracle degrades from pid to TTL."""
     import os
 
     if pid <= 0:
@@ -288,18 +293,79 @@ def _pid_alive(pid: int) -> bool:
         return False
     except PermissionError:
         return True  # exists, owned by someone else
+    except OSError:
+        return None  # probe says nothing: fall back to the TTL lease
+
+
+# writer-lease TTL (r12, r11 verdict item 5): when pid liveness is
+# unobservable, a lock counts as LIVE while its mtime is fresher than
+# this. Mutators re-touch their lock at every fence() point (each
+# rename window), so a healthy publish — however long write_tmp
+# takes — keeps its lease fresh, while a truly dead-but-unobservable
+# holder can wedge a store for at most this long. 300 s is ~4 orders
+# of magnitude beyond a fence-to-fence gap (two renames + an rmtree).
+LEASE_TTL_SEC = 300.0
+
+
+def _holder_live(lock: str) -> bool:
+    """Is the writer holding ``lock`` live? pid probe when observable,
+    else the mtime lease: fresher than LEASE_TTL_SEC means live. A
+    vanished lock reads as not-live (the caller re-races acquisition
+    through the atomic link, so this cannot grant anyone the store)."""
+    import os
+    import time
+
+    alive = _pid_alive(_writer_lock_holder(lock))
+    if alive is not None:
+        return alive
+    try:
+        return time.time() - os.stat(lock).st_mtime < LEASE_TTL_SEC
+    except OSError:
+        return False
 
 
 class _writer_lock:
     """Mutual exclusion for every mutating storeio entrypoint
-    (``swap_publish``, ``compact``, ``recover_swap``): an
-    O_CREAT|O_EXCL pid lock beside the table. A lock whose holder is
-    alive raises :class:`StoreWriterConflict` — including our OWN
-    pid, which would mean nested public mutators on one path (the
-    internal ``_recover_swap``/``_swap_publish`` variants exist so
-    that cannot happen legitimately). A dead holder's lock is broken
-    and acquisition retried; the retry count is bounded so a pathological
-    create/break race cannot spin forever."""
+    (``swap_publish``, ``compact``, ``recover_swap``): a pid lease
+    file beside the table. A lock whose holder is live raises
+    :class:`StoreWriterConflict` — including our OWN pid, which would
+    mean nested public mutators on one path (the internal
+    ``_recover_swap``/``_swap_publish`` variants exist so that cannot
+    happen legitimately). Dead/expired holders' locks are broken and
+    acquisition retried; the retry count is bounded so a pathological
+    create/break race cannot spin forever.
+
+    r12 (advisor, medium): the r11 O_CREAT|O_EXCL protocol had TOCTOU
+    races — (a) the pid was written only AFTER create, so a contender
+    reading in that window saw pid 0, judged the holder dead, and
+    removed a LIVE lock; (b) two contenders both observing a dead
+    holder could both os.remove(), the second unlink deleting the
+    first's freshly created lock; and __exit__ removed whatever file
+    was at the path. The protocol is now:
+
+    - ACQUIRE: hard-link a fully-written unique pid file onto the
+      lock path — content is atomically in place with creation
+      (there is never an empty-lock window) — then verify by inode
+      that the file at the lock path is ours (a contender acting on
+      a stale read could have buried it in between; if so, retry).
+    - BREAK: rename the dead lock to a unique grave first, so exactly
+      one breaker wins; re-check the BURIED file is still the dead
+      lease it judged, and if a live lock was stolen instead, restore
+      it with link (which cannot clobber a newer lock) — then unlink
+      only the grave.
+    - RELEASE / FENCE: act only while the inode at the lock path is
+      ours (``owns``); mutators call :meth:`fence` immediately before
+      each rename window, which both re-asserts ownership (raising
+      :class:`StoreWriterConflict` on a lost lease instead of
+      interleaving renames) and re-touches the mtime so a live
+      publish never expires its own TTL lease.
+
+    Residual (documented, not closable with POSIX primitives alone):
+    owns()-then-act is itself a stat/act pair, so a holder that
+    outlives its lease by LEASE_TTL_SEC under an UNOBSERVABLE pid can
+    race a breaker inside that microsecond window; with observable
+    pid liveness (this harness) a live holder is never judged dead
+    and the window is unreachable."""
 
     _ATTEMPTS = 64
 
@@ -308,38 +374,108 @@ class _writer_lock:
 
         self.lock = path.rstrip("/") + "._writerlock"
         self._os = os
+        self._ident: tuple[int, int] | None = None  # our (st_dev, st_ino)
+
+    def owns(self) -> bool:
+        """Is the file at the lock path still OUR lease? Checked by
+        inode AND recorded pid — a filesystem may recycle the inode
+        of a removed lock for its replacement (tmpfs does, observed
+        in the r12 tests), so inode identity alone can alias a
+        successor lease to ours; no successor can carry our pid."""
+        try:
+            st = self._os.stat(self.lock)
+        except OSError:
+            return False
+        return (
+            self._ident == (st.st_dev, st.st_ino)
+            and _writer_lock_holder(self.lock) == self._os.getpid()
+        )
+
+    def fence(self) -> None:
+        """Assert the lease is still ours and refresh its mtime —
+        called by the mutating bodies immediately before each rename
+        window (the lost-lease equivalent of a fencing token)."""
+        if not self.owns():
+            raise StoreWriterConflict(
+                f"writer lease {self.lock} was lost to another writer "
+                f"mid-mutation"
+            )
+        try:
+            self._os.utime(self.lock)
+        except OSError:
+            pass  # refresh is best-effort; ownership was just checked
+
+    def _break_dead_lock(self, attempt: int) -> None:
+        """Bury a dead/expired lock: rename-to-grave (one breaker
+        wins), verify the grave, unlink. Restores a live lock stolen
+        by a stale read (rename preserves mtime, so the TTL verdict
+        on the grave is the verdict on what we buried)."""
+        os = self._os
+        grave = f"{self.lock}.{os.getpid()}.{attempt}.grave"
+        try:
+            os.rename(self.lock, grave)
+        except OSError:
+            return  # another breaker won, or the lock vanished: retry
+        try:
+            if _holder_live(grave):
+                # stale read: we buried a lock that is LIVE (acquired
+                # between our liveness check and the rename) — put it
+                # back; link cannot clobber a newer lock, and the
+                # victim's own acquire-verify/fence covers that case
+                try:
+                    os.link(grave, self.lock)
+                except OSError:
+                    pass
+        finally:
+            try:
+                os.remove(grave)
+            except OSError:
+                pass
 
     def __enter__(self) -> "_writer_lock":
         os = self._os
-        for _ in range(self._ATTEMPTS):
+        pid = os.getpid()
+        for attempt in range(self._ATTEMPTS):
+            tmp = f"{self.lock}.{pid}.{attempt}.tmp"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                fh.write(str(pid))
             try:
-                fd = os.open(
-                    self.lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY
-                )
+                os.link(tmp, self.lock)
             except FileExistsError:
-                pid = _writer_lock_holder(self.lock)
-                if _pid_alive(pid):
+                os.remove(tmp)
+                if _holder_live(self.lock):
+                    holder = _writer_lock_holder(self.lock)
                     raise StoreWriterConflict(
                         f"store {self.lock[: -len('._writerlock')]} is "
-                        f"owned by live writer pid {pid}"
+                        f"owned by live writer pid {holder}"
                     )
-                try:  # dead holder (crashed writer): break the lock
-                    os.remove(self.lock)
-                except OSError:
-                    pass
+                self._break_dead_lock(attempt)
                 continue
-            with os.fdopen(fd, "w", encoding="utf-8") as fh:
-                fh.write(str(os.getpid()))
+            except OSError:
+                os.remove(tmp)
+                raise
+            st = os.stat(tmp)  # the lock's inode, via our own name
+            os.remove(tmp)
+            ident = (st.st_dev, st.st_ino)
+            try:
+                st_lock = os.stat(self.lock)
+            except OSError:
+                continue  # buried by a stale-read breaker: re-race
+            if (st_lock.st_dev, st_lock.st_ino) != ident:
+                continue  # someone else owns the path now: re-race
+            self._ident = ident
             return self
         raise StoreWriterConflict(
             f"could not acquire {self.lock} after {self._ATTEMPTS} attempts"
         )
 
     def __exit__(self, *exc) -> None:
-        try:
-            self._os.remove(self.lock)
-        except OSError:
-            pass
+        if self.owns():  # never remove another writer's lease
+            try:
+                self._os.remove(self.lock)
+            except OSError:
+                pass
+        self._ident = None
 
 
 def recover_swap(path: str) -> None:
@@ -366,15 +502,17 @@ def recover_swap(path: str) -> None:
 
     if not os.path.isdir(os.path.dirname(path.rstrip("/")) or "."):
         return
-    with _writer_lock(path):
-        _recover_swap(path)
+    with _writer_lock(path) as lk:
+        _recover_swap(path, lk)
 
 
-def _recover_swap(path: str) -> None:
+def _recover_swap(path: str, lk: "_writer_lock | None" = None) -> None:
     """``recover_swap`` body — caller MUST hold the writer lock."""
     import os
     import shutil
 
+    if lk is not None:
+        lk.fence()
     base = path.rstrip("/")
     aside = base + "._precompact"
     tmp = base + "._compacting"
@@ -429,7 +567,7 @@ def live_read_path(path: str) -> str:
     lock = base + "._swaplock"
     if not os.path.exists(aside) or os.path.exists(path):
         return path
-    if _pid_alive(_writer_lock_holder(base + "._writerlock")):
+    if _holder_live(base + "._writerlock"):
         return aside  # owned store: never mutate, read pre-publish bytes
     try:
         if time.time() - os.stat(lock).st_mtime < SWAP_LOCK_STALE_SEC:
@@ -469,21 +607,25 @@ def swap_publish(path: str, write_tmp) -> None:
     import os
 
     os.makedirs(os.path.dirname(path.rstrip("/")) or ".", exist_ok=True)
-    with _writer_lock(path):
-        _swap_publish(path, write_tmp)
+    with _writer_lock(path) as lk:
+        _swap_publish(path, write_tmp, lk)
 
 
-def _swap_publish(path: str, write_tmp) -> None:
+def _swap_publish(path: str, write_tmp, lk: "_writer_lock | None" = None) -> None:
     """``swap_publish`` body — caller MUST hold the writer lock."""
     import os
     import shutil
 
     base = path.rstrip("/")
-    _recover_swap(path)
+    _recover_swap(path, lk)
     tmp = base + "._compacting"
     aside = base + "._precompact"
     lock = base + "._swaplock"
     write_tmp(tmp)
+    if lk is not None:
+        # write_tmp is the unbounded phase (a full table rewrite):
+        # re-assert the lease and refresh its TTL before the renames
+        lk.fence()
     with open(lock, "w", encoding="utf-8") as fh:
         fh.write(str(os.getpid()))
     os.rename(path, aside)
@@ -509,8 +651,8 @@ def compact(
     a compactor and a writer can never interleave on one store —
     the late one raises :class:`StoreWriterConflict` (r11).
     """
-    with _writer_lock(path):
-        _recover_swap(path)
+    with _writer_lock(path) as lk:
+        _recover_swap(path, lk)
         df = getattr(spark.read, fmt)(path)
         n = df.count()
         n_files = max(1, -(-n // target_rows_per_file))
@@ -519,6 +661,7 @@ def compact(
             lambda tmp: getattr(
                 df.repartition(n_files).write.mode("overwrite"), fmt
             )(tmp),
+            lk,
         )
     return n_files
 
