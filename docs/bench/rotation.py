@@ -46,46 +46,48 @@ PREFIX_LEN = 50
 SENTINELS = ("top-1", "avg-cat-fab-10-mag")
 
 # The artifact rounds that exist in the tree when this round's prefix
-# is committed. The r11 prefix is generated over the r01..r10 ledger;
-# the driver's CORRECTNESS_r11.json lands AFTER commit and must not
+# is committed. The r12 prefix is generated over the r01..r11 ledger;
+# the driver's CORRECTNESS_r12.json lands AFTER commit and must not
 # retroactively change what the committed tuple should have been.
-ROUNDS_AT_COMMIT: tuple[int, ...] = tuple(range(1, 11))
+ROUNDS_AT_COMMIT: tuple[int, ...] = tuple(range(1, 12))
 
-# Round-11 inputs to the rule. NEW = added this round (no hard row
-# anywhere): the BPE merge-learning pair plus its per-language
-# fertility consumer, the URL-grain pair plus the keep-first-fetch
-# export, and the RP-banding recall audit. TOUCHED = serve paths whose
-# implementing modules changed in the r11 diff:
-# - the RP-LSH banding went 16-bit/4-band -> 160-bit/16-band with an
-#   Arrow-batched signature kernel (the semantic-clusters 10x
-#   scale-killer fix) — dedup-embedding-lsh, semantic-clusters and
-#   semantic-exemplars compute DIFFERENT (better-recalled) pair
-#   graphs and must re-earn hard rows;
-# - corpus-domain-budget's ppm arithmetic moved to exact 128-bit
-#   intermediates (advisor item — same values in the non-overflow
-#   regime, but the expression tree changed);
-# - storeio's read path gained the live-writer-ownership gate
-#   (live_read_path consults the ._writerlock before any restore)
-#   -> sessions-store and user-state-asof as this round's
-#   store-reader representatives (r9 rotated ann-ivf-store/
-#   daily-counts-store, r10 rotated token-freq-cms/bm25-store
-#   through the same mechanism).
+# Round-12 inputs to the rule. NEW = added this round (no hard row
+# anywhere): the deployment-threshold embedding-dedup pair (banded
+# LSH at cosine >= 0.8 over the planted high-cosine corpus + its
+# recall audit, r11 verdict item 2) and the URL-frontier store (the
+# crawl frontier's incremental micro-batch twin, item 4). TOUCHED =
+# serve paths whose implementing modules changed in the r12 diff:
+# - functions/web.py changed twice: canonical_url's tracking-param
+#   strip is now query-scoped with a separator-anchored pattern
+#   (advisor item — same outputs on the fixture arms, different
+#   plan), and TWO_LEVEL_SUFFIXES grew 20 -> 265 (verdict item 6 —
+#   a bigger _DOM3_RE alternation in every domain extraction) ->
+#   every web-consuming serve path re-earns: the three URL-grain
+#   queries plus the four domain-grain rollups
+#   (docs_with_domain / q_quality_by_domain build on doc_url +
+#   registrable_domain);
+# - sources/ingest.py's writer lease was reworked (link-acquire,
+#   grave-break, TTL lease; advisor medium + verdict item 5) and
+#   live_read_path now honors the TTL verdict -> neardedup-
+#   pairs-store and bottomk-store as this round's store-reader
+#   representatives (r9 rotated ann-ivf-store/daily-counts-store,
+#   r10 token-freq-cms/bm25-store, r11 sessions-store/
+#   user-state-asof through the same mechanism).
 NEW: tuple[str, ...] = (
-    "bpe-learn-merges",
-    "bpe-learned-count",
-    "bpe-fertility-by-lang",
+    "dedup-embedding-lsh-hi",
+    "embedding-lsh-recall-hi",
+    "url-frontier-store",
+)
+TOUCHED: tuple[str, ...] = (
     "url-canonicalize",
     "dedup-exact-url",
     "url-canonical-fetches",
-    "embedding-lsh-recall",
-)
-TOUCHED: tuple[str, ...] = (
-    "dedup-embedding-lsh",
-    "semantic-clusters",
-    "semantic-exemplars",
+    "docs-domain-profile",
+    "dedup-domain-attribution",
     "corpus-domain-budget",
-    "sessions-store",
-    "user-state-asof",
+    "quality-by-domain",
+    "neardedup-pairs-store",
+    "bottomk-store",
 )
 
 

@@ -529,6 +529,132 @@ LEFT JOIN lpairs l ON x.vec_a = l.vec_a AND x.vec_b = l.vec_b
 """
 )
 
+# --- deployment-threshold planted corpus + hi-band oracles (r12,
+# r11 verdict item 2). The planted corpus is the in-plan fixture
+# device of operators/dedup.py (originals widened to float64 UNION
+# md5-noise twins for every PLANT_MOD-th vec_id); the hi family is
+# the same banded-LSH shape as the block above but over 192
+# md5-derived planes in 12 x 16-bit bands at the SemDeDup-range
+# threshold. PLANT_EPS and the weights are exact in float64, so both
+# engines construct bit-identical planted vectors and every
+# downstream fold is the shared left-associated sum.
+
+
+def _plant_w_sql(i: int) -> str:
+    """Plant noise weight for 1-based dim ``i`` — the SQL_HASH60
+    md5->int recipe on the same seed string as dedup._plant_weight:
+    seeded on the PLANTED (offset) id, spelled out as vec_id + OFFSET
+    because DuckDB binds ``vec_id`` to the table column where Spark's
+    lambda binds the projection alias (see planted_embeddings)."""
+    return (
+        f"CAST((('0x' || substr(md5('plant:' || "
+        f"CAST(vec_id + {dedup.PLANT_OFFSET} AS VARCHAR) "
+        f"|| ':{i}'), 1, 8))::BIGINT % 11 - 5) AS DOUBLE)"
+    )
+
+
+_ORIG_V = (
+    "[" + ", ".join(f"embedding[{i}]::DOUBLE" for i in range(1, VEC.DIM + 1)) + "]"
+)
+_PLANT_V = (
+    "["
+    + ", ".join(
+        f"embedding[{i}]::DOUBLE + {dedup.PLANT_EPS!r} * {_plant_w_sql(i)}"
+        for i in range(1, VEC.DIM + 1)
+    )
+    + "]"
+)
+
+_EP_CTE = f"""
+WITH ep AS MATERIALIZED (
+    SELECT vec_id, v, {VEC.sql_norm2("v")} AS n2 FROM (
+        SELECT vec_id, {_ORIG_V} AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + {dedup.PLANT_OFFSET} AS vec_id, {_PLANT_V} AS v
+        FROM embeddings WHERE vec_id % {dedup.PLANT_MOD} = 0
+    ) u
+)"""
+
+
+def _rphi_dot_sql(h: int) -> str:
+    return " + ".join(
+        f"v[{i}] * CAST({float(dedup.rphi_weight(h, i))!r} AS DOUBLE)"
+        for i in range(1, VEC.DIM + 1)
+    )
+
+
+_RPHI_BITS_COLS = ",\n           ".join(
+    f"CASE WHEN ({_rphi_dot_sql(h)}) >= 0 THEN 1 ELSE 0 END AS b{h}"
+    for h in range(dedup.RPHI_BITS)
+)
+_RPHI_BAND_ROWS = "\n    UNION ALL\n    ".join(
+    f"SELECT vec_id, {b} AS band, "
+    + " + ".join(
+        f"b{dedup.RPHI_BAND_BITS * b + j} * {2 ** (dedup.RPHI_BAND_BITS - 1 - j)}"
+        for j in range(dedup.RPHI_BAND_BITS)
+    )
+    + " AS key FROM hbits"
+    for b in range(dedup.RPHI_BANDS)
+)
+_EMB_HI_CTES = (
+    _EP_CTE
+    + f""",
+hbits AS MATERIALIZED (
+    -- MATERIALIZED: 12 band branches reference this CTE; inlined,
+    -- the planner would re-plan the 192 generated 64-term dot
+    -- columns per branch (the r11 lesson, measured ~30 s at 72)
+    SELECT vec_id,
+           {_RPHI_BITS_COLS}
+    FROM ep
+),
+hbands AS MATERIALIZED (
+    {_RPHI_BAND_ROWS}
+),
+hcand AS (
+    SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+    FROM hbands l JOIN hbands r ON l.band = r.band AND l.key = r.key
+    WHERE l.vec_id < r.vec_id
+)"""
+)
+_EMB_HI_PAIRS = f"""
+SELECT vec_a, vec_b,
+       {_sql_cos(VEC.sql_dot('a.v', 'b.v'), 'a.n2', 'b.n2')} AS cos
+FROM hcand
+JOIN ep a ON vec_a = a.vec_id
+JOIN ep b ON vec_b = b.vec_id
+WHERE {_sql_cos(VEC.sql_dot('a.v', 'b.v'), 'a.n2', 'b.n2')} >= {dedup.HI_COSINE_THRESHOLD}
+"""
+_EMB_HI_SQL = _EMB_HI_CTES + _EMB_HI_PAIRS
+
+# recall audit at the deployment threshold: exact audit block over
+# the PLANTED corpus vs the hi banded path — same LEFT-join count as
+# _EMB_LSH_RECALL_SQL
+_EMB_HI_RECALL_SQL = (
+    _EMB_HI_CTES
+    + f""",
+hxblk AS (
+    SELECT vec_id, v, n2 FROM ep
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+    LIMIT {dedup.AUDIT_BLOCK}
+),
+hxpairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM hxblk a, hxblk b
+    WHERE a.vec_id < b.vec_id
+      AND {_sql_cos(VEC.sql_dot('a.v', 'b.v'), 'a.n2', 'b.n2')}
+          >= {dedup.HI_COSINE_THRESHOLD}
+),
+hlpairs AS ({_EMB_HI_PAIRS})
+SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+       CAST(SUM(CASE WHEN l.vec_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_found,
+       CAST(SUM(CASE WHEN l.vec_a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM hxpairs x
+LEFT JOIN hlpairs l ON x.vec_a = l.vec_a AND x.vec_b = l.vec_b
+"""
+)
+
 # semantic connected components over the LSH cosine pairs, stated as
 # the same recursive transitive closure as the text clusters oracle
 _RECURSIVE_EMB_LSH_CTES = _EMB_LSH_CTES.replace("\nWITH ", "\nWITH RECURSIVE ", 1)
@@ -4696,6 +4822,21 @@ def build():
             _EMB_LSH_RECALL_SQL,
             ("dedup", "ann"),
         ),
+        # deployment-threshold regime (r12, r11 verdict item 2):
+        # banded LSH at cosine >= 0.8 over the planted high-cosine
+        # corpus, with its recall-audit twin (gate: recall >= 0.97)
+        (
+            "dedup-embedding-lsh-hi",
+            dedup.q_dedup_embedding_lsh_hi,
+            _EMB_HI_SQL,
+            ("dedup", "ann"),
+        ),
+        (
+            "embedding-lsh-recall-hi",
+            dedup.q_embedding_lsh_recall_hi,
+            _EMB_HI_RECALL_SQL,
+            ("dedup", "ann"),
+        ),
         ("ann-cosine-topk", similarity.q_ann_cosine_topk, _ANN_BRUTE_SQL, ("ann",)),
         ("ann-quantized-topk", quantized.q_ann_quantized_topk, _QANN_SQL, ("ann",)),
         # per-label int8 cosine-loss audit for the quantized path
@@ -5754,6 +5895,16 @@ def build():
             _domains.q_url_canonical_fetches,
             _URL_FETCHES_SQL,
             ("dedup", "curation"),
+        ),
+        # r12 (r11 verdict item 4): the same frontier served from the
+        # incremental micro-batch store — shares the batch export's
+        # oracle verbatim, so the driver row IS the stream-vs-rescan
+        # parity proof
+        (
+            "url-frontier-store",
+            storequery.q_url_frontier_store,
+            _URL_FETCHES_SQL,
+            ("dedup", "curation", "streaming"),
         ),
         (
             "bpe-fertility-by-lang",

@@ -749,3 +749,61 @@ def q_dsir_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded: at most DSIR_BUCKETS rows by construction
     counts = read_dsir_counts(spark, store).collect()
     return score_with_table(spark, sf_dir, microlog_from_counts(counts))
+
+
+# --- URL-frontier store (r12, r11 verdict item 4) -----------------------
+
+FRONTIER_ROOT = os.path.join(os.path.dirname(STORE_ROOT), "url_frontier")
+
+
+def ensure_url_frontier_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse) the streaming-maintained URL frontier for
+    ``sf_dir``: the documents fetch log replayed as availableNow
+    micro-batches through streaming/frontier.py's per-batch partial
+    writes. Fingerprint-keyed refresh cost, like every other store;
+    the version token folds the canonicalizer-relevant fixture
+    constants so a crawl_url / PAGE_MOD change invalidates the staged
+    store like a data change would."""
+    from projet_etl_spark.functions.web import PAGE_MOD
+    from projet_etl_spark.operators.domains import SNAPSHOTS
+    from projet_etl_spark.streaming.frontier import stream_url_frontier
+
+    def _build(root: str) -> None:
+        chunks = os.path.join(root, "chunks")
+        _stage_doc_chunks(sf_dir, chunks, columns=("doc_id",))
+        stream = (
+            spark.readStream.schema("doc_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(chunks)
+        )
+        q = stream_url_frontier(
+            stream,
+            os.path.join(root, "store"),
+            os.path.join(root, "ckpt"),
+            available_now=True,
+        )
+        q.awaitTermination()
+
+    return ensure_staged(
+        FRONTIER_ROOT,
+        sf_dir,
+        parquet_fingerprint(sf_dir, "documents.parquet"),
+        "store",
+        _build,
+        version=f"url-frontier-v1:pm={PAGE_MOD}:snaps={SNAPSHOTS}",
+    )
+
+
+def q_url_frontier_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep-first-fetch frontier served from the INCREMENTAL
+    store the streaming path maintains — one row per canonical URL
+    with its kept fetch, fetch count and snapshot spread. The fold
+    over (url, snap) partials equals the batch export's one-shot
+    aggregate exactly (min of mins, sum of counts, distinct snaps),
+    so this query shares q_url_canonical_fetches' ORACLE verbatim —
+    a green driver row proves the crawler's refetch table can be
+    maintained incrementally without drifting from a rescan."""
+    from projet_etl_spark.streaming.frontier import read_url_frontier
+
+    store = ensure_url_frontier_store(spark, sf_dir)
+    return read_url_frontier(spark, store).orderBy("url")

@@ -385,6 +385,8 @@ _EMPTY_NONEMPTY_OK = {
     "funnel-signup-click-purchase",
     "dedup-lsh-recall",
     "embedding-lsh-recall",
+    # grand aggregate over the (empty) planted corpus: (0, 0, NULL)
+    "embedding-lsh-recall-hi",
     "lineitem-corr-matrix",
     "forecast-revenue-change",
     "promo-revenue-share",

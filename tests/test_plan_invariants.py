@@ -31,6 +31,9 @@ BNLJ_ALLOWED = {
     "dedup-lsh-recall",
     # nests the exact-cosine audit block (bounded AUDIT_BLOCK cross)
     "embedding-lsh-recall",
+    # the deployment-threshold twin: same bounded audit-block cross
+    # over the planted corpus (r12)
+    "embedding-lsh-recall-hi",
     "ann-quantized-topk",
     # the streaming-index twin serves through the same probe/re-rank
     # stage (centroid-table broadcast cross)
@@ -112,6 +115,7 @@ BNLJ_BUILD_ROW_BOUND = {
     "ann-quantized-recall": 64,
     "dedup-embedding-cosine": 4096,
     "embedding-lsh-recall": 4096,  # the nested exact-audit block
+    "embedding-lsh-recall-hi": 4096,  # same block, planted corpus (r12)
     "decontaminate-embedding": 64,  # the EVAL_VECS eval block
     "distinct-kmv-intersect": 64,  # the event-type list (pair cross)
     "events-autocorr": 4096,  # the dense day spine (calendar-span bounded)

@@ -35,7 +35,7 @@ sys.path.insert(
 # updated per round when queries are added (verdict item 4: a broken
 # transitive import in the extension surface used to shrink the
 # registry to 13 parity queries behind `except ImportError: pass`)
-EXPECTED_REGISTRY_SIZE = 215
+EXPECTED_REGISTRY_SIZE = 218
 
 
 def test_registry_size_is_pinned():
@@ -76,34 +76,38 @@ def test_broken_extensions_import_is_loud(monkeypatch):
 
 def test_driver_prefix_is_generated_by_rotation_rule():
     """The committed tuple == the generator over the EXPLICIT
-    committed-artifact rounds (r01..r10), and the staleness bound
-    holds: the five r5-stale queries the r10 verdict named enter at
+    committed-artifact rounds (r01..r11), and the staleness bound
+    holds: the nine r6-stale queries the r11 verdict named enter at
     the first LRU slots, and nothing left unchecked has a hard row
-    older than r6."""
+    older than r7."""
     import rotation
 
     from projet_etl_spark.plans import registry
 
     names = list(registry.REGISTRY)
-    assert rotation.ROUNDS_AT_COMMIT == tuple(range(1, 11))
+    assert rotation.ROUNDS_AT_COMMIT == tuple(range(1, 12))
     assert registry._DRIVER_PREFIX == rotation.generate(
         names, rounds=rotation.ROUNDS_AT_COMMIT
     )
     last = rotation.ledger(rotation.ROUNDS_AT_COMMIT)
     checked = set(registry._DRIVER_PREFIX)
-    # the r10 verdict's LRU tail: these five are checked THIS round
+    # the r11 verdict's LRU tail: these nine are checked THIS round
     for n in (
-        "value-percentiles",
-        "tfidf-top-terms",
-        "top3-stores-per-category",
-        "text-unigram-logprob",
-        "top-large-orders",
+        "user-state-history",
+        "stores-in-both-categories",
+        "top-returned-customers",
+        "users-cumulative",
+        "session-funnel",
+        "users-active-streaks",
+        "volume-shipping-pairs",
+        "top-supplier-revenue",
+        "small-order-revenue",
     ):
-        assert n in checked, f"r10 LRU-tail query {n} missed the r11 prefix"
-    # every r5 row is refreshed this round; the staleness floor after
-    # this rotation lands is r6
+        assert n in checked, f"r11 LRU-tail query {n} missed the r12 prefix"
+    # every r6 row is refreshed this round; the staleness floor after
+    # this rotation lands is r7
     oldest_left = min(last.get(n, 0) for n in names if n not in checked)
-    assert oldest_left >= 6
+    assert oldest_left >= 7
 
 
 # --- verdict item 6: read-path swap recovery is concurrency-safe --------

@@ -302,3 +302,174 @@ def test_swap_publish_fences_under_lease(spark, tmp_path):
     assert spark.read.parquet(p).count() == 3
     for sfx in ("._writerlock", "._precompact", "._compacting", "._swaplock"):
         assert not os.path.exists(p + sfx)
+
+
+# ---------------------------------------------------------------
+# deployment-threshold embedding dedup (r11 verdict item 2)
+# ---------------------------------------------------------------
+
+
+def test_rphi_planes_are_pairwise_distinct():
+    """The hi family must generate RPHI_BITS genuinely distinct
+    hyperplanes, and be independent of (not alias) the base family
+    — the r11 mod-11-periodicity lesson applied to the new planes."""
+    from projet_etl_spark.operators import dedup
+
+    hi = {
+        tuple(dedup.rphi_weight(h, i) for i in range(1, 65))
+        for h in range(dedup.RPHI_BITS)
+    }
+    assert len(hi) == dedup.RPHI_BITS
+    base = {
+        tuple(dedup.rp_weight(h, i) for i in range(1, 65))
+        for h in range(dedup.RP_BITS)
+    }
+    assert not hi & base
+
+
+def test_planted_corpus_shape_and_cosine_regime(spark):
+    """The plant device's contract: |plants| = |ids divisible by
+    PLANT_MOD|, every (original, twin) pair sits in the deployment
+    cosine band [0.9, 1), and the device manufactures no cross-pair
+    at the threshold (the exact audit finds EXACTLY the plant
+    pairs)."""
+    from pyspark.sql import functions as F
+
+    from projet_etl_spark.functions.vectors import cosine, fold_dot
+    from projet_etl_spark.operators import dedup
+    from projet_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    n_plants = emb.filter(F.col("vec_id") % dedup.PLANT_MOD == 0).count()
+    p = dedup.planted_embeddings(spark, SF_SMALL).withColumn(
+        "n2", dedup.fold_norm2("v")
+    )
+    assert p.count() == emb.count() + n_plants
+    o = p.filter(F.col("vec_id") < dedup.PLANT_OFFSET).select(
+        F.col("vec_id").alias("k"), F.col("v").alias("va"), F.col("n2").alias("na")
+    )
+    t = p.filter(F.col("vec_id") >= dedup.PLANT_OFFSET).select(
+        (F.col("vec_id") - dedup.PLANT_OFFSET).alias("k"),
+        F.col("v").alias("vb"),
+        F.col("n2").alias("nb"),
+    )
+    pair_cos = o.join(t, "k").select(
+        cosine(fold_dot("va", "vb"), F.col("na"), F.col("nb")).alias("c")
+    )
+    lo, hi = pair_cos.agg(F.min("c"), F.max("c")).collect()[0]
+    assert 0.9 <= lo <= hi < 1.0
+    # the true pair set at the threshold IS the plant set: linear by
+    # construction (what makes this the subquadratic regime)
+    rec = dedup.q_embedding_lsh_recall_hi(spark, SF_SMALL).collect()[0]
+    assert rec["n_true_pairs"] == n_plants
+
+
+def test_hi_recall_meets_deployment_gate(spark):
+    """The r11 verdict's item-2 gate: measured recall >= 0.97 at the
+    deployment threshold over genuine high-cosine near-duplicates."""
+    from projet_etl_spark.operators import dedup
+
+    rec = dedup.q_embedding_lsh_recall_hi(spark, SF_SMALL).collect()[0]
+    assert rec["recall"] >= 0.97
+    assert rec["n_found"] <= rec["n_true_pairs"]
+
+
+def test_hi_lsh_pairs_are_verified_subset(spark):
+    """Every emitted hi pair really clears the threshold, and every
+    pair is (original, its own twin) on this fixture — the cross-pair
+    manufacture check at pair grain."""
+    from pyspark.sql import functions as F
+
+    from projet_etl_spark.operators import dedup
+
+    rows = dedup.q_dedup_embedding_lsh_hi(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["cos"] >= dedup.HI_COSINE_THRESHOLD
+        assert r["vec_b"] == r["vec_a"] + dedup.PLANT_OFFSET
+        assert r["vec_a"] % dedup.PLANT_MOD == 0
+
+
+def test_planted_vectors_bit_exact_cross_engine(spark):
+    """The plant construction is bit-identical in Spark and DuckDB
+    (exact-EPS recipe + explicit planted-id seed — the alias-binding
+    divergence this device hit is pinned here)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from projet_etl_spark.operators import dedup
+    from projet_etl_spark.plans import extensions as E
+
+    sv = {
+        r["vec_id"]: r["v"]
+        for r in dedup.planted_embeddings(spark, SF_SMALL)
+        .filter(F.col("vec_id") >= dedup.PLANT_OFFSET)
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF_SMALL}/embeddings.parquet')"
+    )
+    drows = con.execute(
+        f"SELECT vec_id + {dedup.PLANT_OFFSET} AS vec_id, {E._PLANT_V} AS v "
+        f"FROM embeddings WHERE vec_id % {dedup.PLANT_MOD} = 0"
+    ).fetchall()
+    assert len(drows) == len(sv)
+    for vid, dv in drows:
+        assert sv[vid] == list(dv)  # bit-for-bit float64 equality
+
+
+# ---------------------------------------------------------------
+# URL-frontier store (r11 verdict item 4)
+# ---------------------------------------------------------------
+
+
+def test_url_frontier_store_matches_rescan(spark):
+    """Stream-vs-rescan parity: the frontier folded from the
+    incremental (url, snap) partials equals the one-shot batch
+    keep-first-fetch export row for row — the store discipline gate
+    for the crawl-frontier table."""
+    from projet_etl_spark.operators.domains import q_url_canonical_fetches
+    from projet_etl_spark.streaming.storequery import q_url_frontier_store
+
+    store_rows = sorted(
+        tuple(r) for r in q_url_frontier_store(spark, SF_SMALL).collect()
+    )
+    batch_rows = sorted(
+        tuple(r) for r in q_url_canonical_fetches(spark, SF_SMALL).collect()
+    )
+    assert store_rows == batch_rows
+    assert store_rows  # non-degenerate: the fixture has URLs
+
+
+def test_frontier_partials_are_chunking_invariant(spark):
+    """The store's (url, snap) partial grain merges to the same
+    frontier no matter how the fetch log was micro-batched: folding
+    partials computed over two disjoint halves equals folding the
+    whole — the additivity contract read_url_frontier relies on."""
+    from pyspark.sql import functions as F
+
+    from projet_etl_spark.sources.tables import load_table
+    from projet_etl_spark.streaming.frontier import frontier_of_batch
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id")
+    whole = frontier_of_batch(docs)
+    halves = frontier_of_batch(docs.filter(F.col("doc_id") % 2 == 0)).unionByName(
+        frontier_of_batch(docs.filter(F.col("doc_id") % 2 == 1))
+    )
+
+    def fold(df):
+        return sorted(
+            tuple(r)
+            for r in df.groupBy("url")
+            .agg(
+                F.min("first_doc_id").alias("f"),
+                F.sum("n").alias("n"),
+                F.countDistinct("snap").alias("s"),
+            )
+            .collect()
+        )
+
+    assert fold(whole) == fold(halves)
