@@ -54,7 +54,8 @@ ROUNDS_AT_COMMIT: tuple[int, ...] = tuple(range(1, 12))
 # Round-12 inputs to the rule. NEW = added this round (no hard row
 # anywhere): the deployment-threshold embedding-dedup pair (banded
 # LSH at cosine >= 0.8 over the planted high-cosine corpus + its
-# recall audit, r11 verdict item 2) and the URL-frontier store (the
+# recall audit, r11 verdict item 2), its keep-one-per-cluster prune
+# export (semantic-exemplars-hi), and the URL-frontier store (the
 # crawl frontier's incremental micro-batch twin, item 4). TOUCHED =
 # serve paths whose implementing modules changed in the r12 diff:
 # - functions/web.py changed twice: canonical_url's tracking-param
@@ -76,6 +77,7 @@ ROUNDS_AT_COMMIT: tuple[int, ...] = tuple(range(1, 12))
 NEW: tuple[str, ...] = (
     "dedup-embedding-lsh-hi",
     "embedding-lsh-recall-hi",
+    "semantic-exemplars-hi",
     "url-frontier-store",
 )
 TOUCHED: tuple[str, ...] = (

@@ -1,6 +1,6 @@
 """Round-12 scaling evidence (sf0.1 vs the /tmp/sf1equiv_r12 10x
 fixture, min-of-2 wall-times on a QUIET machine; method:
-docs/SCALE.md round 6) for the three NEW r12 queries:
+docs/SCALE.md round 6) for the four NEW r12 queries:
 
 - dedup-embedding-lsh-hi / embedding-lsh-recall-hi: the deployment-
   threshold regime. The r11 verdict's item-2 gate is a ~LINEAR 10x
@@ -11,6 +11,8 @@ docs/SCALE.md round 6) for the three NEW r12 queries:
   superlinear term is the chance-collision mass
   RPHI_BANDS * C(N,2) / 2^RPHI_BAND_BITS, printed alongside the
   wall-times so the trade is measured, not asserted.
+- semantic-exemplars-hi: the prune export — pointer-doubling CC
+  over the hi pairs (edge count linear in N) reduced to exemplars.
 - url-frontier-store: store SERVE cost (the ensure_staged build is
   refresh cost by the store accounting — the first timed call builds,
   the min-of-2 reads the serve path, exactly like daily-counts-store
@@ -44,6 +46,7 @@ REPLICAS = 10
 NEW = [
     "dedup-embedding-lsh-hi",
     "embedding-lsh-recall-hi",
+    "semantic-exemplars-hi",
     "url-frontier-store",
 ]
 

@@ -443,3 +443,39 @@ def q_dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("cluster_size")
     )
+
+
+def q_semantic_exemplars_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-per-cluster at the DEPLOYMENT threshold: connected
+    components over the cosine >= 0.8 banded-LSH pairs of the planted
+    corpus, reduced to (exemplar vec_id, n_vectors) — the prune table
+    a SemDeDup-style curation run actually materializes (pairs ->
+    groups -> keep the min-id exemplar), completing the r12
+    deployment-regime family: pairs (dedup-embedding-lsh-hi), recall
+    (embedding-lsh-recall-hi), and the export (this query).
+
+    Same O(log diameter) pointer-doubling iteration as
+    q_semantic_clusters; per-round cost scales with the hi pair count
+    (LINEAR in N here — the true pair set is one twin per PLANT_MOD-th
+    vector), and the corpus-sized work is the one final left join
+    labeling singletons. Computed directly rather than staged: the
+    active subgraph is |pairs|-bounded, so the builder IS the cheap
+    path (the fixture-threshold family stages because its pair graph
+    is dense)."""
+    from projet_etl_spark.operators.dedup import (
+        planted_embeddings,
+        q_dedup_embedding_lsh_hi,
+    )
+
+    pairs = q_dedup_embedding_lsh_hi(spark, sf_dir).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    vecs = planted_embeddings(spark, sf_dir).select(
+        F.col("vec_id").alias("vertex")
+    )
+    labels = connected_components(pairs, vecs)
+    return (
+        labels.groupBy(F.col("label").alias("vec_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+        .orderBy("vec_id")
+    )

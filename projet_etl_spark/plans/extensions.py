@@ -655,6 +655,37 @@ LEFT JOIN hlpairs l ON x.vec_a = l.vec_a AND x.vec_b = l.vec_b
 """
 )
 
+# keep-one-per-cluster at the deployment threshold (r12): the same
+# recursive transitive closure as the semantic oracle below, over the
+# hi pairs and the PLANTED vertex set, reduced to the exemplar table
+_RECURSIVE_EMB_HI_CTES = _EMB_HI_CTES.replace("\nWITH ", "\nWITH RECURSIVE ", 1)
+assert "WITH RECURSIVE" in _RECURSIVE_EMB_HI_CTES, (
+    "hi exemplars oracle: failed to upgrade hi CTEs to WITH RECURSIVE"
+)
+_SEMANTIC_HI_EXEMPLARS_SQL = (
+    _RECURSIVE_EMB_HI_CTES
+    + f""",
+hvpairs AS ({_EMB_HI_PAIRS}),
+hvedges AS (
+    SELECT vec_a AS src, vec_b AS dst FROM hvpairs
+    UNION ALL
+    SELECT vec_b AS src, vec_a AS dst FROM hvpairs
+),
+hvreach AS (
+    SELECT vec_id AS vertex, vec_id AS label FROM ep
+    UNION
+    SELECT ed.src AS vertex, r.label
+    FROM hvedges ed JOIN hvreach r ON ed.dst = r.vertex
+),
+hlabels AS (
+    SELECT vertex AS vec_id, MIN(label) AS cluster_id
+    FROM hvreach GROUP BY vertex
+)
+SELECT cluster_id AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM hlabels GROUP BY cluster_id ORDER BY vec_id
+"""
+)
+
 # semantic connected components over the LSH cosine pairs, stated as
 # the same recursive transitive closure as the text clusters oracle
 _RECURSIVE_EMB_LSH_CTES = _EMB_LSH_CTES.replace("\nWITH ", "\nWITH RECURSIVE ", 1)
@@ -4835,6 +4866,15 @@ def build():
             "embedding-lsh-recall-hi",
             dedup.q_embedding_lsh_recall_hi,
             _EMB_HI_RECALL_SQL,
+            ("dedup", "ann"),
+        ),
+        # the prune EXPORT at the deployment threshold: pairs ->
+        # components -> keep-min exemplar (what a SemDeDup-style run
+        # materializes); completes the r12 hi family
+        (
+            "semantic-exemplars-hi",
+            clusters.q_semantic_exemplars_hi,
+            _SEMANTIC_HI_EXEMPLARS_SQL,
             ("dedup", "ann"),
         ),
         ("ann-cosine-topk", similarity.q_ann_cosine_topk, _ANN_BRUTE_SQL, ("ann",)),

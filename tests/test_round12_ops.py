@@ -473,3 +473,23 @@ def test_frontier_partials_are_chunking_invariant(spark):
         )
 
     assert fold(whole) == fold(halves)
+
+
+def test_semantic_exemplars_hi_partitions_planted_corpus(spark):
+    """The prune export at the deployment threshold is a partition of
+    the planted corpus: exemplar member counts sum to |corpus|, every
+    found pair collapses to one n_vectors=2 exemplar at the ORIGINAL
+    id, and misses surface as singleton twins — so
+    n_pairs_found = recall twin's n_found exactly."""
+    from projet_etl_spark.operators import dedup
+    from projet_etl_spark.operators.clusters import q_semantic_exemplars_hi
+
+    rows = q_semantic_exemplars_hi(spark, SF_SMALL).collect()
+    n_corpus = dedup.planted_embeddings(spark, SF_SMALL).count()
+    assert sum(r["n_vectors"] for r in rows) == n_corpus
+    pairs = [r for r in rows if r["n_vectors"] == 2]
+    assert pairs and all(r["n_vectors"] in (1, 2) for r in rows)
+    # every 2-cluster's exemplar is an original (min id of the pair)
+    assert all(r["vec_id"] < dedup.PLANT_OFFSET for r in pairs)
+    rec = dedup.q_embedding_lsh_recall_hi(spark, SF_SMALL).collect()[0]
+    assert len(pairs) == rec["n_found"]
