@@ -55,7 +55,8 @@ ROUNDS_AT_COMMIT: tuple[int, ...] = tuple(range(1, 12))
 # anywhere): the deployment-threshold embedding-dedup pair (banded
 # LSH at cosine >= 0.8 over the planted high-cosine corpus + its
 # recall audit, r11 verdict item 2), its keep-one-per-cluster prune
-# export (semantic-exemplars-hi), and the URL-frontier store (the
+# export (semantic-exemplars-hi), the incremental embedding-pairs
+# store, and the URL-frontier store (the
 # crawl frontier's incremental micro-batch twin, item 4). TOUCHED =
 # serve paths whose implementing modules changed in the r12 diff:
 # - functions/web.py changed twice: canonical_url's tracking-param
@@ -78,6 +79,7 @@ NEW: tuple[str, ...] = (
     "dedup-embedding-lsh-hi",
     "embedding-lsh-recall-hi",
     "semantic-exemplars-hi",
+    "embedding-pairs-store",
     "url-frontier-store",
 )
 TOUCHED: tuple[str, ...] = (

@@ -13,7 +13,7 @@ docs/SCALE.md round 6) for the four NEW r12 queries:
   wall-times so the trade is measured, not asserted.
 - semantic-exemplars-hi: the prune export — pointer-doubling CC
   over the hi pairs (edge count linear in N) reduced to exemplars.
-- url-frontier-store: store SERVE cost (the ensure_staged build is
+- embedding-pairs-store / url-frontier-store: store SERVE cost (the ensure_staged build is
   refresh cost by the store accounting — the first timed call builds,
   the min-of-2 reads the serve path, exactly like daily-counts-store
   in the r9 ledger).
@@ -47,6 +47,7 @@ NEW = [
     "dedup-embedding-lsh-hi",
     "embedding-lsh-recall-hi",
     "semantic-exemplars-hi",
+    "embedding-pairs-store",
     "url-frontier-store",
 ]
 

@@ -4877,6 +4877,16 @@ def build():
             _SEMANTIC_HI_EXEMPLARS_SQL,
             ("dedup", "ann"),
         ),
+        # the hi pairs served from the INCREMENTAL stream's sink
+        # (vec_id-ordered replay -> every true pair crosses batches,
+        # so the batch x STORE path is what the oracle certifies);
+        # shares the one-shot query's oracle verbatim
+        (
+            "embedding-pairs-store",
+            storequery.q_embedding_pairs_store,
+            _EMB_HI_SQL,
+            ("dedup", "ann", "streaming"),
+        ),
         ("ann-cosine-topk", similarity.q_ann_cosine_topk, _ANN_BRUTE_SQL, ("ann",)),
         ("ann-quantized-topk", quantized.q_ann_quantized_topk, _QANN_SQL, ("ann",)),
         # per-label int8 cosine-loss audit for the quantized path

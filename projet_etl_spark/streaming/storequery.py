@@ -807,3 +807,105 @@ def q_url_frontier_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     store = ensure_url_frontier_store(spark, sf_dir)
     return read_url_frontier(spark, store).orderBy("url")
+
+
+# --- incremental embedding-dedup pairs store (r12) ----------------------
+
+EMBDEDUP_ROOT = os.path.join(os.path.dirname(STORE_ROOT), "emb_dedup")
+
+
+def _stage_planted_chunks(spark: SparkSession, sf_dir: str, chunk_dir: str) -> None:
+    """Stage the planted corpus (operators/dedup.planted_embeddings)
+    as N_CHUNKS vec_id-ordered parquet slices. Ordering by vec_id
+    puts every ORIGINAL (ids < PLANT_OFFSET) in the early
+    micro-batches and every planted twin (ids >= PLANT_OFFSET) in the
+    late ones, so EVERY true pair crosses a batch boundary — the
+    batch x STORE path is what finds them all, not the easy
+    batch x batch join. Driver-side like the other chunk stagers
+    (refresh-time fixture replay, bounded by the fixture size; at
+    deployment the stream source is the real vector feed)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from projet_etl_spark.operators.dedup import planted_embeddings
+
+    pdf = (
+        planted_embeddings(spark, sf_dir)
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    table = pa.table(
+        {
+            "vec_id": pa.array(pdf["vec_id"], type=pa.int64()),
+            "v": pa.array(
+                [list(x) for x in pdf["v"]], type=pa.list_(pa.float64())
+            ),
+        }
+    )
+    os.makedirs(chunk_dir, exist_ok=True)
+    n = table.num_rows
+    for k in range(N_CHUNKS):
+        lo, hi = k * n // N_CHUNKS, (k + 1) * n // N_CHUNKS
+        pq.write_table(table.slice(lo, hi - lo), f"{chunk_dir}/chunk{k:02d}.parquet")
+
+
+def ensure_embdedup_pairs(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse) the incremental embedding-dedup pairs sink
+    for ``sf_dir``: the planted corpus replayed as availableNow
+    micro-batches through streaming/embdedup.py. Fingerprint-keyed
+    refresh cost; the version token folds every constant the pair set
+    depends on (plant device, hi-band geometry, threshold), so a
+    geometry change invalidates the staged sink like a data change."""
+    from projet_etl_spark.operators.dedup import (
+        HI_COSINE_THRESHOLD,
+        PLANT_EPS,
+        PLANT_MOD,
+        RPHI_BAND_BITS,
+        RPHI_BITS,
+    )
+    from projet_etl_spark.streaming.embdedup import stream_emb_dedup
+
+    def _build(root: str) -> None:
+        chunks = os.path.join(root, "chunks")
+        _stage_planted_chunks(spark, sf_dir, chunks)
+        stream = (
+            spark.readStream.schema("vec_id long, v array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(chunks)
+        )
+        q = stream_emb_dedup(
+            stream,
+            os.path.join(root, "store"),
+            os.path.join(root, "pairs"),
+            os.path.join(root, "ckpt"),
+            available_now=True,
+        )
+        q.awaitTermination()
+
+    return ensure_staged(
+        EMBDEDUP_ROOT,
+        sf_dir,
+        parquet_fingerprint(sf_dir, "embeddings.parquet"),
+        "pairs",
+        _build,
+        version=(
+            f"embdedup-v1:mod={PLANT_MOD}:eps={PLANT_EPS!r}"
+            f":rphi={RPHI_BITS}x{RPHI_BAND_BITS}:cos={HI_COSINE_THRESHOLD}"
+        ),
+    )
+
+
+def q_embedding_pairs_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deployment-threshold near-dup pairs served from the sink the
+    INCREMENTAL embedding-dedup stream maintains (per micro-batch:
+    new vectors banded against the signature store, float64-fold
+    verified). The union over batches must equal the one-shot batch
+    q_dedup_embedding_lsh_hi on the full corpus, so this query shares
+    that query's ORACLE — and because the replay is vec_id-ordered,
+    every true (original, twin) pair spans batches: a green driver
+    row proves the batch x STORE path finds exactly the rescan's
+    answer, end to end through real Structured Streaming."""
+    from projet_etl_spark.streaming.embdedup import read_emb_pairs
+
+    pairs = ensure_embdedup_pairs(spark, sf_dir)
+    return read_emb_pairs(spark, pairs).orderBy("vec_a", "vec_b")

@@ -493,3 +493,58 @@ def test_semantic_exemplars_hi_partitions_planted_corpus(spark):
     assert all(r["vec_id"] < dedup.PLANT_OFFSET for r in pairs)
     rec = dedup.q_embedding_lsh_recall_hi(spark, SF_SMALL).collect()[0]
     assert len(pairs) == rec["n_found"]
+
+
+def test_embedding_pairs_store_matches_rescan(spark):
+    """Incremental-vs-one-shot parity for the deployment-threshold
+    embedding dedup: the union of the stream's per-batch pair
+    emissions equals the batch banded query on the full corpus —
+    and because the replay is vec_id-ordered (originals first, twins
+    last), EVERY true pair crosses a batch boundary: the equality is
+    evidence for the batch x STORE path specifically."""
+    from projet_etl_spark.operators.dedup import (
+        PLANT_OFFSET,
+        q_dedup_embedding_lsh_hi,
+    )
+    from projet_etl_spark.streaming.storequery import q_embedding_pairs_store
+
+    store_rows = sorted(
+        tuple(r) for r in q_embedding_pairs_store(spark, SF_SMALL).collect()
+    )
+    batch_rows = sorted(
+        tuple(r) for r in q_dedup_embedding_lsh_hi(spark, SF_SMALL).collect()
+    )
+    assert store_rows == batch_rows
+    assert store_rows
+    # the replay-ordering contract: every true pair spans the
+    # original/twin id split, so none could come from batch x batch
+    # joins alone once the chunking splits at PLANT_OFFSET
+    assert all(a < PLANT_OFFSET <= b for a, b, _ in store_rows)
+
+
+def test_emb_dedup_batch_replay_is_idempotent(spark, tmp_path):
+    """Re-running a micro-batch (at-least-once foreachBatch) rewrites
+    exactly its own partitions: pairs are not duplicated and the
+    history filter (batch < current) keeps a replayed batch from
+    pairing vectors with themselves."""
+    from projet_etl_spark.streaming.embdedup import (
+        emb_dedup_batch,
+        read_emb_pairs,
+    )
+    from projet_etl_spark.operators.dedup import planted_embeddings
+    from pyspark.sql import functions as F
+
+    store = str(tmp_path / "store")
+    pairs = str(tmp_path / "pairs")
+    corpus = planted_embeddings(spark, SF_SMALL)
+    b0 = corpus.filter(F.col("vec_id") % 3 == 0).filter(
+        F.col("vec_id") < 10_000_000
+    ).limit(30)
+    b1 = corpus.filter(F.col("vec_id") >= 10_000_000).limit(30)
+    emb_dedup_batch(b0, 0, store, pairs)
+    emb_dedup_batch(b1, 1, store, pairs)
+    once = sorted(tuple(r) for r in read_emb_pairs(spark, pairs).collect())
+    emb_dedup_batch(b1, 1, store, pairs)  # replay batch 1
+    twice = sorted(tuple(r) for r in read_emb_pairs(spark, pairs).collect())
+    assert once == twice
+    assert once  # the twins in b1 found their originals in b0's store
