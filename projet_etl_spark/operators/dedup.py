@@ -1401,3 +1401,28 @@ def q_embedding_lsh_recall_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("recall"),
     )
+
+
+def rphi_band_bits_for(n_vectors: int) -> int:
+    """The production band-width knob the RPHI geometry block
+    prescribes: bits ~ log2(N) + margin, clamped to [RPHI_BAND_BITS,
+    24], so the per-band chance-collision mass C(N,2)/2^bits stays at
+    or below the true-pair density as the corpus grows (at the
+    measured plant-regime density of ~N/3 true pairs, the 16-bit
+    fixture geometry crosses over near N ~ 2^16 * RPHI_BANDS / 3 ~
+    260k vectors per shard — beyond that, widen the bands and re-run
+    the recall audit, which is exactly what `embedding-lsh-recall-hi`
+    keeps measured). Pure function so deployments and tests share the
+    same arithmetic — past the 24-bit ceiling the knob pins there
+    and the prescription becomes partition-disjoint sharding (~5M
+    vectors per shard at the plant-regime density); the FIXTURE
+    geometry stays pinned at RPHI_BAND_BITS so the oracle SQL is
+    static."""
+    import math
+
+    if n_vectors <= 1:
+        return RPHI_BAND_BITS
+    want = math.ceil(math.log2(n_vectors)) + math.ceil(
+        math.log2(RPHI_BANDS * max(PLANT_MOD, 2))
+    )
+    return max(RPHI_BAND_BITS, min(24, want))

@@ -548,3 +548,78 @@ def test_emb_dedup_batch_replay_is_idempotent(spark, tmp_path):
     twice = sorted(tuple(r) for r in read_emb_pairs(spark, pairs).collect())
     assert once == twice
     assert once  # the twins in b1 found their originals in b0's store
+
+
+def test_rphi_band_bits_staircase():
+    """The production band-width knob: monotone in N, pinned at the
+    fixture geometry through both certified SFs and the 10x fixture,
+    and at any returned width the chance-collision mass stays at or
+    below the true-pair density (the subquadratic invariant)."""
+    from projet_etl_spark.operators import dedup
+
+    ns = [1, 667, 2667, 26667, 260_000, 1_000_000, 10_000_000]
+    widths = [dedup.rphi_band_bits_for(n) for n in ns]
+    assert widths == sorted(widths)
+    assert dedup.rphi_band_bits_for(26667) >= dedup.RPHI_BAND_BITS
+    # the subquadratic invariant holds for every N the unclamped
+    # staircase can serve (want <= 24); past the ceiling the knob
+    # pins there and the prescription is partition-disjoint shards
+    for n in (260_000, 1_000_000):
+        b = dedup.rphi_band_bits_for(n)
+        chance = dedup.RPHI_BANDS * n * (n - 1) / 2 / 2**b
+        assert chance <= n / dedup.PLANT_MOD * 2  # within 2x of true density
+    assert dedup.rphi_band_bits_for(10_000_000) == 24  # shard boundary
+    assert max(widths) <= 24  # oracle-replayable ceiling
+
+
+def test_canonical_url_seeded_fuzz_cross_engine(spark):
+    """300 seeded-random composed URLs (scheme/userinfo/sub/host/
+    suffix/port/path/params/fragment arms, including 'ref'-substring
+    traps in every position) through BOTH engines: byte equality and
+    idempotence. Extends the hand-picked adversarial grid to the
+    composition space."""
+    import random
+
+    import duckdb
+
+    from projet_etl_spark.functions import web
+
+    rng = random.Random(1207)
+    schemes = ["https://", "HTTP://", "", "ftp://"]
+    users = ["", "user@", "u:p@"]
+    subs = ["", "www.", "cdn.", "a.b."]
+    hosts = ["example", "ref", "pref", "site-1"]
+    sufs = [".com", ".co.uk", ".org", ".gob.mx", ".k12.tr"]
+    ports = ["", ":443", ":8080"]
+    paths = ["/", "/x", "/ref=1/y", "/a&b", "/deep/path/", ""]
+    params = ["", "?a=1", "?ref=x", "?pref=h", "?utm_source=f&b=2",
+              "?b=2&utm_medium=m", "?href=q&ref=z", "?gclid=1",
+              "?refresh=9&utm_a=b", "?a=1&b=2&fbclid=x"]
+    frags = ["", "#f", "#ref=frag?x=1"]
+    urls = [
+        "".join(
+            rng.choice(arm)
+            for arm in (schemes, users, subs, hosts, sufs, ports, paths,
+                        params, frags)
+        )
+        for _ in range(300)
+    ]
+    sdf = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i long, url string"
+    ).select("i", "url", web.canonical_url(F.col("url")).alias("c"))
+    sdf = sdf.select("i", "c", web.canonical_url(F.col("c")).alias("cc"))
+    srows = [(r["c"], r["cc"]) for r in sdf.orderBy("i").collect()]
+    assert all(c == cc for c, cc in srows)  # idempotent on all 300
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE u AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{u}')" for i, u in enumerate(urls))
+        + ") t(i, url)"
+    )
+    drows = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {web.sql_canonical_url('url')} FROM u ORDER BY i"
+        ).fetchall()
+    ]
+    assert [c for c, _ in srows] == drows
