@@ -623,3 +623,48 @@ def test_canonical_url_seeded_fuzz_cross_engine(spark):
         ).fetchall()
     ]
     assert [c for c, _ in srows] == drows
+
+
+def test_writer_lock_mutual_exclusion_under_contention(tmp_path):
+    """Real concurrency witness for the r12 protocol: 8 processes
+    each acquire/release the same lock 5 times with a crash-free
+    critical section that detects any overlap (a marker file that
+    must never exist on entry). The TOCTOU classes the advisor named
+    — empty-lock window, double-break, foreign release — all
+    manifest as two holders at once, which this catches as a torn
+    marker."""
+    import subprocess
+    import sys
+    import textwrap
+
+    p = str(tmp_path / "t")
+    script = textwrap.dedent(f"""
+        import os, sys, time
+        sys.path.insert(0, "/root/repo")
+        from projet_etl_spark.sources import ingest
+        path = {p!r}
+        marker = path + ".inside"
+        errors = 0
+        for i in range(5):
+            for attempt in range(2000):
+                try:
+                    with ingest._writer_lock(path):
+                        if os.path.exists(marker):
+                            errors += 1  # overlap: two holders
+                        open(marker, "w").close()
+                        time.sleep(0.002)
+                        os.remove(marker)
+                    break
+                except ingest.StoreWriterConflict:
+                    time.sleep(0.001)
+            else:
+                errors += 100  # starved: never acquired
+        sys.exit(errors)
+    """)
+    procs = [
+        subprocess.Popen([sys.executable, "-c", script])
+        for _ in range(8)
+    ]
+    codes = [pr.wait() for pr in procs]
+    assert codes == [0] * 8, f"mutual exclusion violated/starved: {codes}"
+    assert not os.path.exists(p + "._writerlock")  # all released
