@@ -261,25 +261,53 @@ class StoreWriterConflict(RuntimeError):
     assumption is now checked, not documented)."""
 
 
-def _writer_lock_holder(lock: str) -> int:
-    """pid recorded in the lock file, 0 if unreadable/empty."""
-    import os  # noqa: F401  (symmetry with the other local imports)
+def _local_host() -> str:
+    """This process's host identity, as recorded in lock files."""
+    import socket
 
+    return socket.gethostname()
+
+
+def _lock_ident(lock: str) -> tuple[str, int]:
+    """(hostname, pid) recorded in the lock file. Legacy bare-pid
+    content (pre-r13 locks, and the injected-fault tests' shorthand)
+    parses as a SAME-host lease — the only writers that could have
+    produced it ran this code on local storage. Unreadable/empty
+    reads as ("", 0), which no live writer can match."""
     try:
         with open(lock, encoding="utf-8") as fh:
-            return int(fh.read().strip() or "0")
-    except (OSError, ValueError):
-        return 0
+            raw = fh.read().strip()
+    except OSError:
+        return ("", 0)
+    host, sep, pid_s = raw.rpartition(":")
+    if not sep:
+        host, pid_s = _local_host(), raw
+    try:
+        return (host, int(pid_s or "0"))
+    except ValueError:
+        return ("", 0)
+
+
+def _writer_lock_holder(lock: str) -> int:
+    """pid recorded in the lock file, 0 if unreadable/empty."""
+    return _lock_ident(lock)[1]
 
 
 def _pid_alive(pid: int) -> bool | None:
     """Liveness probe for a same-host lock holder (signal 0): True /
     False, or ``None`` when liveness is UNOBSERVABLE (an os.kill
-    failure that asserts nothing about the pid — the shared-storage
-    case where the holder lives on another host, or a PID namespace
-    that hides it). ``None`` hands the verdict to the mtime lease
-    (:data:`LEASE_TTL_SEC` via :func:`_holder_live`) — at deployment
-    on shared storage this pair IS the lease service: the protocol
+    failure that asserts nothing about the pid — e.g. a PID
+    namespace that hides it). ``None`` hands the verdict to the
+    mtime lease (:data:`LEASE_TTL_SEC` via :func:`_holder_live`).
+
+    Only ever called for a SAME-host holder: os.kill probes the
+    LOCAL pid table, so a pid recorded by a writer on another host
+    asserts nothing here — ProcessLookupError against a foreign pid
+    would judge a LIVE remote writer dead and break its lease,
+    defeating mutual exclusion cross-host (r12 advisor, medium).
+    :func:`_holder_live` routes foreign-host locks straight to the
+    TTL lease without consulting this probe — at deployment on
+    shared storage that pair IS the lease service: the protocol
     (owner-live -> conflict, owner-dead/expired -> break) is
     unchanged; only the liveness oracle degrades from pid to TTL."""
     import os
@@ -298,28 +326,51 @@ def _pid_alive(pid: int) -> bool | None:
 
 
 # writer-lease TTL (r12, r11 verdict item 5): when pid liveness is
-# unobservable, a lock counts as LIVE while its mtime is fresher than
-# this. Mutators re-touch their lock at every fence() point (each
-# rename window), so a healthy publish — however long write_tmp
-# takes — keeps its lease fresh, while a truly dead-but-unobservable
-# holder can wedge a store for at most this long. 300 s is ~4 orders
-# of magnitude beyond a fence-to-fence gap (two renames + an rmtree).
+# unobservable (same-host probe failure, or a FOREIGN-host lock), a
+# lock counts as LIVE while its mtime is fresher than this. Mutators
+# re-touch their lock at every fence() point AND a heartbeat thread
+# re-touches it throughout write_tmp (r12 advisor, medium — the
+# unbounded table-rewrite phase used to outlive the TTL silently), so
+# a healthy publish — however long write_tmp takes — keeps its lease
+# fresh, while a truly dead-but-unobservable holder can wedge a store
+# for at most this long. Deployment guidance: the TTL must exceed the
+# longest heartbeat gap (HEARTBEAT_FRACTION of the TTL by
+# construction) plus storage mtime-propagation lag — NOT the write
+# duration, which the heartbeat covers. Tunable per-deployment via
+# $SPARK_GRAFT_LEASE_TTL_SEC (r12 verdict item 6).
 LEASE_TTL_SEC = 300.0
+HEARTBEAT_FRACTION = 0.25  # heartbeat period = TTL / 4
+
+
+def _lease_ttl() -> float:
+    """The effective writer-lease TTL: $SPARK_GRAFT_LEASE_TTL_SEC
+    when set (per-deployment knob), else :data:`LEASE_TTL_SEC`."""
+    import os
+
+    raw = os.environ.get("SPARK_GRAFT_LEASE_TTL_SEC", "")
+    try:
+        ttl = float(raw)
+        return ttl if ttl > 0 else LEASE_TTL_SEC
+    except ValueError:
+        return LEASE_TTL_SEC
 
 
 def _holder_live(lock: str) -> bool:
-    """Is the writer holding ``lock`` live? pid probe when observable,
-    else the mtime lease: fresher than LEASE_TTL_SEC means live. A
-    vanished lock reads as not-live (the caller re-races acquisition
-    through the atomic link, so this cannot grant anyone the store)."""
+    """Is the writer holding ``lock`` live? Same-host pid probe when
+    observable; a FOREIGN-host lock (or an unobservable same-host
+    pid) is governed by the mtime lease: fresher than the TTL means
+    live. A vanished lock reads as not-live (the caller re-races
+    acquisition through the atomic link, so this cannot grant anyone
+    the store)."""
     import os
     import time
 
-    alive = _pid_alive(_writer_lock_holder(lock))
+    host, pid = _lock_ident(lock)
+    alive = _pid_alive(pid) if host == _local_host() else None
     if alive is not None:
         return alive
     try:
-        return time.time() - os.stat(lock).st_mtime < LEASE_TTL_SEC
+        return time.time() - os.stat(lock).st_mtime < _lease_ttl()
     except OSError:
         return False
 
@@ -359,6 +410,22 @@ class _writer_lock:
       :class:`StoreWriterConflict` on a lost lease instead of
       interleaving renames) and re-touches the mtime so a live
       publish never expires its own TTL lease.
+    - HEARTBEAT (r13, r12 advisor medium): fence() alone runs only
+      before/after ``write_tmp``, so a table rewrite longer than the
+      TTL used to expire its own lease mid-write under the TTL
+      regime — a contender would break the lock and both writers
+      would target the same ``._compacting`` path. Mutators now wrap
+      the unbounded phase in :meth:`heartbeat`, a daemon thread that
+      re-touches the lock every ``HEARTBEAT_FRACTION * ttl`` while
+      the lease is still owned, making the docstring's "however long
+      write_tmp takes" claim true by construction.
+
+    Cross-host identity (r13, r12 advisor medium): the lock records
+    ``hostname:pid``. os.kill probes the LOCAL pid table only, so a
+    pid recorded on another host says nothing here — foreign-host
+    locks skip the pid probe entirely and are governed by the mtime
+    TTL lease (``_holder_live``), which is exactly the shared-storage
+    deployment mode the TTL was added for.
 
     Residual (documented, not closable with POSIX primitives alone):
     owns()-then-act is itself a stat/act pair, so a holder that
@@ -378,17 +445,18 @@ class _writer_lock:
 
     def owns(self) -> bool:
         """Is the file at the lock path still OUR lease? Checked by
-        inode AND recorded pid — a filesystem may recycle the inode
-        of a removed lock for its replacement (tmpfs does, observed
-        in the r12 tests), so inode identity alone can alias a
-        successor lease to ours; no successor can carry our pid."""
+        inode AND recorded (host, pid) — a filesystem may recycle the
+        inode of a removed lock for its replacement (tmpfs does,
+        observed in the r12 tests), so inode identity alone can alias
+        a successor lease to ours; no successor can carry our
+        host:pid."""
         try:
             st = self._os.stat(self.lock)
         except OSError:
             return False
         return (
             self._ident == (st.st_dev, st.st_ino)
-            and _writer_lock_holder(self.lock) == self._os.getpid()
+            and _lock_ident(self.lock) == (_local_host(), self._os.getpid())
         )
 
     def fence(self) -> None:
@@ -438,7 +506,7 @@ class _writer_lock:
         for attempt in range(self._ATTEMPTS):
             tmp = f"{self.lock}.{pid}.{attempt}.tmp"
             with open(tmp, "w", encoding="utf-8") as fh:
-                fh.write(str(pid))
+                fh.write(f"{_local_host()}:{pid}")
             try:
                 os.link(tmp, self.lock)
             except FileExistsError:
@@ -476,6 +544,43 @@ class _writer_lock:
             except OSError:
                 pass
         self._ident = None
+
+    def heartbeat(self):
+        """Context manager that keeps the TTL lease fresh across an
+        UNBOUNDED phase (write_tmp's full table rewrite, compact's
+        full-table count): a daemon thread re-touches the lock every
+        ``HEARTBEAT_FRACTION * ttl`` seconds while we still own it
+        (r13, r12 advisor medium — fence() alone let a write longer
+        than the TTL expire its own lease mid-write). Stops touching
+        the instant ownership is lost — it must never refresh a lock
+        that now belongs to someone else."""
+        import contextlib
+        import threading
+
+        @contextlib.contextmanager
+        def _beat():
+            stop = threading.Event()
+
+            def tick() -> None:
+                while not stop.wait(_lease_ttl() * HEARTBEAT_FRACTION):
+                    if not self.owns():
+                        return
+                    try:
+                        self._os.utime(self.lock)
+                    except OSError:
+                        pass  # best-effort; fence() re-asserts after
+
+            t = threading.Thread(
+                target=tick, name="writer-lease-heartbeat", daemon=True
+            )
+            t.start()
+            try:
+                yield
+            finally:
+                stop.set()
+                t.join(timeout=5.0)
+
+        return _beat()
 
 
 def recover_swap(path: str) -> None:
@@ -621,11 +726,16 @@ def _swap_publish(path: str, write_tmp, lk: "_writer_lock | None" = None) -> Non
     tmp = base + "._compacting"
     aside = base + "._precompact"
     lock = base + "._swaplock"
-    write_tmp(tmp)
     if lk is not None:
         # write_tmp is the unbounded phase (a full table rewrite):
-        # re-assert the lease and refresh its TTL before the renames
+        # heartbeat the lease throughout (a rewrite longer than the
+        # TTL must not expire its own lease mid-write — r12 advisor),
+        # then re-assert ownership before the renames
+        with lk.heartbeat():
+            write_tmp(tmp)
         lk.fence()
+    else:
+        write_tmp(tmp)
     with open(lock, "w", encoding="utf-8") as fh:
         fh.write(str(os.getpid()))
     os.rename(path, aside)
@@ -654,7 +764,8 @@ def compact(
     with _writer_lock(path) as lk:
         _recover_swap(path, lk)
         df = getattr(spark.read, fmt)(path)
-        n = df.count()
+        with lk.heartbeat():  # full-table count: unbounded phase
+            n = df.count()
         n_files = max(1, -(-n // target_rows_per_file))
         _swap_publish(
             path,
