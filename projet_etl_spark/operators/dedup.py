@@ -1019,10 +1019,24 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# signature word layout: RP_BITS bits split across fixed-width words
+# so NO plane is dropped — a single int64 silently truncated planes
+# 0-7 of the 72 (r12 advisor, low). Word w carries bands
+# [w*RP_BANDS/WORDS, (w+1)*RP_BANDS/WORDS), i.e. 36 bits each at the
+# current 12 x 6 geometry — always < 63, so the pack is exact.
+RP_SIG_WORDS = 2
+assert RP_BANDS % RP_SIG_WORDS == 0
+_RP_BANDS_PER_WORD = RP_BANDS // RP_SIG_WORDS
+assert _RP_BANDS_PER_WORD * RP_BAND_BITS < 63, "word must fit a signed long"
+
+
 def rp_signatures_arrow(emb: DataFrame) -> DataFrame:
-    """(vec_id, sig) RP_BITS-bit random-hyperplane signatures via ONE
-    Arrow-batched numpy matmul per batch — the production scale path
-    for the signature pass.
+    """(vec_id, sig array<long>) RP_BITS-bit random-hyperplane
+    signatures via ONE Arrow-batched numpy matmul per batch — the
+    production scale path for the signature pass. The signature is
+    packed into RP_SIG_WORDS 36-bit words so all RP_BITS planes are
+    carried (r12 advisor, low: the previous single-int64 pack
+    silently dropped planes 0-7).
 
     The registry query keeps the JVM fold form because its
     left-to-right float association is what the DuckDB oracle
@@ -1043,32 +1057,46 @@ def rp_signatures_arrow(emb: DataFrame) -> DataFrame:
             for h in range(RP_BITS)
         ]
     ).T  # 64 x RP_BITS
+    per_word = _RP_BANDS_PER_WORD * RP_BAND_BITS
 
     def batches(it):
         for pdf in it:
             mat = np.vstack(pdf["v"].to_numpy())  # n x 64
             bits = (mat.astype(np.float64) @ w) >= 0  # n x RP_BITS
-            sig = np.zeros(len(pdf), dtype=np.int64)
-            for h in range(RP_BITS):
-                sig = (sig << 1) | bits[:, h].astype(np.int64)
-            yield pd.DataFrame({"vec_id": pdf["vec_id"], "sig": sig})
+            words = np.zeros((len(pdf), RP_SIG_WORDS), dtype=np.int64)
+            for wd in range(RP_SIG_WORDS):
+                sig = np.zeros(len(pdf), dtype=np.int64)
+                for h in range(wd * per_word, (wd + 1) * per_word):
+                    sig = (sig << 1) | bits[:, h].astype(np.int64)
+                words[:, wd] = sig
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "sig": list(words)}
+            )
 
     return emb.select("vec_id", "v").mapInPandas(
-        batches, "vec_id long, sig long"
+        batches, "vec_id long, sig array<long>"
     )
 
 
 def rp_signatures_fold(emb: DataFrame) -> DataFrame:
-    """(vec_id, sig) via the oracle-exact fold dots — the band keys'
-    bit source packed into one integer for comparison with the
-    Arrow twin."""
+    """(vec_id, sig array<long>) via the oracle-exact fold dots — the
+    band keys' bit source packed into the same RP_SIG_WORDS 36-bit
+    words as the Arrow twin (all RP_BITS planes carried)."""
     bands = _rp_band_keys(emb)
-    packed = F.aggregate(
-        F.array_sort(F.collect_list(F.struct("band", "key"))),
-        F.lit(0).cast("long"),
-        lambda acc, x: F.shiftleft(acc, RP_BAND_BITS)
-        .bitwiseOR(x["key"].cast("long")),
-    )
+    sorted_bk = F.array_sort(F.collect_list(F.struct("band", "key")))
+
+    def word(wd: int):
+        lo, hi = wd * _RP_BANDS_PER_WORD, (wd + 1) * _RP_BANDS_PER_WORD
+        return F.aggregate(
+            F.filter(
+                sorted_bk, lambda x: (x["band"] >= lo) & (x["band"] < hi)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: F.shiftleft(acc, RP_BAND_BITS)
+            .bitwiseOR(x["key"].cast("long")),
+        )
+
+    packed = F.array(*[word(wd) for wd in range(RP_SIG_WORDS)])
     return bands.groupBy("vec_id").agg(packed.alias("sig"))
 
 

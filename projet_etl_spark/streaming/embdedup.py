@@ -56,6 +56,8 @@ def emb_dedup_batch(
     """foreachBatch body: emit verified cosine >= threshold pairs
     touching this micro-batch, then fold its signatures + vectors
     into the store."""
+    from projet_etl_spark.streaming.storeio import read_store
+
     spark = batch_vecs.sparkSession
     vecs = batch_vecs.select("vec_id", "v").localCheckpoint()
     if vecs.isEmpty():
@@ -74,37 +76,49 @@ def emb_dedup_batch(
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b")
     )
-    vec_verify = withn
-    if os.path.exists(bands_store):
-        old_bands = spark.read.parquet(bands_store).filter(
-            F.col("batch") < F.lit(int(batch_id))
+    # history side through storeio's broken-vs-empty discipline (r12
+    # verdict item 3a): a genuinely-absent store is the first-batch
+    # path (empty frame -> the joins below produce nothing), but an
+    # unreadable or schema-drifted store RAISES — the old bare
+    # os.path.exists probe silently skipped history pairing on a
+    # transiently-unlistable store, i.e. missed true pairs forever
+    old_bands = read_store(
+        spark,
+        bands_store,
+        "vec_id long, band int, key int, batch long",
+        ["vec_id", "band", "key", "batch"],
+    ).filter(F.col("batch") < F.lit(int(batch_id)))
+    cross = (
+        left.join(
+            old_bands.select(F.col("vec_id").alias("vec_b"), "band", "key"),
+            ["band", "key"],
         )
-        cross = (
-            left.join(
-                old_bands.select(F.col("vec_id").alias("vec_b"), "band", "key"),
-                ["band", "key"],
-            )
-            .select(
-                F.least("vec_a", "vec_b").alias("vec_a"),
-                F.greatest("vec_a", "vec_b").alias("vec_b"),
-            )
+        .select(
+            F.least("vec_a", "vec_b").alias("vec_a"),
+            F.greatest("vec_a", "vec_b").alias("vec_b"),
         )
-        cands = cands.unionByName(cross)
-        # read back ONLY the old vectors that landed in a candidate
-        # bucket — semi-join-bounded, never a history scan
-        old_cand_ids = (
-            cross.select(F.col("vec_a").alias("vec_id"))
-            .unionByName(cross.select(F.col("vec_b").alias("vec_id")))
-            .join(vecs.select("vec_id").distinct(), "vec_id", "left_anti")
-            .distinct()
+    )
+    cands = cands.unionByName(cross)
+    # read back ONLY the old vectors that landed in a candidate
+    # bucket — semi-join-bounded, never a history scan
+    old_cand_ids = (
+        cross.select(F.col("vec_a").alias("vec_id"))
+        .unionByName(cross.select(F.col("vec_b").alias("vec_id")))
+        .join(vecs.select("vec_id").distinct(), "vec_id", "left_anti")
+        .distinct()
+    )
+    old_vecs = (
+        read_store(
+            spark,
+            vecs_store,
+            "vec_id long, v array<double>, n2 double, batch long",
+            ["vec_id", "v", "n2", "batch"],
         )
-        old_vecs = (
-            spark.read.parquet(vecs_store)
-            .filter(F.col("batch") < F.lit(int(batch_id)))
-            .join(F.broadcast(old_cand_ids), "vec_id", "left_semi")
-            .select("vec_id", "v", "n2")
-        )
-        vec_verify = withn.unionByName(old_vecs)
+        .filter(F.col("batch") < F.lit(int(batch_id)))
+        .join(F.broadcast(old_cand_ids), "vec_id", "left_semi")
+        .select("vec_id", "v", "n2")
+    )
+    vec_verify = withn.unionByName(old_vecs)
     cands = cands.distinct().localCheckpoint()
 
     if cands.isEmpty():

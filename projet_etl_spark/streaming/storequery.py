@@ -860,6 +860,7 @@ def ensure_embdedup_pairs(spark: SparkSession, sf_dir: str) -> str:
         HI_COSINE_THRESHOLD,
         PLANT_EPS,
         PLANT_MOD,
+        PLANT_OFFSET,
         RPHI_BAND_BITS,
         RPHI_BITS,
     )
@@ -889,7 +890,11 @@ def ensure_embdedup_pairs(spark: SparkSession, sf_dir: str) -> str:
         "pairs",
         _build,
         version=(
-            f"embdedup-v1:mod={PLANT_MOD}:eps={PLANT_EPS!r}"
+            # PLANT_OFFSET folded too (r12 advisor, low): the offset
+            # changes every emitted pair's vec_ids, so it must
+            # invalidate the staged sink like any geometry change
+            f"embdedup-v1:mod={PLANT_MOD}:off={PLANT_OFFSET}"
+            f":eps={PLANT_EPS!r}"
             f":rphi={RPHI_BITS}x{RPHI_BAND_BITS}:cos={HI_COSINE_THRESHOLD}"
         ),
     )

@@ -172,3 +172,60 @@ def test_heartbeat_stops_touching_after_release(tmp_path, monkeypatch):
     finally:
         os.remove(lk.lock)
         lk._ident = None
+
+
+# ---------------------------------------------------------------
+# embdedup history probe through storeio (r12 verdict item 4)
+# ---------------------------------------------------------------
+
+
+def test_embdedup_absent_history_is_first_batch_path(spark, tmp_path):
+    """A genuinely-absent bands store is the legitimate first-batch
+    case: batch x batch pairs still emit, nothing raises."""
+    from pyspark.sql import functions as F
+
+    from projet_etl_spark.operators.dedup import planted_embeddings
+    from projet_etl_spark.streaming.embdedup import (
+        emb_dedup_batch,
+        read_emb_pairs,
+    )
+    from tests.conftest import SF_SMALL
+
+    store = str(tmp_path / "store")
+    pairs = str(tmp_path / "pairs")
+    corpus = planted_embeddings(spark, SF_SMALL)
+    # one batch holding BOTH sides of a few true pairs: originals
+    # 0,3,...,39 and their twins PLANT_OFFSET+0,+3,...,+39
+    base = F.col("vec_id") % 10_000_000
+    b0 = corpus.filter((base < 40) & (base % 3 == 0))
+    emb_dedup_batch(b0, 0, store, pairs)
+    got = read_emb_pairs(spark, pairs).collect()
+    assert got  # batch x batch pairs found with no history store
+
+
+def test_embdedup_drifted_history_raises_not_skips(spark, tmp_path):
+    """The storeio discipline on the WRITER-side history probe: a
+    bands store that exists but is schema-drifted (the stand-in for
+    unreadable/corrupt) must RAISE — the old bare os.path.exists
+    probe silently skipped history pairing, permanently missing
+    cross-batch true pairs."""
+    import os as _os
+
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import functions as F
+
+    from projet_etl_spark.operators.dedup import planted_embeddings
+    from projet_etl_spark.streaming.embdedup import emb_dedup_batch
+    from tests.conftest import SF_SMALL
+
+    store = str(tmp_path / "store")
+    pairs = str(tmp_path / "pairs")
+    _os.makedirs(store, exist_ok=True)
+    spark.createDataFrame([(1,)], "wrong long").write.parquet(
+        _os.path.join(store, "bands")
+    )
+    b0 = planted_embeddings(spark, SF_SMALL).filter(
+        (F.col("vec_id") % 3 == 0) & (F.col("vec_id") % 10_000_000 < 40)
+    )
+    with pytest.raises(AnalysisException):
+        emb_dedup_batch(b0, 1, store, pairs)

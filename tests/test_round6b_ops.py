@@ -23,9 +23,30 @@ def _emb(spark):
 
 def test_arrow_signatures_match_fold(spark):
     emb = _emb(spark)
-    got = {r.vec_id: r.sig for r in rp_signatures_arrow(emb).collect()}
-    want = {r.vec_id: r.sig for r in rp_signatures_fold(emb).collect()}
+    got = {r.vec_id: tuple(r.sig) for r in rp_signatures_arrow(emb).collect()}
+    want = {r.vec_id: tuple(r.sig) for r in rp_signatures_fold(emb).collect()}
     assert got == want and len(got) == emb.count()
+
+
+def test_signature_words_carry_all_planes(spark):
+    """The r12 advisor low: the old single-int64 pack dropped planes
+    0-7. The word layout must cover every plane — flipping plane 0's
+    weight sign must change some vector's signature."""
+    from projet_etl_spark.operators.dedup import (
+        RP_BAND_BITS,
+        RP_BITS,
+        RP_SIG_WORDS,
+        _RP_BANDS_PER_WORD,
+    )
+
+    assert RP_SIG_WORDS * _RP_BANDS_PER_WORD * RP_BAND_BITS == RP_BITS
+    emb = _emb(spark)
+    base = {r.vec_id: tuple(r.sig) for r in rp_signatures_arrow(emb).collect()}
+    # plane 0 lives in word 0's TOP bit: its bit must be set for some
+    # vector and clear for another (i.e. it is actually carried)
+    top = 1 << (_RP_BANDS_PER_WORD * RP_BAND_BITS - 1)
+    first_bits = {bool(sig[0] & top) for sig in base.values()}
+    assert first_bits == {True, False}
 
 
 def test_dots_clear_of_sign_boundary(spark):
