@@ -46,52 +46,49 @@ PREFIX_LEN = 50
 SENTINELS = ("top-1", "avg-cat-fab-10-mag")
 
 # The artifact rounds that exist in the tree when this round's prefix
-# is committed. The r12 prefix is generated over the r01..r11 ledger;
-# the driver's CORRECTNESS_r12.json lands AFTER commit and must not
+# is committed. The r13 prefix is generated over the r01..r12 ledger;
+# the driver's CORRECTNESS_r13.json lands AFTER commit and must not
 # retroactively change what the committed tuple should have been.
-ROUNDS_AT_COMMIT: tuple[int, ...] = tuple(range(1, 12))
+ROUNDS_AT_COMMIT: tuple[int, ...] = tuple(range(1, 13))
 
-# Round-12 inputs to the rule. NEW = added this round (no hard row
-# anywhere): the deployment-threshold embedding-dedup pair (banded
-# LSH at cosine >= 0.8 over the planted high-cosine corpus + its
-# recall audit, r11 verdict item 2), its keep-one-per-cluster prune
-# export (semantic-exemplars-hi), the incremental embedding-pairs
-# store, and the URL-frontier store (the
-# crawl frontier's incremental micro-batch twin, item 4). TOUCHED =
-# serve paths whose implementing modules changed in the r12 diff:
-# - functions/web.py changed twice: canonical_url's tracking-param
-#   strip is now query-scoped with a separator-anchored pattern
-#   (advisor item — same outputs on the fixture arms, different
-#   plan), and TWO_LEVEL_SUFFIXES grew 20 -> 265 (verdict item 6 —
-#   a bigger _DOM3_RE alternation in every domain extraction) ->
-#   every web-consuming serve path re-earns: the three URL-grain
-#   queries plus the four domain-grain rollups
-#   (docs_with_domain / q_quality_by_domain build on doc_url +
-#   registrable_domain);
-# - sources/ingest.py's writer lease was reworked (link-acquire,
-#   grave-break, TTL lease; advisor medium + verdict item 5) and
-#   live_read_path now honors the TTL verdict -> neardedup-
-#   pairs-store and bottomk-store as this round's store-reader
-#   representatives (r9 rotated ann-ivf-store/daily-counts-store,
-#   r10 token-freq-cms/bm25-store, r11 sessions-store/
-#   user-state-asof through the same mechanism).
+# Round-13 inputs to the rule. NEW = added this round (no hard row
+# anywhere): the wide-geometry deployment-threshold pair (the
+# rphi_geometry_for staircase RUN at the width it prescribes for the
+# 10x corpus, plus its recall audit — r12 verdict item 2) and the two
+# compacted store twins (frontier partial-merge fold, embdedup
+# verbatim fold — item 3). TOUCHED = serve paths whose implementing
+# modules changed in the r13 diff:
+# - operators/dedup.py: _rphi_band_keys generalized to a
+#   geometry-parameterized kernel and the hi query bodies refactored
+#   behind it -> the whole hi family re-earns (dedup-embedding-
+#   lsh-hi, embedding-lsh-recall-hi, semantic-exemplars-hi builds on
+#   the hi pairs);
+# - streaming/embdedup.py (history probe now storeio-disciplined,
+#   r12 verdict item 4; + compaction) and streaming/frontier.py
+#   (+compaction) and streaming/storequery.py (builders refactored,
+#   version token folds PLANT_OFFSET — advisor low) ->
+#   embedding-pairs-store and url-frontier-store re-earn;
+# - sources/ingest.py's writer lease reworked again (hostname:pid
+#   identity + write_tmp heartbeat, the two r12 advisor mediums; TTL
+#   env knob, verdict item 6) -> attribution-store and dsir-store as
+#   this round's store-reader representatives (r9 rotated
+#   ann-ivf-store/daily-counts-store, r10 token-freq-cms/bm25-store,
+#   r11 sessions-store/user-state-asof, r12 neardedup-pairs-store/
+#   bottomk-store through the same mechanism).
 NEW: tuple[str, ...] = (
+    "dedup-embedding-lsh-hi-wide",
+    "embedding-lsh-recall-hi-wide",
+    "url-frontier-store-compacted",
+    "embedding-pairs-store-compacted",
+)
+TOUCHED: tuple[str, ...] = (
     "dedup-embedding-lsh-hi",
     "embedding-lsh-recall-hi",
     "semantic-exemplars-hi",
     "embedding-pairs-store",
     "url-frontier-store",
-)
-TOUCHED: tuple[str, ...] = (
-    "url-canonicalize",
-    "dedup-exact-url",
-    "url-canonical-fetches",
-    "docs-domain-profile",
-    "dedup-domain-attribution",
-    "corpus-domain-budget",
-    "quality-by-domain",
-    "neardedup-pairs-store",
-    "bottomk-store",
+    "attribution-store",
+    "dsir-store",
 )
 
 

@@ -1296,20 +1296,27 @@ def planted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orig.unionByName(plants)
 
 
-def _rphi_band_keys(emb: DataFrame) -> DataFrame:
-    """(vec_id, band, key): 16-bit band values of the 192-bit
-    deployment-family signature of float64 column ``v`` — the
-    :func:`_rp_band_keys` kernel with the rphi planes. Same Arrow
-    batching, same bit-exactness contract (left-to-right float64
-    accumulation == the oracle's generated left-associated sums; the
-    planted components are float64 but the OP SEQUENCE is identical,
-    which is what pins the rounding)."""
+def _rphi_band_keys(
+    emb: DataFrame,
+    bands: int = RPHI_BANDS,
+    band_bits: int = RPHI_BAND_BITS,
+) -> DataFrame:
+    """(vec_id, band, key): ``band_bits``-bit band values of the
+    ``bands * band_bits``-bit deployment-family signature of float64
+    column ``v`` — the :func:`_rp_band_keys` kernel with the rphi
+    planes (default: the 12 x 16 fixture geometry; the wide family
+    passes the staircase-chosen geometry, r12 verdict item 2). Same
+    Arrow batching, same bit-exactness contract (left-to-right
+    float64 accumulation == the oracle's generated left-associated
+    sums; the planted components are float64 but the OP SEQUENCE is
+    identical, which is what pins the rounding)."""
     import numpy as np
 
+    n_planes = bands * band_bits
     w_mat = np.array(
         [
             [float(rphi_weight(h, i)) for i in range(1, 65)]
-            for h in range(RPHI_BITS)
+            for h in range(n_planes)
         ],
         dtype=np.float64,
     )
@@ -1317,15 +1324,15 @@ def _rphi_band_keys(emb: DataFrame) -> DataFrame:
     @F.pandas_udf("array<int>")
     def rphi_keys(v: pd.Series) -> pd.Series:
         x = np.array(v.tolist(), dtype=np.float64)
-        acc = np.zeros((x.shape[0], RPHI_BITS), dtype=np.float64)
+        acc = np.zeros((x.shape[0], n_planes), dtype=np.float64)
         for i in range(x.shape[1]):  # left-to-right: the oracle's order
             acc += x[:, i : i + 1] * w_mat[:, i]
         bits = (acc >= 0).astype(np.int64)
-        keys = np.zeros((x.shape[0], RPHI_BANDS), dtype=np.int64)
-        for b in range(RPHI_BANDS):
+        keys = np.zeros((x.shape[0], bands), dtype=np.int64)
+        for b in range(bands):
             k = np.zeros(x.shape[0], dtype=np.int64)
-            for j in range(RPHI_BAND_BITS):
-                k = k * 2 + bits[:, b * RPHI_BAND_BITS + j]
+            for j in range(band_bits):
+                k = k * 2 + bits[:, b * band_bits + j]
             keys[:, b] = k
         return pd.Series(list(keys))
 
@@ -1334,24 +1341,16 @@ def _rphi_band_keys(emb: DataFrame) -> DataFrame:
     )
 
 
-def q_dedup_embedding_lsh_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs at the DEPLOYMENT threshold (cosine
-    >= 0.8, the SemDeDup operating range) over the planted corpus:
-    banded RP-LSH candidates (12 x 16-bit bands), exact float64-fold
-    cosine verification. The subquadratic half of the story the
-    fixture-threshold ``dedup-embedding-lsh`` cannot tell (its true
-    pair set is quadratic; this one's is |N|/PLANT_MOD by
-    construction — candidates and output both track N).
-
-    Scale shape: one map-only plant pass, one Arrow-batched signature
-    kernel (constant plan size), a (band, key) equi-join whose chance
-    collisions are C(N,2)*BANDS/2^16 — subdominant to the true pairs
-    through the committed 10x point — and pair-count-bounded verify
-    joins. No window, no cross join, no driver collect."""
+def _dedup_embedding_lsh_hi(
+    spark: SparkSession, sf_dir: str, bands_n: int, band_bits: int
+) -> DataFrame:
+    """Geometry-parameterized body of the deployment-threshold banded
+    dedup — shared by the fixture geometry (12 x 16) and the
+    staircase-chosen wide geometry (r12 verdict item 2)."""
     withn = eager_persist(
         planted_embeddings(spark, sf_dir).withColumn("n2", fold_norm2("v"))
     )
-    bands = eager_persist(_rphi_band_keys(withn))
+    bands = eager_persist(_rphi_band_keys(withn, bands_n, band_bits))
     left = bands.select(F.col("vec_id").alias("vec_a"), "band", "key")
     right = bands.select(F.col("vec_id").alias("vec_b"), "band", "key")
     cands = (
@@ -1379,20 +1378,46 @@ def q_dedup_embedding_lsh_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_embedding_lsh_recall_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Measured recall of the deployment-threshold banded path
-    against the exact audit block over the planted corpus — one row
-    (n_true_pairs, n_found, recall); the r11 verdict's item 2 gate is
-    recall >= 0.97 HERE, where the true pairs are genuine
-    high-cosine near-duplicates (the audit that proves the
-    ``embedding-lsh-recall`` fixture-threshold number is a property
-    of marginal-similarity corpora, not of the banding).
+def q_dedup_embedding_lsh_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs at the DEPLOYMENT threshold (cosine
+    >= 0.8, the SemDeDup operating range) over the planted corpus:
+    banded RP-LSH candidates (12 x 16-bit bands), exact float64-fold
+    cosine verification. The subquadratic half of the story the
+    fixture-threshold ``dedup-embedding-lsh`` cannot tell (its true
+    pair set is quadratic; this one's is |N|/PLANT_MOD by
+    construction — candidates and output both track N).
 
-    The exact side is the same md5-sampled AUDIT_BLOCK device as
-    ``dedup-embedding-cosine``: the block covers the whole planted
-    table at both certified fixture SFs (667 and 2667 rows vs 4096),
-    so recall is exact there; above the block it is the deterministic
-    unbiased-sample estimate, same accounting as the base audit."""
+    Scale shape: one map-only plant pass, one Arrow-batched signature
+    kernel (constant plan size), a (band, key) equi-join whose chance
+    collisions are C(N,2)*BANDS/2^16 — subdominant to the true pairs
+    through the committed 10x point — and pair-count-bounded verify
+    joins. No window, no cross join, no driver collect."""
+    return _dedup_embedding_lsh_hi(spark, sf_dir, RPHI_BANDS, RPHI_BAND_BITS)
+
+
+def q_dedup_embedding_lsh_hi_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deployment-threshold banded dedup at the WIDE geometry the
+    production staircase prescribes past the 16-bit fixture regime
+    (r12 verdict item 2 — the knob existed only as arithmetic; this
+    query RUNS it, oracled, every round): RPHI_WIDE_BANDS x
+    RPHI_WIDE_BAND_BITS = rphi_geometry_for(RPHI_WIDE_N), i.e. the
+    band width chosen for the 10x-corpus N and the band count that
+    restores the recall target at that width. Wider bands cut the
+    chance-collision mass per band by 2^-(wide-16); the extra bands
+    buy the recall back — ``embedding-lsh-recall-hi-wide`` keeps that
+    measured. Result set: identical true pairs (verification is the
+    same exact fold), different candidate mass — the plan you deploy
+    past ~260k vectors/shard."""
+    return _dedup_embedding_lsh_hi(
+        spark, sf_dir, RPHI_WIDE_BANDS, RPHI_WIDE_BAND_BITS
+    )
+
+
+def _embedding_lsh_recall_hi(
+    spark: SparkSession, sf_dir: str, bands_n: int, band_bits: int
+) -> DataFrame:
+    """Geometry-parameterized recall audit body (shared by the
+    fixture and wide geometries)."""
     withn = eager_persist(
         planted_embeddings(spark, sf_dir).withColumn("n2", fold_norm2("v"))
     )
@@ -1418,7 +1443,7 @@ def q_embedding_lsh_recall_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("xcos") >= HI_COSINE_THRESHOLD)
         .select("vec_a", "vec_b")
     )
-    lsh = q_dedup_embedding_lsh_hi(spark, sf_dir).select(
+    lsh = _dedup_embedding_lsh_hi(spark, sf_dir, bands_n, band_bits).select(
         "vec_a", "vec_b", F.lit(1).alias("hit")
     )
     return exact.join(lsh, ["vec_a", "vec_b"], "left").agg(
@@ -1428,6 +1453,36 @@ def q_embedding_lsh_recall_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
             / F.count(F.lit(1)).cast("double")
         ).alias("recall"),
+    )
+
+
+def q_embedding_lsh_recall_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the deployment-threshold banded path
+    against the exact audit block over the planted corpus — one row
+    (n_true_pairs, n_found, recall); the r11 verdict's item 2 gate is
+    recall >= 0.97 HERE, where the true pairs are genuine
+    high-cosine near-duplicates (the audit that proves the
+    ``embedding-lsh-recall`` fixture-threshold number is a property
+    of marginal-similarity corpora, not of the banding).
+
+    The exact side is the same md5-sampled AUDIT_BLOCK device as
+    ``dedup-embedding-cosine``: the block covers the whole planted
+    table at both certified fixture SFs (667 and 2667 rows vs 4096),
+    so recall is exact there; above the block it is the deterministic
+    unbiased-sample estimate, same accounting as the base audit."""
+    return _embedding_lsh_recall_hi(
+        spark, sf_dir, RPHI_BANDS, RPHI_BAND_BITS
+    )
+
+
+def q_embedding_lsh_recall_hi_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the WIDE-geometry banded path against the
+    same exact audit block — the other half of r12 verdict item 2:
+    the staircase knob's recall gate (>= RPHI_RECALL_TARGET) is a
+    DRIVER-CHECKED number at the knob-chosen geometry, not a formula.
+    Same audit accounting as the fixture-geometry twin."""
+    return _embedding_lsh_recall_hi(
+        spark, sf_dir, RPHI_WIDE_BANDS, RPHI_WIDE_BAND_BITS
     )
 
 
@@ -1454,3 +1509,49 @@ def rphi_band_bits_for(n_vectors: int) -> int:
         math.log2(RPHI_BANDS * max(PLANT_MOD, 2))
     )
     return max(RPHI_BAND_BITS, min(24, want))
+
+
+# --- the full production geometry knob (r13, r12 verdict item 2) ------
+#
+# rphi_band_bits_for prescribes the band WIDTH as N grows (chance
+# collisions per band halve per extra bit); widening alone LOWERS
+# recall (p^bits shrinks), so the second half of the knob buys it
+# back with more bands: the smallest B with 1-(1-p^bits)^B >= target
+# at the design similarity. Design point = the WEAKEST planted pair
+# (cos ~0.977 across the md5 weight draws; real SemDeDup near-copies
+# sit at or above it), so the theoretical floor under-promises and
+# the measured audit (embedding-lsh-recall-hi[-wide]) over-delivers.
+RPHI_RECALL_TARGET = 0.97
+RPHI_DESIGN_COS = 0.977
+
+
+def rphi_bands_for(band_bits: int) -> int:
+    """Band count restoring RPHI_RECALL_TARGET at ``band_bits``-bit
+    bands for a pair at the design cosine: standard LSH recall
+    algebra, 1-(1-p^bits)^B with p = 1 - acos(cos)/pi."""
+    import math
+
+    p = 1.0 - math.acos(RPHI_DESIGN_COS) / math.pi
+    return math.ceil(
+        math.log(1.0 - RPHI_RECALL_TARGET) / math.log(1.0 - p**band_bits)
+    )
+
+
+def rphi_geometry_for(n_vectors: int) -> tuple[int, int]:
+    """(bands, band_bits) the production staircase prescribes for a
+    corpus of ``n_vectors`` per shard — width from the chance-mass
+    staircase, count from the recall target. The fixture geometry
+    (RPHI_BANDS x RPHI_BAND_BITS) satisfies the same algebra with
+    margin (rphi_bands_for(16) = 10 <= 12), pinned by test."""
+    bits = rphi_band_bits_for(n_vectors)
+    return (rphi_bands_for(bits), bits)
+
+
+# The committed WIDE geometry: what the staircase chooses at the 10x
+# corpus (N = 26,667 planted vectors — past the fixture width's
+# comfort zone, the first N where the knob moves off 16 bits). Pinned
+# as constants so the oracle SQL is static; a pytest asserts they
+# equal rphi_geometry_for(RPHI_WIDE_N), so the constants can't drift
+# from the knob.
+RPHI_WIDE_N = 26_667
+RPHI_WIDE_BANDS, RPHI_WIDE_BAND_BITS = rphi_geometry_for(RPHI_WIDE_N)

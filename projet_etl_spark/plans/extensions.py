@@ -583,39 +583,53 @@ def _rphi_dot_sql(h: int) -> str:
     )
 
 
-_RPHI_BITS_COLS = ",\n           ".join(
-    f"CASE WHEN ({_rphi_dot_sql(h)}) >= 0 THEN 1 ELSE 0 END AS b{h}"
-    for h in range(dedup.RPHI_BITS)
-)
-_RPHI_BAND_ROWS = "\n    UNION ALL\n    ".join(
-    f"SELECT vec_id, {b} AS band, "
-    + " + ".join(
-        f"b{dedup.RPHI_BAND_BITS * b + j} * {2 ** (dedup.RPHI_BAND_BITS - 1 - j)}"
-        for j in range(dedup.RPHI_BAND_BITS)
+def _rphi_bits_cols(n_planes: int) -> str:
+    return ",\n           ".join(
+        f"CASE WHEN ({_rphi_dot_sql(h)}) >= 0 THEN 1 ELSE 0 END AS b{h}"
+        for h in range(n_planes)
     )
-    + " AS key FROM hbits"
-    for b in range(dedup.RPHI_BANDS)
-)
-_EMB_HI_CTES = (
-    _EP_CTE
-    + f""",
+
+
+def _rphi_band_rows(bands: int, band_bits: int) -> str:
+    return "\n    UNION ALL\n    ".join(
+        f"SELECT vec_id, {b} AS band, "
+        + " + ".join(
+            f"b{band_bits * b + j} * {2 ** (band_bits - 1 - j)}"
+            for j in range(band_bits)
+        )
+        + " AS key FROM hbits"
+        for b in range(bands)
+    )
+
+
+def _emb_hi_ctes(bands: int, band_bits: int) -> str:
+    """The planted-corpus banded-candidate CTE chain at an arbitrary
+    (bands, band_bits) geometry — the fixture 12 x 16 and the
+    staircase-chosen wide geometry (r12 verdict item 2) share it."""
+    return (
+        _EP_CTE
+        + f""",
 hbits AS MATERIALIZED (
-    -- MATERIALIZED: 12 band branches reference this CTE; inlined,
-    -- the planner would re-plan the 192 generated 64-term dot
-    -- columns per branch (the r11 lesson, measured ~30 s at 72)
+    -- MATERIALIZED: the band branches each reference this CTE;
+    -- inlined, the planner would re-plan the {bands * band_bits}
+    -- generated 64-term dot columns per branch (the r11 lesson,
+    -- measured ~30 s at 72)
     SELECT vec_id,
-           {_RPHI_BITS_COLS}
+           {_rphi_bits_cols(bands * band_bits)}
     FROM ep
 ),
 hbands AS MATERIALIZED (
-    {_RPHI_BAND_ROWS}
+    {_rphi_band_rows(bands, band_bits)}
 ),
 hcand AS (
     SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
     FROM hbands l JOIN hbands r ON l.band = r.band AND l.key = r.key
     WHERE l.vec_id < r.vec_id
 )"""
-)
+    )
+
+
+_EMB_HI_CTES = _emb_hi_ctes(dedup.RPHI_BANDS, dedup.RPHI_BAND_BITS)
 _EMB_HI_PAIRS = f"""
 SELECT vec_a, vec_b,
        {_sql_cos(VEC.sql_dot('a.v', 'b.v'), 'a.n2', 'b.n2')} AS cos
@@ -628,10 +642,9 @@ _EMB_HI_SQL = _EMB_HI_CTES + _EMB_HI_PAIRS
 
 # recall audit at the deployment threshold: exact audit block over
 # the PLANTED corpus vs the hi banded path — same LEFT-join count as
-# _EMB_LSH_RECALL_SQL
-_EMB_HI_RECALL_SQL = (
-    _EMB_HI_CTES
-    + f""",
+# _EMB_LSH_RECALL_SQL; the tail is geometry-free (the geometry lives
+# in the CTE chain), so the fixture and wide audits share it
+_EMB_HI_RECALL_TAIL = f""",
 hxblk AS (
     SELECT vec_id, v, n2 FROM ep
     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
@@ -653,7 +666,18 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
 FROM hxpairs x
 LEFT JOIN hlpairs l ON x.vec_a = l.vec_a AND x.vec_b = l.vec_b
 """
+_EMB_HI_RECALL_SQL = _EMB_HI_CTES + _EMB_HI_RECALL_TAIL
+
+# the staircase-chosen WIDE geometry (r12 verdict item 2): same
+# planted corpus, same pair/recall tails, wider bands + the band
+# count that restores the recall target — the oracle mirrors the
+# exact geometry the knob picks for RPHI_WIDE_N, pinned as constants
+# in operators/dedup.py (a pytest ties them back to the knob)
+_EMB_HI_WIDE_CTES = _emb_hi_ctes(
+    dedup.RPHI_WIDE_BANDS, dedup.RPHI_WIDE_BAND_BITS
 )
+_EMB_HI_WIDE_SQL = _EMB_HI_WIDE_CTES + _EMB_HI_PAIRS
+_EMB_HI_WIDE_RECALL_SQL = _EMB_HI_WIDE_CTES + _EMB_HI_RECALL_TAIL
 
 # keep-one-per-cluster at the deployment threshold (r12): the same
 # recursive transitive closure as the semantic oracle below, over the
@@ -4868,6 +4892,22 @@ def build():
             _EMB_HI_RECALL_SQL,
             ("dedup", "ann"),
         ),
+        # r13 (r12 verdict item 2): the staircase knob RUN, not just
+        # stated — the banded path and its recall audit at the wide
+        # geometry rphi_geometry_for(RPHI_WIDE_N) the knob prescribes
+        # past the 16-bit fixture regime
+        (
+            "dedup-embedding-lsh-hi-wide",
+            dedup.q_dedup_embedding_lsh_hi_wide,
+            _EMB_HI_WIDE_SQL,
+            ("dedup", "ann"),
+        ),
+        (
+            "embedding-lsh-recall-hi-wide",
+            dedup.q_embedding_lsh_recall_hi_wide,
+            _EMB_HI_WIDE_RECALL_SQL,
+            ("dedup", "ann"),
+        ),
         # the prune EXPORT at the deployment threshold: pairs ->
         # components -> keep-min exemplar (what a SemDeDup-style run
         # materializes); completes the r12 hi family
@@ -4884,6 +4924,16 @@ def build():
         (
             "embedding-pairs-store",
             storequery.q_embedding_pairs_store,
+            _EMB_HI_SQL,
+            ("dedup", "ann", "streaming"),
+        ),
+        # r13 (r12 verdict item 3): the hi pairs served from the
+        # COMPACTED sink — all three per-batch tables folded verbatim
+        # into the reserved partition; same oracle, so the driver row
+        # proves fold-then-serve == rescan
+        (
+            "embedding-pairs-store-compacted",
+            storequery.q_embedding_pairs_store_compacted,
             _EMB_HI_SQL,
             ("dedup", "ann", "streaming"),
         ),
@@ -5953,6 +6003,16 @@ def build():
         (
             "url-frontier-store",
             storequery.q_url_frontier_store,
+            _URL_FETCHES_SQL,
+            ("dedup", "curation", "streaming"),
+        ),
+        # r13 (r12 verdict item 3): the frontier served from the
+        # COMPACTED store — partials folded with their own merge
+        # algebra into the reserved partition; same oracle, so the
+        # driver row proves fold-then-serve == rescan
+        (
+            "url-frontier-store-compacted",
+            storequery.q_url_frontier_store_compacted,
             _URL_FETCHES_SQL,
             ("dedup", "curation", "streaming"),
         ),

@@ -87,6 +87,50 @@ def read_store(
     return df.select(*cols)
 
 
+def compact_append_store(
+    spark: SparkSession, path: str, cols: list[str]
+) -> int:
+    """Fold the replay-committed batches of an APPEND-style store
+    (rows are facts, disjoint across batches — near-dup pairs, band
+    keys, vectors) into the reserved ``batch = -1`` partition
+    VERBATIM, keeping the newest partition untouched (the only one a
+    restart can replay, see module docstring). Compaction here
+    changes the layout — partition/file count stops growing with the
+    batch count — never the rows; aggregate-style stores (frontier
+    partials, quality budget) fold through their own merge instead.
+    Published via the atomic-swap + writer-lease discipline of
+    sources.ingest. Returns the row count of the compacted store."""
+    import os
+
+    from projet_etl_spark.sources.ingest import recover_swap, swap_publish
+
+    # recover BEFORE the existence probe (a crashed swap parks the
+    # only copy aside; the non-mutating read path won't restore it)
+    recover_swap(path)
+    if not os.path.exists(path):
+        return 0
+    df = spark.read.parquet(path)
+    split = split_for_compaction(df)
+    if split is None:
+        return df.count() if df.columns else 0
+    older, newest = split
+    merged = (
+        older.select(*cols)
+        .withColumn("batch", F.lit(RESERVED_COMPACT_BATCH))
+        .coalesce(1)
+    )
+    out = merged.unionByName(
+        newest.select(*cols, "batch").coalesce(1)
+    ).localCheckpoint()
+    swap_publish(
+        path,
+        lambda tmp: out.write.mode("overwrite")
+        .partitionBy("batch")
+        .parquet(tmp),
+    )
+    return spark.read.parquet(path).count()
+
+
 def split_for_compaction(df: DataFrame) -> tuple[DataFrame, DataFrame] | None:
     """(older, newest) split of a per-batch store by its ``batch``
     column: ``older`` is every partition a restart can no longer

@@ -756,17 +756,15 @@ def q_dsir_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 FRONTIER_ROOT = os.path.join(os.path.dirname(STORE_ROOT), "url_frontier")
 
 
-def ensure_url_frontier_store(spark: SparkSession, sf_dir: str) -> str:
-    """Build (or reuse) the streaming-maintained URL frontier for
-    ``sf_dir``: the documents fetch log replayed as availableNow
-    micro-batches through streaming/frontier.py's per-batch partial
-    writes. Fingerprint-keyed refresh cost, like every other store;
-    the version token folds the canonicalizer-relevant fixture
-    constants so a crawl_url / PAGE_MOD change invalidates the staged
-    store like a data change would."""
-    from projet_etl_spark.functions.web import PAGE_MOD
-    from projet_etl_spark.operators.domains import SNAPSHOTS
-    from projet_etl_spark.streaming.frontier import stream_url_frontier
+def _frontier_builder(spark: SparkSession, sf_dir: str, compact: bool):
+    """Builder closure for the frontier store: replay the documents
+    fetch log as availableNow micro-batches; with ``compact``, fold
+    the replay-committed partials afterwards (the bm25 compacted-twin
+    pattern — layout changes, rows don't)."""
+    from projet_etl_spark.streaming.frontier import (
+        compact_frontier_store,
+        stream_url_frontier,
+    )
 
     def _build(root: str) -> None:
         chunks = os.path.join(root, "chunks")
@@ -783,14 +781,53 @@ def ensure_url_frontier_store(spark: SparkSession, sf_dir: str) -> str:
             available_now=True,
         )
         q.awaitTermination()
+        if compact:
+            compact_frontier_store(spark, os.path.join(root, "store"))
+
+    return _build
+
+
+def ensure_url_frontier_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse) the streaming-maintained URL frontier for
+    ``sf_dir``: the documents fetch log replayed as availableNow
+    micro-batches through streaming/frontier.py's per-batch partial
+    writes. Fingerprint-keyed refresh cost, like every other store;
+    the version token folds the canonicalizer-relevant fixture
+    constants so a crawl_url / PAGE_MOD change invalidates the staged
+    store like a data change would."""
+    from projet_etl_spark.functions.web import PAGE_MOD
+    from projet_etl_spark.operators.domains import SNAPSHOTS
 
     return ensure_staged(
         FRONTIER_ROOT,
         sf_dir,
         parquet_fingerprint(sf_dir, "documents.parquet"),
         "store",
-        _build,
+        _frontier_builder(spark, sf_dir, compact=False),
         version=f"url-frontier-v1:pm={PAGE_MOD}:snaps={SNAPSHOTS}",
+    )
+
+
+COMPACTED_FRONTIER_ROOT = os.path.join(
+    os.path.dirname(STORE_ROOT), "url_frontier_compacted"
+)
+
+
+def ensure_compacted_url_frontier_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build a frontier store AND run the partial-merging compaction
+    over it — its own root, so ``url-frontier-store`` keeps serving
+    the uncompacted layout (each query's cost stays independent of
+    which ran first)."""
+    from projet_etl_spark.functions.web import PAGE_MOD
+    from projet_etl_spark.operators.domains import SNAPSHOTS
+
+    return ensure_staged(
+        COMPACTED_FRONTIER_ROOT,
+        sf_dir,
+        parquet_fingerprint(sf_dir, "documents.parquet"),
+        "store",
+        _frontier_builder(spark, sf_dir, compact=True),
+        version=f"url-frontier-compacted-v1:pm={PAGE_MOD}:snaps={SNAPSHOTS}",
     )
 
 
@@ -806,6 +843,22 @@ def q_url_frontier_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projet_etl_spark.streaming.frontier import read_url_frontier
 
     store = ensure_url_frontier_store(spark, sf_dir)
+    return read_url_frontier(spark, store).orderBy("url")
+
+
+def q_url_frontier_store_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frontier served from the COMPACTED store: the
+    replay-committed per-batch partials folded to one merged partial
+    per (url, snap) under the reserved partition (r12 verdict item 3
+    — the partial count stops growing with the batch count).
+    Compaction merges partials with their own algebra (min of
+    first_doc_ids, sum of counts), so the folded store must serve the
+    identical frontier — the query shares q_url_canonical_fetches'
+    ORACLE, and a green driver row proves fold-then-serve equals the
+    batch rescan end to end."""
+    from projet_etl_spark.streaming.frontier import read_url_frontier
+
+    store = ensure_compacted_url_frontier_store(spark, sf_dir)
     return read_url_frontier(spark, store).orderBy("url")
 
 
@@ -849,22 +902,15 @@ def _stage_planted_chunks(spark: SparkSession, sf_dir: str, chunk_dir: str) -> N
         pq.write_table(table.slice(lo, hi - lo), f"{chunk_dir}/chunk{k:02d}.parquet")
 
 
-def ensure_embdedup_pairs(spark: SparkSession, sf_dir: str) -> str:
-    """Build (or reuse) the incremental embedding-dedup pairs sink
-    for ``sf_dir``: the planted corpus replayed as availableNow
-    micro-batches through streaming/embdedup.py. Fingerprint-keyed
-    refresh cost; the version token folds every constant the pair set
-    depends on (plant device, hi-band geometry, threshold), so a
-    geometry change invalidates the staged sink like a data change."""
-    from projet_etl_spark.operators.dedup import (
-        HI_COSINE_THRESHOLD,
-        PLANT_EPS,
-        PLANT_MOD,
-        PLANT_OFFSET,
-        RPHI_BAND_BITS,
-        RPHI_BITS,
+def _embdedup_builder(spark: SparkSession, sf_dir: str, compact: bool):
+    """Builder closure for the embedding-dedup sink: replay the
+    planted corpus as availableNow micro-batches; with ``compact``,
+    fold the replay-committed batches of all three tables afterwards
+    (verbatim fold — rows are facts, layout is what changes)."""
+    from projet_etl_spark.streaming.embdedup import (
+        compact_emb_dedup_store,
+        stream_emb_dedup,
     )
-    from projet_etl_spark.streaming.embdedup import stream_emb_dedup
 
     def _build(root: str) -> None:
         chunks = os.path.join(root, "chunks")
@@ -882,21 +928,69 @@ def ensure_embdedup_pairs(spark: SparkSession, sf_dir: str) -> str:
             available_now=True,
         )
         q.awaitTermination()
+        if compact:
+            compact_emb_dedup_store(
+                spark, os.path.join(root, "store"), os.path.join(root, "pairs")
+            )
 
+    return _build
+
+
+def _embdedup_version(tag: str) -> str:
+    """Version token folding every constant the pair set depends on
+    (plant device incl. PLANT_OFFSET — r12 advisor low: the offset
+    changes every emitted pair's vec_ids — hi-band geometry,
+    threshold), so a geometry change invalidates the staged sink
+    like a data change."""
+    from projet_etl_spark.operators.dedup import (
+        HI_COSINE_THRESHOLD,
+        PLANT_EPS,
+        PLANT_MOD,
+        PLANT_OFFSET,
+        RPHI_BAND_BITS,
+        RPHI_BITS,
+    )
+
+    return (
+        f"embdedup-{tag}:mod={PLANT_MOD}:off={PLANT_OFFSET}"
+        f":eps={PLANT_EPS!r}"
+        f":rphi={RPHI_BITS}x{RPHI_BAND_BITS}:cos={HI_COSINE_THRESHOLD}"
+    )
+
+
+def ensure_embdedup_pairs(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse) the incremental embedding-dedup pairs sink
+    for ``sf_dir``: the planted corpus replayed as availableNow
+    micro-batches through streaming/embdedup.py. Fingerprint-keyed
+    refresh cost; see :func:`_embdedup_version` for the invalidation
+    token."""
     return ensure_staged(
         EMBDEDUP_ROOT,
         sf_dir,
         parquet_fingerprint(sf_dir, "embeddings.parquet"),
         "pairs",
-        _build,
-        version=(
-            # PLANT_OFFSET folded too (r12 advisor, low): the offset
-            # changes every emitted pair's vec_ids, so it must
-            # invalidate the staged sink like any geometry change
-            f"embdedup-v1:mod={PLANT_MOD}:off={PLANT_OFFSET}"
-            f":eps={PLANT_EPS!r}"
-            f":rphi={RPHI_BITS}x{RPHI_BAND_BITS}:cos={HI_COSINE_THRESHOLD}"
-        ),
+        _embdedup_builder(spark, sf_dir, compact=False),
+        version=_embdedup_version("v1"),
+    )
+
+
+COMPACTED_EMBDEDUP_ROOT = os.path.join(
+    os.path.dirname(STORE_ROOT), "emb_dedup_compacted"
+)
+
+
+def ensure_compacted_embdedup_pairs(spark: SparkSession, sf_dir: str) -> str:
+    """Build an embedding-dedup sink AND fold its per-batch tables
+    (pairs, band index, vector store) through the verbatim
+    compaction — its own root, so ``embedding-pairs-store`` keeps
+    serving the uncompacted layout."""
+    return ensure_staged(
+        COMPACTED_EMBDEDUP_ROOT,
+        sf_dir,
+        parquet_fingerprint(sf_dir, "embeddings.parquet"),
+        "pairs",
+        _embdedup_builder(spark, sf_dir, compact=True),
+        version=_embdedup_version("compacted-v1"),
     )
 
 
@@ -913,4 +1007,20 @@ def q_embedding_pairs_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projet_etl_spark.streaming.embdedup import read_emb_pairs
 
     pairs = ensure_embdedup_pairs(spark, sf_dir)
+    return read_emb_pairs(spark, pairs).orderBy("vec_a", "vec_b")
+
+
+def q_embedding_pairs_store_compacted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The hi pairs served from the COMPACTED incremental sink: the
+    replay-committed batches of all three per-batch tables folded
+    verbatim into the reserved partition (r12 verdict item 3 — the
+    signature index's file/partition count stops growing with the
+    batch count). The fold moves rows, never changes them, so this
+    query shares the one-shot batch query's ORACLE — a green driver
+    row proves fold-then-serve equals the rescan end to end."""
+    from projet_etl_spark.streaming.embdedup import read_emb_pairs
+
+    pairs = ensure_compacted_embdedup_pairs(spark, sf_dir)
     return read_emb_pairs(spark, pairs).orderBy("vec_a", "vec_b")

@@ -387,6 +387,8 @@ _EMPTY_NONEMPTY_OK = {
     "embedding-lsh-recall",
     # grand aggregate over the (empty) planted corpus: (0, 0, NULL)
     "embedding-lsh-recall-hi",
+    # same aggregate shape, wide-geometry banded path (r13)
+    "embedding-lsh-recall-hi-wide",
     "lineitem-corr-matrix",
     "forecast-revenue-change",
     "promo-revenue-share",

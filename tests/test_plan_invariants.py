@@ -34,6 +34,8 @@ BNLJ_ALLOWED = {
     # the deployment-threshold twin: same bounded audit-block cross
     # over the planted corpus (r12)
     "embedding-lsh-recall-hi",
+    # same audit block again, wide-geometry banded path (r13)
+    "embedding-lsh-recall-hi-wide",
     "ann-quantized-topk",
     # the streaming-index twin serves through the same probe/re-rank
     # stage (centroid-table broadcast cross)
@@ -116,6 +118,7 @@ BNLJ_BUILD_ROW_BOUND = {
     "dedup-embedding-cosine": 4096,
     "embedding-lsh-recall": 4096,  # the nested exact-audit block
     "embedding-lsh-recall-hi": 4096,  # same block, planted corpus (r12)
+    "embedding-lsh-recall-hi-wide": 4096,  # same block, wide bands (r13)
     "decontaminate-embedding": 64,  # the EVAL_VECS eval block
     "distinct-kmv-intersect": 64,  # the event-type list (pair cross)
     "events-autocorr": 4096,  # the dense day spine (calendar-span bounded)

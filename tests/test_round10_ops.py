@@ -35,7 +35,7 @@ sys.path.insert(
 # updated per round when queries are added (verdict item 4: a broken
 # transitive import in the extension surface used to shrink the
 # registry to 13 parity queries behind `except ImportError: pass`)
-EXPECTED_REGISTRY_SIZE = 220
+EXPECTED_REGISTRY_SIZE = 224
 
 
 def test_registry_size_is_pinned():
@@ -76,38 +76,32 @@ def test_broken_extensions_import_is_loud(monkeypatch):
 
 def test_driver_prefix_is_generated_by_rotation_rule():
     """The committed tuple == the generator over the EXPLICIT
-    committed-artifact rounds (r01..r11), and the staleness bound
-    holds: the nine r6-stale queries the r11 verdict named enter at
+    committed-artifact rounds (r01..r12), and the staleness bound
+    holds: the three r7-stale queries the r12 verdict named enter at
     the first LRU slots, and nothing left unchecked has a hard row
-    older than r7."""
+    older than r8."""
     import rotation
 
     from projet_etl_spark.plans import registry
 
     names = list(registry.REGISTRY)
-    assert rotation.ROUNDS_AT_COMMIT == tuple(range(1, 12))
+    assert rotation.ROUNDS_AT_COMMIT == tuple(range(1, 13))
     assert registry._DRIVER_PREFIX == rotation.generate(
         names, rounds=rotation.ROUNDS_AT_COMMIT
     )
     last = rotation.ledger(rotation.ROUNDS_AT_COMMIT)
     checked = set(registry._DRIVER_PREFIX)
-    # the r11 verdict's LRU tail: these nine are checked THIS round
+    # the r12 verdict's LRU tail: these three are checked THIS round
     for n in (
-        "user-state-history",
-        "stores-in-both-categories",
-        "top-returned-customers",
-        "users-cumulative",
-        "session-funnel",
-        "users-active-streaks",
-        "volume-shipping-pairs",
-        "top-supplier-revenue",
-        "small-order-revenue",
+        "supplier-lead-time",
+        "supplier-pagerank",
+        "top-magasins-cat",
     ):
-        assert n in checked, f"r11 LRU-tail query {n} missed the r12 prefix"
-    # every r6 row is refreshed this round; the staleness floor after
-    # this rotation lands is r7
+        assert n in checked, f"r12 LRU-tail query {n} missed the r13 prefix"
+    # every r7 row is refreshed this round; the staleness floor after
+    # this rotation lands is r8
     oldest_left = min(last.get(n, 0) for n in names if n not in checked)
-    assert oldest_left >= 7
+    assert oldest_left >= 8
 
 
 # --- verdict item 6: read-path swap recovery is concurrency-safe --------

@@ -229,3 +229,196 @@ def test_embdedup_drifted_history_raises_not_skips(spark, tmp_path):
     )
     with pytest.raises(AnalysisException):
         emb_dedup_batch(b0, 1, store, pairs)
+
+
+# ---------------------------------------------------------------
+# frontier / embdedup store compaction (r12 verdict item 3)
+# ---------------------------------------------------------------
+
+
+def _batch_dirs(path):
+    return sorted(
+        d for d in os.listdir(path) if d.startswith("batch=")
+    )
+
+
+def test_frontier_compaction_is_read_invariant(spark, tmp_path):
+    """Folding the committed (url, snap) partials must not change the
+    folded frontier: min-of-mins and sum-of-counts over partials that
+    partition the fetch set."""
+    from projet_etl_spark.streaming.frontier import (
+        compact_frontier_store,
+        read_url_frontier,
+        upsert_frontier_batch,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select("doc_id")
+    store = str(tmp_path / "frontier")
+    # three batches carving the fetch log so the SAME url recurs
+    # across batches (doc_id mod 3 slices cut across PAGE_MOD pages)
+    for b in range(3):
+        upsert_frontier_batch(docs.filter(docs.doc_id % 3 == b), b, store)
+    before = sorted(
+        tuple(r) for r in read_url_frontier(spark, store).collect()
+    )
+    assert before
+    n = compact_frontier_store(spark, store)
+    assert n > 0
+    after = sorted(
+        tuple(r) for r in read_url_frontier(spark, store).collect()
+    )
+    assert before == after
+    # layout: only the reserved partition and the newest batch remain
+    assert _batch_dirs(store) == ["batch=-1", "batch=2"]
+    # idempotent: compacting again changes nothing
+    compact_frontier_store(spark, store)
+    again = sorted(
+        tuple(r) for r in read_url_frontier(spark, store).collect()
+    )
+    assert before == again
+
+
+def test_embdedup_compaction_is_read_invariant_and_resumable(spark, tmp_path):
+    """Folding pairs/bands/vecs must not change the served pairs, and
+    a LATER batch must still find its twins in the FOLDED history
+    (batch -1 satisfies batch < current)."""
+    from pyspark.sql import functions as F
+
+    from projet_etl_spark.operators.dedup import planted_embeddings
+    from projet_etl_spark.streaming.embdedup import (
+        compact_emb_dedup_store,
+        emb_dedup_batch,
+        read_emb_pairs,
+    )
+    from tests.conftest import SF_SMALL
+
+    store = str(tmp_path / "store")
+    pairs = str(tmp_path / "pairs")
+    corpus = planted_embeddings(spark, SF_SMALL)
+    base = F.col("vec_id") % 10_000_000
+    orig = F.col("vec_id") < 10_000_000
+    # batches 0-1: originals only (no pairs yet); batch 2: twins of
+    # batch 0's vectors
+    emb_dedup_batch(corpus.filter(orig & (base < 15)), 0, store, pairs)
+    emb_dedup_batch(
+        corpus.filter(orig & (base >= 15) & (base < 30)), 1, store, pairs
+    )
+    emb_dedup_batch(
+        corpus.filter(~orig & (base < 15)), 2, store, pairs
+    )
+    before = sorted(tuple(r) for r in read_emb_pairs(spark, pairs).collect())
+    assert before  # cross-batch twins found pre-compaction
+    counts = compact_emb_dedup_store(spark, store, pairs)
+    assert counts["pairs"] == len(before)
+    after = sorted(tuple(r) for r in read_emb_pairs(spark, pairs).collect())
+    assert before == after
+    assert _batch_dirs(os.path.join(store, "bands")) == [
+        "batch=-1",
+        "batch=2",
+    ]
+    # resume: batch 3 brings twins of batch 1's vectors — their
+    # originals now live in the FOLDED partition
+    emb_dedup_batch(
+        corpus.filter(~orig & (base >= 15) & (base < 30)), 3, store, pairs
+    )
+    resumed = sorted(
+        tuple(r) for r in read_emb_pairs(spark, pairs).collect()
+    )
+    assert len(resumed) > len(before)
+    new_pairs = [p for p in resumed if p not in before]
+    assert all(15 <= a % 10_000_000 < 30 for a, _b, _c in new_pairs)
+
+
+# ---------------------------------------------------------------
+# wide-band RPHI geometry (r12 verdict item 2)
+# ---------------------------------------------------------------
+
+
+def test_wide_geometry_is_the_knobs_choice():
+    """The committed WIDE constants can't drift from the staircase:
+    they are exactly rphi_geometry_for(RPHI_WIDE_N), and the fixture
+    geometry satisfies the same recall algebra with margin."""
+    from projet_etl_spark.operators import dedup
+
+    assert (
+        dedup.RPHI_WIDE_BANDS,
+        dedup.RPHI_WIDE_BAND_BITS,
+    ) == dedup.rphi_geometry_for(dedup.RPHI_WIDE_N)
+    assert dedup.RPHI_WIDE_BAND_BITS == dedup.rphi_band_bits_for(
+        dedup.RPHI_WIDE_N
+    )
+    assert dedup.RPHI_WIDE_BAND_BITS > dedup.RPHI_BAND_BITS  # it moved
+    # the fixture geometry passes the same design check with margin
+    assert dedup.rphi_bands_for(dedup.RPHI_BAND_BITS) <= dedup.RPHI_BANDS
+    # theoretical recall at the design point clears the target at the
+    # WIDE geometry too (the band count is chosen to restore it)
+    import math
+
+    p = 1.0 - math.acos(dedup.RPHI_DESIGN_COS) / math.pi
+    theo = 1.0 - (1.0 - p**dedup.RPHI_WIDE_BAND_BITS) ** dedup.RPHI_WIDE_BANDS
+    assert theo >= dedup.RPHI_RECALL_TARGET
+
+
+def test_wide_geometry_recall_on_planted_corpus(spark):
+    """Knob-chosen-width recall, MEASURED on the planted corpus (the
+    verdict's 'pytest pinning knob-chosen-width recall'): the audit
+    block covers the whole planted table at this SF, so the number is
+    exact — and it must clear the deployment gate."""
+    from projet_etl_spark.operators import dedup
+    from tests.conftest import SF_SMALL
+
+    r = dedup.q_embedding_lsh_recall_hi_wide(spark, SF_SMALL).collect()[0]
+    assert r.n_true_pairs > 100  # the plant device is active
+    assert r.recall >= dedup.RPHI_RECALL_TARGET
+
+
+def test_wide_bands_cut_chance_candidate_mass(spark):
+    """What the wider bands BUY: the banded candidate set at the wide
+    geometry is no larger than at the fixture geometry (the chance
+    term drops by ~2^-(wide-16) per band while the true pairs stay),
+    and both contain every true pair the verify stage keeps."""
+    from pyspark.sql import functions as F
+
+    from projet_etl_spark.operators import dedup
+    from tests.conftest import SF_SMALL
+
+    withn = dedup.planted_embeddings(spark, SF_SMALL)
+
+    def n_cands(bands_n, bits):
+        b = dedup._rphi_band_keys(withn, bands_n, bits)
+        left = b.select(F.col("vec_id").alias("vec_a"), "band", "key")
+        right = b.select(F.col("vec_id").alias("vec_b"), "band", "key")
+        return (
+            left.join(right, ["band", "key"])
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b")
+            .distinct()
+            .count()
+        )
+
+    wide = n_cands(dedup.RPHI_WIDE_BANDS, dedup.RPHI_WIDE_BAND_BITS)
+    fixture = n_cands(dedup.RPHI_BANDS, dedup.RPHI_BAND_BITS)
+    assert wide <= fixture
+
+
+def test_embdedup_version_token_tracks_geometry(monkeypatch):
+    """A geometry (or plant-offset) change must invalidate the staged
+    embdedup sink: the version token folds every constant the pair
+    set depends on (r12 advisor low: PLANT_OFFSET included)."""
+    from projet_etl_spark.operators import dedup
+    from projet_etl_spark.streaming import storequery
+
+    base = storequery._embdedup_version("v1")
+    for const, val in [
+        ("RPHI_BAND_BITS", 21),
+        ("RPHI_BITS", 294),
+        ("PLANT_OFFSET", 20_000_000),
+        ("PLANT_MOD", 5),
+        ("HI_COSINE_THRESHOLD", 0.9),
+    ]:
+        monkeypatch.setattr(dedup, const, val)
+        assert storequery._embdedup_version("v1") != base
+        monkeypatch.undo()
+    # and the compacted twin stages under a DIFFERENT token namespace
+    assert storequery._embdedup_version("compacted-v1") != base
