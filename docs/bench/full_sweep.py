@@ -15,11 +15,21 @@ local[16]):
     python docs/bench/full_sweep.py                      # sf0.01
     python docs/bench/full_sweep.py /root/testdata/sf0.1
     SWEEP_TZ=Asia/Kolkata python docs/bench/full_sweep.py
+    SWEEP_OUT=docs/bench/r13_sweep_sf001.json python docs/bench/full_sweep.py
 
 Prints one line per mismatch and a final JSON summary line:
 {"sf_dir": ..., "tz": ..., "total": N, "oracled": M, "matched": K,
  "rows_only": [...], "mismatched": [...], "sec": S}
 Exit code 0 iff every oracled query value-matches.
+
+Per-round artifact convention (r13, r12 verdict item 5): the driver
+hard-checks only the first 50 ``queries()`` entries per round, so the
+LRU rotation takes ~4 rounds to cycle the registry. To keep SOFT
+whole-registry evidence at every HEAD, each round's certification
+sweeps are committed as ``docs/bench/r{NN}_sweep_sf001.json`` /
+``_sf01.json`` (``SWEEP_OUT=...``) next to the rotation they certify;
+``rotation.py`` prints the latest committed sweep next to the ledger
+histogram so staleness review reads both in one place.
 """
 
 from __future__ import annotations
@@ -118,6 +128,11 @@ def main() -> int:
         "sec": round(time.time() - t0, 1),
     }
     print(json.dumps(summary), flush=True)
+    out = os.environ.get("SWEEP_OUT", "")
+    if out:
+        with open(out, "w", encoding="utf-8") as fh:
+            json.dump(summary, fh, indent=1, sort_keys=True)
+            fh.write("\n")
     return 1 if mismatched else 0
 
 

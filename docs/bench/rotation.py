@@ -146,6 +146,37 @@ def generate(
     return tuple(prefix[:PREFIX_LEN])
 
 
+def latest_sweeps() -> list[str]:
+    """One summary line per committed per-round sweep artifact of the
+    NEWEST round present (docs/bench/r{NN}_sweep_*.json — the
+    whole-registry SOFT evidence next to the driver's 50-query hard
+    rows; r13, r12 verdict item 5)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    files = glob.glob(os.path.join(here, "r*_sweep_*.json"))
+    rounds: dict[int, list[str]] = {}
+    for f in files:
+        m = re.match(r"r(\d+)_sweep_", os.path.basename(f))
+        if m:
+            rounds.setdefault(int(m.group(1)), []).append(f)
+    if not rounds:
+        return ["(no committed sweep artifacts)"]
+    lines = []
+    for f in sorted(rounds[max(rounds)]):
+        try:
+            s = json.load(open(f))
+        except (OSError, ValueError):
+            lines.append(f"{os.path.basename(f)}: unreadable")
+            continue
+        lines.append(
+            f"{os.path.basename(f)}: {s.get('matched')}/{s.get('oracled')} "
+            f"matched at {s.get('sf_dir')} (tz {s.get('tz')})"
+        )
+    return lines
+
+
 def main() -> None:
     from projet_etl_spark.plans import registry
 
@@ -155,6 +186,9 @@ def main() -> None:
 
     print("ledger histogram (last hard row -> #queries):")
     print("  ", dict(sorted(Counter(last.get(n, 0) for n in names).items())))
+    print("latest committed whole-registry sweep (soft evidence):")
+    for line in latest_sweeps():
+        print("  ", line)
     prefix = generate(names, rounds=ROUNDS_AT_COMMIT)
     oldest_after = min(
         (last.get(n, 0) for n in names if n not in prefix), default=0

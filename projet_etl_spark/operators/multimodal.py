@@ -1,7 +1,7 @@
 """Multimodal-column plumbing: opaque binary payloads + typed
 metadata, processed with Arrow-batched mapInPandas.
 
-The container has no image/audio codecs (re-probed round 11: PIL,
+The container has no image/audio codecs (re-probed rounds 11-13: PIL,
 cv2, imageio, torchvision, av, soundfile, librosa, skimage, ffmpeg
 all absent), so the decode step is a clearly-marked stub (decode_image
 raises NotImplementedError; the deterministic byte-level feature
