@@ -78,6 +78,8 @@ ROUNDS_AT_COMMIT: tuple[int, ...] = tuple(range(1, 13))
 NEW: tuple[str, ...] = (
     "dedup-embedding-lsh-hi-wide",
     "embedding-lsh-recall-hi-wide",
+    "dedup-embedding-lsh-hi-sharded",
+    "embedding-shard-recall",
     "url-frontier-store-compacted",
     "embedding-pairs-store-compacted",
 )

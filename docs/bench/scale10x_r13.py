@@ -15,6 +15,12 @@ wide geometry (r12 verdict item 2):
   density — candidate mass drops toward the true pairs, measured and
   printed for both geometries at both SFs, with the recall audit
   still >= RPHI_RECALL_TARGET at the wide geometry.
+- dedup-embedding-lsh-hi-sharded / embedding-shard-recall: the
+  staircase's OTHER prescription run — partition-disjoint sharding
+  via SHARD_NPROBE-probe IVF medoid-cell replication, the banded
+  join gaining `cell` as a leading key; the recall twin prices the
+  sharding loss (1-probe co-location ~0.80 on this fixture, 2-probe
+  >= 0.97) at both SFs.
 - url-frontier-store-compacted / embedding-pairs-store-compacted:
   store SERVE cost over the compacted layouts (the ensure_staged
   build+compact is refresh cost by the store accounting — the first
@@ -39,6 +45,8 @@ from projet_etl_spark.session import get_spark  # noqa: E402
 NEW = [
     "dedup-embedding-lsh-hi-wide",
     "embedding-lsh-recall-hi-wide",
+    "dedup-embedding-lsh-hi-sharded",
+    "embedding-shard-recall",
     "url-frontier-store-compacted",
     "embedding-pairs-store-compacted",
 ]
@@ -100,14 +108,19 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
             out.setdefault(name, {})[sf] = round(best, 2)
             print(name, sf, round(best, 2), flush=True)
-            if name == "embedding-lsh-recall-hi-wide":
+            if name in ("embedding-lsh-recall-hi-wide", "embedding-shard-recall"):
                 r = rows[0]
-                out.setdefault("wide-recall", {})[sf] = {
+                key = (
+                    "wide-recall"
+                    if name == "embedding-lsh-recall-hi-wide"
+                    else "shard-recall"
+                )
+                out.setdefault(key, {})[sf] = {
                     "n_true_pairs": r.n_true_pairs,
                     "n_found": r.n_found,
                     "recall": round(r.recall, 4),
                 }
-                print("  wide-recall", sf, out["wide-recall"][sf], flush=True)
+                print(" ", key, sf, out[key][sf], flush=True)
         for bands_n, bits in (
             (dedup.RPHI_BANDS, dedup.RPHI_BAND_BITS),
             (dedup.RPHI_WIDE_BANDS, dedup.RPHI_WIDE_BAND_BITS),

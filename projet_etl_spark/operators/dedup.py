@@ -1555,3 +1555,160 @@ def rphi_geometry_for(n_vectors: int) -> tuple[int, int]:
 # from the knob.
 RPHI_WIDE_N = 26_667
 RPHI_WIDE_BANDS, RPHI_WIDE_BAND_BITS = rphi_geometry_for(RPHI_WIDE_N)
+
+
+# --- partition-disjoint sharded dedup (r13) ---------------------------
+#
+# Past the 24-bit band ceiling (~5M vectors/shard at the plant-regime
+# density) the staircase's prescription is partition-disjoint
+# sharding — which through r12 was a sentence, not a plan. This block
+# RUNS it, the way SemDeDup actually shards: cluster the corpus
+# coarsely (the IVF medoid cells similarity.py already maintains),
+# replicate each vector into its SHARD_NPROBE nearest cells, and
+# dedup WITHIN cells only — the banded join gains `cell` as a leading
+# equi-join key, so every shard is an independent partition of the
+# work with no cross-shard shuffle. The cost is SHARD_NPROBE x
+# storage; the benefit is that each shard keeps a narrow band width
+# regardless of global N. The loss is measurable: a true pair is
+# found iff its two vectors SHARE a cell. Measured on the planted
+# corpus (numpy prototype == the committed audit): 1 probe co-locates
+# only ~0.80 of true pairs (the fixture's 10 medoid cells have soft
+# boundaries at cos~0.5 assignment similarity), 2 probes recover
+# 0.994 — `embedding-shard-recall` keeps that number oracled in the
+# registry, so the sharding prescription carries a driver-checked
+# recall just like the band staircase does.
+SHARD_NPROBE = 2
+
+
+def _shard_cells(spark: SparkSession, sf_dir: str, corpus: DataFrame) -> DataFrame:
+    """(vec_id, cell) — each corpus vector replicated into its
+    SHARD_NPROBE nearest medoid cells. Centroids are the
+    deterministic label medoids of similarity._centroids (lowest
+    vec_id per label), widened to float64 exactly; the ranking is
+    round-6 fold cosine with the (-cos, cell) tiebreak both engines
+    share. The window partitions by vec_id (never a single-partition
+    gather); the centroid side is a broadcast of |labels| rows."""
+    from pyspark.sql import Window
+
+    from projet_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    ).withColumn("n2", fold_norm2("v"))
+    cents = base.groupBy(F.col("label").alias("cell")).agg(
+        F.min_by("v", "vec_id").alias("centv"),
+        F.min_by("n2", "vec_id").alias("centn"),
+    )
+    simc = F.round(
+        cosine(fold_dot("v", "centv"), F.col("n2"), F.col("centn")), 6
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("simc"), F.asc("cell")
+    )
+    return (
+        corpus.select("vec_id", "v", "n2")
+        .crossJoin(F.broadcast(cents))
+        .withColumn("simc", simc)
+        .withColumn("prn", F.row_number().over(w))
+        .filter(F.col("prn") <= SHARD_NPROBE)
+        .select("vec_id", "cell")
+    )
+
+
+def q_dedup_embedding_lsh_hi_sharded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deployment-threshold near-dup pairs under PARTITION-DISJOINT
+    sharding: the banded (band, key) equi-join gains `cell` as a
+    leading key, so candidates only form inside a coarse cluster
+    shard — the plan shape the staircase prescribes past the 24-bit
+    band ceiling, where no global band width can cap chance
+    collisions. Multi-probe replication (SHARD_NPROBE nearest cells
+    per vector) keeps boundary pairs findable at SHARD_NPROBE x
+    storage. Verification is the same exact float64 fold, so every
+    emitted pair is exact; what sharding can cost is RECALL, and
+    `embedding-shard-recall` keeps that measured."""
+    withn = eager_persist(
+        planted_embeddings(spark, sf_dir).withColumn("n2", fold_norm2("v"))
+    )
+    cells = _shard_cells(spark, sf_dir, withn)
+    bands = eager_persist(
+        _rphi_band_keys(withn).join(cells, "vec_id")
+    )
+    left = bands.select(
+        F.col("vec_id").alias("vec_a"), "cell", "band", "key"
+    )
+    right = bands.select(
+        F.col("vec_id").alias("vec_b"), "cell", "band", "key"
+    )
+    cands = (
+        left.join(right, ["cell", "band", "key"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    a = withn.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("n2").alias("na"),
+    )
+    b = withn.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("n2").alias("nb"),
+    )
+    cos = cosine(fold_dot("va", "vb"), F.col("na"), F.col("nb"))
+    return (
+        cands.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos"))
+        .filter(F.col("cos") >= HI_COSINE_THRESHOLD)
+    )
+
+
+def q_embedding_shard_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the SHARDED path against the exact audit
+    block — one row (n_true_pairs, n_found, recall). This is the
+    price tag on the partition-disjoint prescription: a true pair is
+    lost iff multi-probe replication fails to co-locate it (the
+    banding inside the shard is the already-audited fixture
+    geometry). Same audit accounting as the hi recall twins."""
+    withn = eager_persist(
+        planted_embeddings(spark, sf_dir).withColumn("n2", fold_norm2("v"))
+    )
+    block = (
+        withn.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(AUDIT_BLOCK)
+    )
+    a = block.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("n2").alias("na"),
+    )
+    b = block.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("n2").alias("nb"),
+    )
+    cos = cosine(fold_dot("va", "vb"), F.col("na"), F.col("nb"))
+    exact = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("xcos"))
+        .filter(F.col("xcos") >= HI_COSINE_THRESHOLD)
+        .select("vec_a", "vec_b")
+    )
+    sharded = q_dedup_embedding_lsh_hi_sharded(spark, sf_dir).select(
+        "vec_a", "vec_b", F.lit(1).alias("hit")
+    )
+    return exact.join(sharded, ["vec_a", "vec_b"], "left").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true_pairs"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_found"),
+        (
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("recall"),
+    )

@@ -679,6 +679,57 @@ _EMB_HI_WIDE_CTES = _emb_hi_ctes(
 _EMB_HI_WIDE_SQL = _EMB_HI_WIDE_CTES + _EMB_HI_PAIRS
 _EMB_HI_WIDE_RECALL_SQL = _EMB_HI_WIDE_CTES + _EMB_HI_RECALL_TAIL
 
+# partition-disjoint sharded dedup (r13): the fixture-geometry hi
+# CTEs plus the IVF medoid machinery — every planted vector is
+# replicated into its SHARD_NPROBE nearest cells (the _ANN_IVF_SQL
+# window form of the multi-probe selection, same round-6 fold cosine
+# and (-cos, cell) tiebreak) and the banded candidate join gains
+# `cell` as a leading key. The pair/recall tails are the shared hi
+# ones with the candidate CTE swapped.
+_EMB_SHARD_CTES = (
+    _EMB_HI_CTES
+    + f""",
+eb AS (
+    SELECT vec_id, label, {_ORIG_V} AS v FROM embeddings
+),
+ebn AS (
+    SELECT vec_id, label, v, {VEC.sql_norm2("v")} AS n2 FROM eb
+),
+shcents AS (
+    SELECT label AS cell,
+           arg_min(v, vec_id) AS centv,
+           arg_min(n2, vec_id) AS centn
+    FROM ebn GROUP BY label
+),
+asgn AS (
+    SELECT vec_id, cell FROM (
+        SELECT ep.vec_id, c.cell,
+               ROW_NUMBER() OVER (
+                   PARTITION BY ep.vec_id
+                   ORDER BY {_sql_cos(VEC.sql_dot('ep.v', 'c.centv'), 'ep.n2', 'c.centn')} DESC,
+                            c.cell) AS prn
+        FROM ep, shcents c
+    ) WHERE prn <= {dedup.SHARD_NPROBE}
+),
+sbands AS MATERIALIZED (
+    SELECT h.vec_id, a.cell, h.band, h.key
+    FROM hbands h JOIN asgn a USING (vec_id)
+),
+scand AS (
+    SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+    FROM sbands l
+    JOIN sbands r ON l.cell = r.cell AND l.band = r.band AND l.key = r.key
+    WHERE l.vec_id < r.vec_id
+)"""
+)
+_EMB_SHARD_PAIRS = _EMB_HI_PAIRS.replace("FROM hcand", "FROM scand")
+assert "scand" in _EMB_SHARD_PAIRS
+_EMB_SHARD_SQL = _EMB_SHARD_CTES + _EMB_SHARD_PAIRS
+_EMB_SHARD_RECALL_SQL = _EMB_SHARD_CTES + _EMB_HI_RECALL_TAIL.replace(
+    f"hlpairs AS ({_EMB_HI_PAIRS})", f"hlpairs AS ({_EMB_SHARD_PAIRS})"
+)
+assert "scand" in _EMB_SHARD_RECALL_SQL
+
 # keep-one-per-cluster at the deployment threshold (r12): the same
 # recursive transitive closure as the semantic oracle below, over the
 # hi pairs and the PLANTED vertex set, reduced to the exemplar table
@@ -4906,6 +4957,23 @@ def build():
             "embedding-lsh-recall-hi-wide",
             dedup.q_embedding_lsh_recall_hi_wide,
             _EMB_HI_WIDE_RECALL_SQL,
+            ("dedup", "ann"),
+        ),
+        # r13: the staircase's OTHER prescription run — past the
+        # 24-bit band ceiling the plan is partition-disjoint sharding
+        # (SemDeDup's cluster-then-dedup): multi-probe IVF-cell
+        # replication, banded join with `cell` as a leading key, and
+        # the sharding loss measured in the recall twin
+        (
+            "dedup-embedding-lsh-hi-sharded",
+            dedup.q_dedup_embedding_lsh_hi_sharded,
+            _EMB_SHARD_SQL,
+            ("dedup", "ann"),
+        ),
+        (
+            "embedding-shard-recall",
+            dedup.q_embedding_shard_recall,
+            _EMB_SHARD_RECALL_SQL,
             ("dedup", "ann"),
         ),
         # the prune EXPORT at the deployment threshold: pairs ->

@@ -389,6 +389,8 @@ _EMPTY_NONEMPTY_OK = {
     "embedding-lsh-recall-hi",
     # same aggregate shape, wide-geometry banded path (r13)
     "embedding-lsh-recall-hi-wide",
+    # and the sharded path's audit (r13)
+    "embedding-shard-recall",
     "lineitem-corr-matrix",
     "forecast-revenue-change",
     "promo-revenue-share",

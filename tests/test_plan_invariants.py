@@ -36,6 +36,10 @@ BNLJ_ALLOWED = {
     "embedding-lsh-recall-hi",
     # same audit block again, wide-geometry banded path (r13)
     "embedding-lsh-recall-hi-wide",
+    # IVF medoid-table broadcast cross (the multi-probe shard
+    # assignment); the recall twin nests it plus the audit block
+    "dedup-embedding-lsh-hi-sharded",
+    "embedding-shard-recall",
     "ann-quantized-topk",
     # the streaming-index twin serves through the same probe/re-rank
     # stage (centroid-table broadcast cross)
@@ -119,6 +123,8 @@ BNLJ_BUILD_ROW_BOUND = {
     "embedding-lsh-recall": 4096,  # the nested exact-audit block
     "embedding-lsh-recall-hi": 4096,  # same block, planted corpus (r12)
     "embedding-lsh-recall-hi-wide": 4096,  # same block, wide bands (r13)
+    "dedup-embedding-lsh-hi-sharded": 64,  # the medoid centroid table
+    "embedding-shard-recall": 4096,  # audit block + the medoid table
     "decontaminate-embedding": 64,  # the EVAL_VECS eval block
     "distinct-kmv-intersect": 64,  # the event-type list (pair cross)
     "events-autocorr": 4096,  # the dense day spine (calendar-span bounded)

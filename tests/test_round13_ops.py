@@ -422,3 +422,63 @@ def test_embdedup_version_token_tracks_geometry(monkeypatch):
         monkeypatch.undo()
     # and the compacted twin stages under a DIFFERENT token namespace
     assert storequery._embdedup_version("compacted-v1") != base
+
+
+# ---------------------------------------------------------------
+# partition-disjoint sharded dedup (r13)
+# ---------------------------------------------------------------
+
+
+def test_sharded_pairs_are_a_subset_of_hi_pairs(spark):
+    """Sharding can only LOSE pairs (verification is the identical
+    exact fold); every sharded pair must appear in the unsharded hi
+    result with the same cosine."""
+    from projet_etl_spark.operators import dedup
+    from tests.conftest import SF_SMALL
+
+    hi = {
+        (r.vec_a, r.vec_b): r.cos
+        for r in dedup.q_dedup_embedding_lsh_hi(spark, SF_SMALL).collect()
+    }
+    sharded = {
+        (r.vec_a, r.vec_b): r.cos
+        for r in dedup.q_dedup_embedding_lsh_hi_sharded(
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert sharded  # multi-probe replication finds pairs
+    assert set(sharded) <= set(hi)
+    assert all(hi[k] == v for k, v in sharded.items())
+
+
+def test_shard_recall_clears_gate_at_two_probes(spark):
+    """The measured price of partition-disjoint sharding on the
+    planted corpus: with SHARD_NPROBE = 2 replication the audit must
+    clear the deployment recall gate (1-probe co-location is ~0.80
+    on this fixture — the multi-probe replication is load-bearing,
+    which is exactly what this pin documents)."""
+    from projet_etl_spark.operators import dedup
+    from tests.conftest import SF_SMALL
+
+    assert dedup.SHARD_NPROBE >= 2
+    r = dedup.q_embedding_shard_recall(spark, SF_SMALL).collect()[0]
+    assert r.n_true_pairs > 100
+    assert r.recall >= dedup.RPHI_RECALL_TARGET
+
+
+def test_shard_replication_factor_is_bounded(spark):
+    """Each vector lands in exactly min(SHARD_NPROBE, |cells|) cells
+    — the storage cost of replication is the constant the docstring
+    promises, not data-dependent."""
+    from pyspark.sql import functions as F
+
+    from projet_etl_spark.operators import dedup
+    from tests.conftest import SF_SMALL
+
+    withn = dedup.planted_embeddings(spark, SF_SMALL).withColumn(
+        "n2", dedup.fold_norm2("v")
+    )
+    cells = dedup._shard_cells(spark, SF_SMALL, withn)
+    per_vec = cells.groupBy("vec_id").agg(F.count(F.lit(1)).alias("k"))
+    ks = {r.k for r in per_vec.select("k").distinct().collect()}
+    assert ks == {dedup.SHARD_NPROBE}
