@@ -43,7 +43,13 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_overlap) for every training doc sharing at least one
-    distinct eval 5-gram with the eval set."""
+    distinct eval 5-gram with the eval set.
+
+    r13: examined for a persist of the shingle frame (it feeds the
+    eval and training sides) — interleaved A/B showed the persist
+    LOSES (0.73 s vs 1.00 s): Spark's ReusedExchange already dedups
+    the identical subtree and the eager persist adds a count job +
+    cache write. Left unpersisted deliberately."""
     sh = _shingle_sets(spark, sf_dir)
     ev = sh.filter(F.col("doc_id") < EVAL_DOCS).select("s").distinct()
     return (
@@ -96,6 +102,12 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     its bit positions are set in the eval filter — i.e. its
     BLOOM_HASHES probe rows all survive the equi-join against the
     (<= BLOOM_BITS row) set-bit table, counted per gram.
+
+    r13: a persist of the shingle frame was A/B'd and LOSES (2.46 s
+    unpersisted vs 2.90 s persisted, interleaved in one session) —
+    ReusedExchange dedups what the persist would, cheaper. The win
+    here is structural (below): the probe side no longer explodes
+    into BLOOM_HASHES rows per gram or shuffles them back.
     """
     sh = _shingle_sets(spark, sf_dir)
     ev = sh.filter(F.col("doc_id") < EVAL_DOCS).select("s").distinct()
@@ -105,17 +117,55 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(_bloom_bit_col(F.col("i"), F.col("s")).alias("bit"))
         .distinct()
     )
+    # r13 (guide §3.2, the manual bloom-filter shape): fold the set
+    # bits into an actual BITMAP — BLOOM_BITS/64 = 2048 long words,
+    # 16 KiB at ANY corpus size (the filter's size is a compile-time
+    # constant; that is the point of a bloom filter) — and evaluate
+    # the 5-hash membership as a map-only expression over the probe
+    # row. The previous shape exploded every training gram into
+    # BLOOM_HASHES probe rows, broadcast-joined them against the
+    # set-bit table and hash-aggregated the matches back to
+    # (doc_id, s) grain: a 5x row explosion plus a shuffle, all to
+    # compute a per-row predicate. The driver round-trip is bounded
+    # by the constant word count (<= 2048 rows — the k-means-seed /
+    # DSIR-table bounded-collect class), never by data. Bit
+    # positions, hash math and the all-5-set predicate are unchanged
+    # integer ops, so the flagged set is identical (same oracle).
+    # single-bit masks as a 64-long literal (python's 1 << 63 wraps to
+    # long-min like the JVM's) — the Python shiftleft/shiftright API
+    # only takes literal shift amounts, so bit tests go through an
+    # element_at lookup instead of a column-valued shift
+    pow2 = F.lit(
+        [(1 << k) if k < 63 else -(1 << 63) for k in range(64)]
+    )
+    word_rows = (
+        bits.select(
+            F.expr("cast(div(bit, 64) as int)").alias("w"),
+            F.element_at(pow2, (F.col("bit") % 64).cast("int") + 1).alias(
+                "m"
+            ),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("mask"))
+        .collect()
+    )
+    bitmap = [0] * (BLOOM_BITS // 64)
+    for r in word_rows:
+        bitmap[r["w"]] = r["mask"]
+    words = F.lit(bitmap)
     train = sh.filter(F.col("doc_id") >= EVAL_DOCS)
-    probes = train.select("doc_id", "s", F.explode(hash_ids).alias("i")).select(
-        "doc_id", "s", _bloom_bit_col(F.col("i"), F.col("s")).alias("bit")
-    )
-    bloom_pos = (
-        probes.join(F.broadcast(bits), "bit")
-        .groupBy("doc_id", "s")
-        .agg(F.count(F.lit(1)).alias("n_bits"))
-        .filter(F.col("n_bits") == BLOOM_HASHES)
-        .select("doc_id", "s")
-    )
+
+    def _is_set(i: int):
+        # p is non-negative (h30 % BLOOM_BITS), so p >> 6 == p div 64
+        p = _bloom_bit_col(F.lit(i), F.col("s"))
+        word = F.element_at(words, F.shiftright(p, 6).cast("int") + F.lit(1))
+        mask = F.element_at(pow2, (p % 64).cast("int") + 1)
+        return word.bitwiseAND(mask) != F.lit(0)
+
+    all_set = F.lit(True)
+    for i in range(BLOOM_HASHES):
+        all_set = all_set & _is_set(i)
+    bloom_pos = train.filter(all_set).select("doc_id", "s")
     exact_pos = train.join(F.broadcast(ev), "s").select("doc_id", "s")
     per_doc = (
         bloom_pos.groupBy("doc_id")

@@ -53,13 +53,24 @@ def q_token_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = load_table(spark, sf_dir, "documents").select(
         F.explode(tokens(F.col("text"))).alias("tok")
     )
-    occ = toks.select("tok", F.explode(_row_ids()).alias("r"))
-    cells = (
-        occ.select("r", cms_bucket(F.col("r"), F.col("tok")).alias("bucket"))
-        .groupBy("r", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
     exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n"))
+    # r13 (guide §2.3, aggregate before you expand): the sketch cells
+    # used to be built from every token OCCURRENCE exploded CMS_ROWS
+    # ways (4 x |occurrences| md5 bucket hashes through the cell
+    # aggregate); summing the per-token exact counts into the cells
+    # instead needs only 4 x |vocabulary| hashes — the cell values
+    # are identical (sum of per-token counts per cell == occurrence
+    # count per cell), and the token aggregate is the exact side's
+    # subtree anyway (one ReusedExchange serves both). Interleaved
+    # A/B and oracle equality in OPTIMIZATION_r13.md.
+    occ = exact.select("tok", "exact_n", F.explode(_row_ids()).alias("r"))
+    cells = (
+        occ.select(
+            "r", cms_bucket(F.col("r"), F.col("tok")).alias("bucket"), "exact_n"
+        )
+        .groupBy("r", "bucket")
+        .agg(F.sum("exact_n").alias("c"))
+    )
     topk = exact.orderBy(F.desc("exact_n"), F.asc("tok")).limit(CMS_TOP_K)
     probes = topk.select(
         "tok", "exact_n", F.explode(_row_ids()).alias("r")

@@ -2375,17 +2375,23 @@ def q_orders_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window). Ranks are globally correct because partitions are
     # value-ordered; ties may split across a boundary, but any total
     # order of equal values selects the same middle VALUES.
-    from projet_etl_spark.cache import eager_persist
+    from projet_etl_spark.cache import eager_persist, lazy_persist
 
     # materialize the range partitioning ONCE: offsets, total, and the
     # ranked frame all derive from sp, and their pid agreement must be
     # a guarantee, not an exchange-reuse optimizer side effect (a
     # re-executed range exchange re-samples boundaries and could
     # assign different pids per subtree)
+    # r13: persist the slope frame UNDER the range exchange too —
+    # repartitionByRange first SAMPLES its child to pick boundaries
+    # and then shuffles it, so the pairwise-slope nested-loop join
+    # used to execute twice; the lazy persist materializes it during
+    # the sampling pass and the exchange reads the cache (guide §2.4;
+    # numbers in OPTIMIZATION_r13.md)
     sp = eager_persist(
-        slopes.repartitionByRange(32, "slope").withColumn(
-            "pid", F.spark_partition_id()
-        )
+        lazy_persist(slopes)
+        .repartitionByRange(32, "slope")
+        .withColumn("pid", F.spark_partition_id())
     )
     cnts = sp.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
     # coalesce(1), not an Exchange SinglePartition: the frame is
