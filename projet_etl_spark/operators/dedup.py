@@ -611,6 +611,92 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 AUDIT_BLOCK = 4096
 
 
+def _block_pair_cos_arrow(block_withn: DataFrame, threshold: float) -> DataFrame:
+    """All-pairs exact cosine over a bounded audit block as ONE
+    Arrow-batched numpy kernel — (vec_a, vec_b, cos) for every block
+    pair with round(cos, 6) >= threshold, row-identical to the
+    crossJoin + fold form it replaces (r13, guide §4.2).
+
+    Why: inside the nested-loop pair scan the per-pair fold dot
+    (zip_with + aggregate) evaluates INTERPRETED — ~1-2 us per pair,
+    the dominant cost of every audit query at AUDIT_BLOCK^2/2 pairs.
+    The kernel computes the same dots vectorized, ~10x faster, while
+    replaying the exact IEEE sequence (the _rp_band_keys precedent):
+
+    - per pair, the accumulation runs left-to-right over dimensions
+      (``acc += a_i * b_i`` for i ascending, acc starting at 0.0) —
+      the identical rounding sequence as fold_dot (0.0 + x == x,
+      then the same term order; numpy elementwise ufuncs neither
+      reassociate nor fuse);
+    - float32 -> float64 widening is exact; cosine is the same three
+      correctly-rounded ops (sqrt per side, multiply, divide) in the
+      same order as functions/vectors.cosine;
+    - HALF_UP rounding is NOT replicated in numpy (numpy rounds half
+      to even): the kernel filters on the RAW cosine with a 1e-6
+      slack (round(x, 6) >= t implies x >= t - 5e-7 for t on the
+      1e-6 grid), and Spark's own round(…, 6) + the exact >= t
+      filter run on the emitted raw value — so the kept rows and the
+      reported cos are bit-identical to the fold form's.
+
+    The block side rides into the task closure via a driver collect
+    bounded by AUDIT_BLOCK (<= 4096 rows, ~2 MB — the same bound the
+    previous broadcast copy carried; k-means-seed bounded-collect
+    class). The streamed side is round-robin repartitioned so the
+    O(block^2) scan parallelizes — pair set is placement-invariant.
+    pytest pins kernel == fold on the fixture corpus
+    (tests/test_round13_opt.py).
+    """
+    import numpy as np
+
+    spark = block_withn.sparkSession
+    rows = block_withn.select("vec_id", "v", "n2").collect()
+    b_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    b_mat = (
+        np.array([list(r["v"]) for r in rows], dtype=np.float64)
+        if rows
+        else np.zeros((0, 0), dtype=np.float64)
+    )
+    b_sq = np.sqrt(np.array([r["n2"] for r in rows], dtype=np.float64))
+    dim = b_mat.shape[1] if rows else 0
+
+    def batches(it):
+        for pdf in it:
+            if len(pdf) == 0 or len(b_ids) == 0:
+                continue
+            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            a_mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+            a_sq = np.sqrt(pdf["n2"].to_numpy(dtype=np.float64))
+            chunk = 256  # bounds the (chunk x block) acc at ~8 MB
+            for s in range(0, len(a_ids), chunk):
+                am = a_mat[s : s + chunk]
+                ai = a_ids[s : s + chunk]
+                asq = a_sq[s : s + chunk]
+                acc = np.zeros((am.shape[0], len(b_ids)), dtype=np.float64)
+                for i in range(dim):  # left-to-right: the fold's order
+                    acc += am[:, i : i + 1] * b_mat[:, i]
+                cos = acc / (asq[:, None] * b_sq[None, :])
+                keep = (ai[:, None] < b_ids[None, :]) & (
+                    cos >= threshold - 1e-6
+                )
+                ka, kb = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "vec_a": ai[ka],
+                        "vec_b": b_ids[kb],
+                        "raw": cos[ka, kb],
+                    }
+                )
+
+    scanned = (
+        block_withn.repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", "v", "n2")
+        .mapInPandas(batches, "vec_a long, vec_b long, raw double")
+    )
+    return scanned.select(
+        "vec_a", "vec_b", F.round(F.col("raw"), 6).alias("cos")
+    ).filter(F.col("cos") >= F.lit(threshold))
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: exact pairwise cosine above
     COSINE_THRESHOLD within a bounded deterministic audit block.
@@ -640,28 +726,13 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(AUDIT_BLOCK)
     )
     withn = block.withColumn("n2", fold_norm2("v"))
-    # TakeOrderedAndProject emits ONE partition; left as-is the whole
-    # block x block scan would run as a single task (measured 23 s at
-    # sf0.1). Spreading the STREAMED copy across the cluster makes the
-    # nested-loop scan embarrassingly parallel; the broadcast copy
-    # stays a single bounded exchange. Round-robin repartition is
-    # result-invariant here (pair set doesn't depend on row placement).
-    a = withn.repartition(spark.sparkContext.defaultParallelism).select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("n2").alias("na")
-    )
-    b = withn.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("n2").alias("nb")
-    )
-    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("vec_a") < F.col("vec_b"))
-    # fold (zip_with + aggregate) dot, NOT the generated 64-term sum:
-    # inside this nested-loop pair scan the giant generated expression
-    # drops out of whole-stage codegen and evaluates interpreted —
-    # measured 11.2 s vs 0.98 s for the fold at sf0.1 (identical 920
-    # pairs; the fold is bit-for-bit equal, see functions/vectors.py)
-    cos = cosine(fold_dot("va", "vb"), F.col("na"), F.col("nb"))
-    return pairs.select(
-        "vec_a", "vec_b", F.round(cos, 6).alias("cos")
-    ).filter(F.col("cos") >= COSINE_THRESHOLD)
+    # r13 (guide §4.2): the pair scan is the shared Arrow audit
+    # kernel — the previous shape (crossJoin(broadcast) + per-pair
+    # interpreted fold, 0.98 s at sf0.1, itself the measured winner
+    # over the 11.2 s generated 64-term sum) becomes one vectorized
+    # numpy pass with the identical IEEE sequence; row-identical
+    # output (see _block_pair_cos_arrow)
+    return _block_pair_cos_arrow(withn, COSINE_THRESHOLD)
 
 
 # random-hyperplane (SimHash-for-vectors) LSH over embeddings:
@@ -1425,23 +1496,11 @@ def _embedding_lsh_recall_hi(
         withn.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(AUDIT_BLOCK)
     )
-    a = block.repartition(spark.sparkContext.defaultParallelism).select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("v").alias("va"),
-        F.col("n2").alias("na"),
-    )
-    b = block.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("v").alias("vb"),
-        F.col("n2").alias("nb"),
-    )
-    cos = cosine(fold_dot("va", "vb"), F.col("na"), F.col("nb"))
-    exact = (
-        a.crossJoin(F.broadcast(b))
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", F.round(cos, 6).alias("xcos"))
-        .filter(F.col("xcos") >= HI_COSINE_THRESHOLD)
-        .select("vec_a", "vec_b")
+    # r13 (guide §4.2): exact side = the shared Arrow audit kernel
+    # (row-identical to the crossJoin + fold form; see
+    # _block_pair_cos_arrow)
+    exact = _block_pair_cos_arrow(block, HI_COSINE_THRESHOLD).select(
+        "vec_a", "vec_b"
     )
     lsh = _dedup_embedding_lsh_hi(spark, sf_dir, bands_n, band_bits).select(
         "vec_a", "vec_b", F.lit(1).alias("hit")
@@ -1683,23 +1742,11 @@ def q_embedding_shard_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         withn.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(AUDIT_BLOCK)
     )
-    a = block.repartition(spark.sparkContext.defaultParallelism).select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("v").alias("va"),
-        F.col("n2").alias("na"),
-    )
-    b = block.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("v").alias("vb"),
-        F.col("n2").alias("nb"),
-    )
-    cos = cosine(fold_dot("va", "vb"), F.col("na"), F.col("nb"))
-    exact = (
-        a.crossJoin(F.broadcast(b))
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", F.round(cos, 6).alias("xcos"))
-        .filter(F.col("xcos") >= HI_COSINE_THRESHOLD)
-        .select("vec_a", "vec_b")
+    # r13 (guide §4.2): exact side = the shared Arrow audit kernel
+    # (row-identical to the crossJoin + fold form; see
+    # _block_pair_cos_arrow)
+    exact = _block_pair_cos_arrow(block, HI_COSINE_THRESHOLD).select(
+        "vec_a", "vec_b"
     )
     sharded = q_dedup_embedding_lsh_hi_sharded(spark, sf_dir).select(
         "vec_a", "vec_b", F.lit(1).alias("hit")
