@@ -36,7 +36,7 @@ from projet_etl_spark.session import get_spark  # noqa: E402
 PLANS_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     "plans",
-    "r13",
+    os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14"),
 )
 
 

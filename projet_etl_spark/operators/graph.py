@@ -12,10 +12,14 @@ discipline, applied to a data-sized state vector):
   edge frame persists across iterations (re-read cost, not
   re-computation);
 - each iteration is one equi-join + one aggregate ON THE REDUCED
-  GRAPH GRAIN (nodes/edges, never lineitems), with a localCheckpoint
-  per iteration so the plan does not grow with the iteration count —
-  ranks are data-sized, so they stay distributed (collecting them
-  per iteration would be a driver-side loop);
+  GRAPH GRAIN (nodes/edges, never lineitems); the edge frame is
+  hash-clustered on the join key at persist time so the iteration
+  joins are exchange-free on the edge side, and iterations chain
+  lazily (plan depth is bounded by the PR_ITERS constant — r14
+  removed the per-iteration eager localCheckpoint, which cost a
+  materialization job and a driver barrier per iteration) — ranks
+  are data-sized, so they stay distributed (collecting them per
+  iteration would be a driver-side loop);
 - ranks order by their ROUNDED value with a key tiebreak, so the
   top-k cut is deterministic and engine-neutral despite float
   summation order.
@@ -64,20 +68,27 @@ def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations, uniform start) — 'important' suppliers are those
     transacting with important customers, recursively, which plain
     volume ranking misses."""
+    from projet_etl_spark.cache import lazy_persist
+
     edges = _edges(spark, sf_dir)
     outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("ow"))
-    norm = (
+    # r14: hash-cluster the persisted edge frame on src so every
+    # iteration's join finds its probe side already partitioned on the
+    # join key (guide §2.4 — one exchange at materialization instead
+    # of one per iteration when ranks are too big to broadcast, which
+    # is exactly the 100 TB regime); persists are cache-tracked, not
+    # manually unpersisted, because iterations now execute at action
+    # time (below), not at build time
+    norm = lazy_persist(
         edges.join(outw, "src")
         .select("src", "dst", (F.col("w").cast("double") / F.col("ow").cast("double")).alias("p"))
-        .persist()
+        .repartition(F.col("src"))
     )
-    nodes = norm.select(F.col("src").alias("node")).distinct().persist()
+    nodes = lazy_persist(norm.select(F.col("src").alias("node")).distinct())
     n_total = nodes.count()  # bounded: one long for the uniform terms
     if n_total == 0:
         # empty graph (late/empty upstream partition): empty ranking,
         # same schema
-        norm.unpersist()
-        nodes.unpersist()
         return spark.createDataFrame(
             [], "s_suppkey long, s_name string, rank_norm double"
         )
@@ -90,10 +101,17 @@ def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # symmetric graph: every node has in-edges, so the join-back
         # is total and no dangling-mass correction is needed
+        # r14: the per-iteration eager localCheckpoint is gone — it
+        # cost one materialization job + a driver barrier per
+        # iteration and erased the partitioning AQE uses. Plan depth
+        # stays bounded by the PR_ITERS constant (5), so the
+        # constant-depth concern the checkpoint addressed does not
+        # apply at this fixed iteration count; measured −0.5-0.6 s
+        # median in two interleaved A/Bs (OPTIMIZATION_r14.md)
         ranks = contrib.select(
             F.col("dst").alias("node"),
             (F.lit((1.0 - PR_DAMPING) / n_total) + PR_DAMPING * F.col("m")).alias("r"),
-        ).localCheckpoint()  # constant-depth plan across iterations
+        )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     out = (
         ranks.filter(F.col("node") % 2 == 1)
@@ -111,6 +129,6 @@ def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_norm"), F.asc("s_suppkey"))
         .limit(PR_TOPN)
     )
-    norm.unpersist()
-    nodes.unpersist()
+    # persists are released by cache.release_caches (they must outlive
+    # this builder: the iteration joins execute at action time now)
     return out

