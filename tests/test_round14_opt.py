@@ -34,6 +34,25 @@ def test_fused_logit_kernel_matches_jvm_scorer(spark):
     assert len(fused) > 0
 
 
+def test_score_documents_arrow_twin_is_row_identical(spark):
+    """score_documents_arrow (r14) must reproduce score_documents
+    row for row — same doc set, same exact integer logit, same IEEE
+    score division, same keep verdict (consumers that switched to the
+    Arrow shape rely on this equality, and the oracle re-proves it
+    end to end)."""
+    from projet_etl_spark.operators.quality_model import (
+        score_documents,
+        score_documents_arrow,
+    )
+    from projet_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    jvm = sorted(tuple(r) for r in score_documents(docs).collect())
+    arrow = sorted(tuple(r) for r in score_documents_arrow(docs).collect())
+    assert jvm == arrow
+    assert len(jvm) > 0
+
+
 def test_pagerank_iterations_have_no_eager_barrier(spark):
     """r14 removed the per-iteration eager localCheckpoint: building
     the supplier-pagerank plan must leave the final frame LAZY (the
