@@ -46,51 +46,36 @@ PREFIX_LEN = 50
 SENTINELS = ("top-1", "avg-cat-fab-10-mag")
 
 # The artifact rounds that exist in the tree when this round's prefix
-# is committed. The r13 prefix is generated over the r01..r12 ledger;
-# the driver's CORRECTNESS_r13.json lands AFTER commit and must not
+# is committed. The r14 prefix is generated over the r01..r13 ledger;
+# the driver's CORRECTNESS_r14.json lands AFTER commit and must not
 # retroactively change what the committed tuple should have been.
-ROUNDS_AT_COMMIT: tuple[int, ...] = tuple(range(1, 13))
+ROUNDS_AT_COMMIT: tuple[int, ...] = tuple(range(1, 14))
 
-# Round-13 inputs to the rule. NEW = added this round (no hard row
-# anywhere): the wide-geometry deployment-threshold pair (the
-# rphi_geometry_for staircase RUN at the width it prescribes for the
-# 10x corpus, plus its recall audit — r12 verdict item 2) and the two
-# compacted store twins (frontier partial-merge fold, embdedup
-# verbatim fold — item 3). TOUCHED = serve paths whose implementing
-# modules changed in the r13 diff:
-# - operators/dedup.py: _rphi_band_keys generalized to a
-#   geometry-parameterized kernel and the hi query bodies refactored
-#   behind it -> the whole hi family re-earns (dedup-embedding-
-#   lsh-hi, embedding-lsh-recall-hi, semantic-exemplars-hi builds on
-#   the hi pairs);
-# - streaming/embdedup.py (history probe now storeio-disciplined,
-#   r12 verdict item 4; + compaction) and streaming/frontier.py
-#   (+compaction) and streaming/storequery.py (builders refactored,
-#   version token folds PLANT_OFFSET — advisor low) ->
-#   embedding-pairs-store and url-frontier-store re-earn;
-# - sources/ingest.py's writer lease reworked again (hostname:pid
-#   identity + write_tmp heartbeat, the two r12 advisor mediums; TTL
-#   env knob, verdict item 6) -> attribution-store and dsir-store as
-#   this round's store-reader representatives (r9 rotated
-#   ann-ivf-store/daily-counts-store, r10 token-freq-cms/bm25-store,
-#   r11 sessions-store/user-state-asof, r12 neardedup-pairs-store/
-#   bottomk-store through the same mechanism).
-NEW: tuple[str, ...] = (
-    "dedup-embedding-lsh-hi-wide",
-    "embedding-lsh-recall-hi-wide",
-    "dedup-embedding-lsh-hi-sharded",
-    "embedding-shard-recall",
-    "url-frontier-store-compacted",
-    "embedding-pairs-store-compacted",
-)
+# Round-14 inputs to the rule (optimization round 2 of 2 — no new
+# queries; the registry is frozen at 226). NEW is therefore empty.
+# TOUCHED = queries whose SERVE PATHS changed in the r14 optimization
+# diff (every one re-proved against its DuckDB oracle at sf0.01 AND
+# sf0.1 before commit — OPTIMIZATION_r14.md):
+# - operators/graph.py: supplier-pagerank iteration restructure (no
+#   per-iteration eager checkpoint; src-clustered persisted edges);
+# - operators/dedup.py: dedup-prefix-filter candidate persist;
+# - operators/qualrules.py: the fused rules+logit scan's logit fold
+#   moved behind Arrow -> quality-rules-vs-model,
+#   filter-agreement-kappa, quality-model-calibration re-earn;
+# - operators/quality_model.py + operators/corpus.py: verdict-only
+#   consumers switched to the Arrow scorer twin ->
+#   corpus-quality-budget, pipeline-training-export,
+#   corpus-survivorship re-earn.
+NEW: tuple[str, ...] = ()
 TOUCHED: tuple[str, ...] = (
-    "dedup-embedding-lsh-hi",
-    "embedding-lsh-recall-hi",
-    "semantic-exemplars-hi",
-    "embedding-pairs-store",
-    "url-frontier-store",
-    "attribution-store",
-    "dsir-store",
+    "supplier-pagerank",
+    "dedup-prefix-filter",
+    "quality-rules-vs-model",
+    "filter-agreement-kappa",
+    "quality-model-calibration",
+    "corpus-quality-budget",
+    "pipeline-training-export",
+    "corpus-survivorship",
 )
 
 

@@ -76,32 +76,31 @@ def test_broken_extensions_import_is_loud(monkeypatch):
 
 def test_driver_prefix_is_generated_by_rotation_rule():
     """The committed tuple == the generator over the EXPLICIT
-    committed-artifact rounds (r01..r12), and the staleness bound
-    holds: the three r7-stale queries the r12 verdict named enter at
-    the first LRU slots, and nothing left unchecked has a hard row
-    older than r8."""
+    committed-artifact rounds (r01..r13), and the staleness bound
+    holds: the three r8-stale queries enter at the first LRU slots,
+    and nothing left unchecked has a hard row older than r9."""
     import rotation
 
     from projet_etl_spark.plans import registry
 
     names = list(registry.REGISTRY)
-    assert rotation.ROUNDS_AT_COMMIT == tuple(range(1, 13))
+    assert rotation.ROUNDS_AT_COMMIT == tuple(range(1, 14))
     assert registry._DRIVER_PREFIX == rotation.generate(
         names, rounds=rotation.ROUNDS_AT_COMMIT
     )
     last = rotation.ledger(rotation.ROUNDS_AT_COMMIT)
     checked = set(registry._DRIVER_PREFIX)
-    # the r12 verdict's LRU tail: these three are checked THIS round
+    # the r13 ledger's LRU tail: these three are checked THIS round
     for n in (
-        "supplier-lead-time",
-        "supplier-pagerank",
-        "top-magasins-cat",
+        "top-unshipped-orders",
+        "user-state-store",
+        "vocab-coverage",
     ):
-        assert n in checked, f"r12 LRU-tail query {n} missed the r13 prefix"
-    # every r7 row is refreshed this round; the staleness floor after
-    # this rotation lands is r8
+        assert n in checked, f"r13 LRU-tail query {n} missed the r14 prefix"
+    # every r8 row is refreshed this round; the staleness floor after
+    # this rotation lands is r9
     oldest_left = min(last.get(n, 0) for n in names if n not in checked)
-    assert oldest_left >= 8
+    assert oldest_left >= 9
 
 
 # --- verdict item 6: read-path swap recovery is concurrency-safe --------
